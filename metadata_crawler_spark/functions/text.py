@@ -1,0 +1,168 @@
+"""HTML text/lang/outlink extraction + text-analysis column functions.
+
+Reference parity: the reference's "open the discovered object and pull
+typed facets out of its contents" stage — ``open_dataset`` engine dispatch
+by suffix (/root/reference/src/metadata_crawler/api/storage_backend.py:
+102-149) feeding DataSpecs attribute/stat extraction (api/config.py:
+367-458). Our objects are web pages: the binary ``html`` column yields
+``text`` (byte-identical per url — the north-rule invariant), ``lang``,
+and outlinks (the analog of directory children, data_collector.py:192-230).
+
+Everything here is either a pure Spark column expression or an
+Arrow-batched pandas UDF built from vectorized pandas string ops.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SCRIPT_RE = re.compile(r"<(script|style)[^>]*>.*?</\1>", re.S | re.I)
+_TAG_RE = re.compile(r"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+_HREF_RE = re.compile(r"""href=["']([^"']+)["']""", re.I)
+_META_LANG_RE = re.compile(
+    r"""content-language["']\s+content=["']([A-Za-z\-]+)["']""", re.I
+)
+# Minimal entity set; fixture HTML never emits entities, kept for generality.
+_ENTITIES = [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+             ("&#39;", "'"), ("&nbsp;", " ")]
+
+
+def extract_text_py(html: bytes | str) -> str:
+    """Visible text of an HTML document (reference implementation).
+
+    Semantics: drop script/style subtrees, replace every tag with a space,
+    decode the minimal entity set, collapse all whitespace runs to a single
+    space, strip. Deterministic — the fixture generator uses this same
+    function to produce the ``text`` oracle column, so the vectorized UDF
+    below must (and does) reproduce it byte-identically.
+    """
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", "replace")
+    html = _SCRIPT_RE.sub(" ", html)
+    txt = _TAG_RE.sub(" ", html)
+    for k, v in _ENTITIES:
+        txt = txt.replace(k, v)
+    return _WS_RE.sub(" ", txt).strip()
+
+
+def _decode(html: pd.Series) -> pd.Series:
+    if html.dtype == object and len(html) and isinstance(html.iloc[0], (bytes, bytearray)):
+        return html.str.decode("utf-8", errors="replace")
+    return html.fillna("").astype(str)
+
+
+def _extract_text_batch(html: pd.Series) -> pd.Series:
+    s = _decode(html)
+    s = s.str.replace(_SCRIPT_RE, " ", regex=True)
+    s = s.str.replace(_TAG_RE, " ", regex=True)
+    for k, v in _ENTITIES:
+        s = s.str.replace(k, v, regex=False)
+    return s.str.replace(_WS_RE, " ", regex=True).str.strip()
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return _extract_text_batch(html)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_outlinks_udf(html: pd.Series) -> pd.Series:
+    """All href targets, document order — the frontier-expansion edge
+    (analog of iterdir, reference posix_backend.rs:113-149)."""
+    return _decode(html).str.findall(_HREF_RE)
+
+
+@F.pandas_udf(T.StringType())
+def extract_meta_lang_udf(html: pd.Series) -> pd.Series:
+    out = _decode(html).str.extract(_META_LANG_RE, expand=False)
+    return out.fillna("unknown").str.lower()
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data-pipeline ops) — pure column expressions so
+# they stay in whole-stage codegen AND are expressible 1:1 in the DuckDB
+# oracle SQL (__spark_entry__).
+# ---------------------------------------------------------------------------
+
+#: language marker stopwords for the n-gram/stopword lang-id heuristic.
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "nicht"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "que", "los"],
+}
+
+#: BPE-ish token pattern: letter runs, digit runs, single other non-space.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), F.lit(0)))
+
+
+def marker_count(text: Column, word: str) -> Column:
+    """Occurrences of ' word ' in ' text ' via the length-difference trick
+    (portable to any SQL engine — same non-overlapping replace semantics)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("int")
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Heuristic language id: argmax of marker-stopword counts, 'unknown'
+    when all are zero. Ties break by language code order (deterministic)."""
+    scores = [
+        (lang, sum([marker_count(text, w) for w in words], F.lit(0)))
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    best = None
+    best_score = None
+    for lang, score in scores:
+        if best is None:
+            best, best_score = F.lit(lang), score
+        else:
+            cond = score > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, score).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("unknown"))
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Length/stopword/alpha-ratio quality score in [0,1] (deterministic,
+    portable): 0.4*min(1, chars/500) + 0.4*min(1, stopwords/10) +
+    0.2*alpha_ratio."""
+    chars = F.length(text)
+    stop = sum(
+        [marker_count(text, w) for ws in LANG_MARKERS.values() for w in ws],
+        F.lit(0),
+    )
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    alpha_ratio = F.when(chars > 0, alpha / chars).otherwise(F.lit(0.0))
+    return F.round(
+        F.least(chars / F.lit(500.0), F.lit(1.0)) * 0.4
+        + F.least(stop / F.lit(10.0), F.lit(1.0)) * 0.4
+        + alpha_ratio * 0.2,
+        6,
+    )
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    whitespace tokens (set-hash; near-dup blocking key)."""
+    toks = F.array_sort(F.array_distinct(F.split(F.trim(text), r"\s+")))
+    return F.md5(F.array_join(toks, " "))

@@ -1,0 +1,195 @@
+"""RFC-3986 URL canonicalization + host extraction + 128-bit URL hashing.
+
+Reference parity: the reference canonicalizes discovered object names
+per storage backend — absolute POSIX paths, rebuilt ``s3://`` URLs, Swift
+SplitResult reconstruction (/root/reference/src/metadata_crawler/backends/
+posix.py:86-114, s3.py:113-141, swift.py:261-302) — and keys its entire
+upsert/seen semantics on that canonical name (api/stores/mongodb.py:244-249).
+Our analog is web-URL canonicalization; the canonical form keys the
+seen-set (128-bit hash) exactly like the reference's unique index.
+
+Three tiers, fastest first:
+
+1. ``canonicalize_expr``   — pure Spark column expressions for the subset of
+   transforms that are branch-free (lowercase scheme/host, strip fragment &
+   default port, sort query params, default path). Whole-stage-codegen'd;
+   used in oracle-checked queries and as a pre-pass.
+2. ``canonicalize_udf``    — Arrow-batched pandas UDF: vectorized fast-path
+   detection (regex mask over the whole batch); only the messy minority
+   (%-escapes, dot-segments, mixed case, ports) falls through to the
+   pure-Python reference canonicalizer.
+3. ``canon_url_py``        — the pure-Python reference implementation
+   (single URL). Source of truth for tests and fixture generation.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from urllib.parse import parse_qsl, quote, urlencode, urlsplit, urlunsplit
+
+DEFAULT_PORTS = {"http": 80, "https": 443, "ftp": 21, "ws": 80, "wss": 443}
+
+# Characters that stay literal in a canonical path (RFC 3986 pchar + "/").
+_PATH_SAFE = "/-._~!$&'()*+,;=:@"
+
+_PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+
+
+def _norm_pct_triplet(m: re.Match) -> str:
+    """RFC 3986 §6.2.2: decode %XX only for unreserved chars; uppercase the
+    hex of everything else (escaped reserved chars are semantically distinct
+    from their literals — %2F != /)."""
+    ch = chr(int(m.group(1), 16))
+    return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
+
+
+def _resolve_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments."""
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if len(out) > 1:
+                out.pop()
+            continue
+        out.append(seg)
+    # Preserve a trailing slash implied by a final "." / ".." segment.
+    if path.endswith(("/.", "/..")) and (not out or out[-1] != ""):
+        out.append("")
+    res = "/".join(out)
+    if not res.startswith("/"):
+        res = "/" + res
+    return res
+
+
+def canon_url_py(url: str) -> str:
+    """Canonicalize one URL (pure Python; the reference implementation).
+
+    lowercase scheme/host, strip default port + fragment, resolve dot
+    segments, normalize %-escapes (decode unreserved, re-encode the rest
+    uppercase), sort query parameters, default empty path to "/".
+    """
+    url = url.strip()
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return url
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").lower()
+    try:
+        port = parts.port
+    except ValueError:
+        port = None
+    userinfo = ""
+    if parts.username:
+        userinfo = parts.username
+        if parts.password:
+            userinfo += ":" + parts.password
+        userinfo += "@"
+    netloc = userinfo + host
+    if port is not None and port != DEFAULT_PORTS.get(scheme):
+        netloc = f"{netloc}:{port}"
+    path = parts.path or "/"
+    # escape raw disallowed chars (spaces, ...) leaving existing %XX intact,
+    # then normalize the %XX triplets themselves
+    path = quote(path, safe=_PATH_SAFE + "%")
+    path = _PCT_RE.sub(_norm_pct_triplet, path)
+    path = _resolve_dot_segments(path)
+    query = ""
+    if parts.query:
+        pairs = sorted(parse_qsl(parts.query, keep_blank_values=True))
+        query = urlencode(pairs)
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+# A URL that matches this is already canonical except possibly an empty path:
+# lowercase scheme + host, no userinfo/port, no %, ?, #, and no "." segments.
+_FAST_RE = (
+    r"[a-z][a-z0-9+.\-]*://[a-z0-9\-]+(\.[a-z0-9\-]+)*"
+    r"(/[A-Za-z0-9/\-_~!$&'()*+,;=@]*)?"
+)
+
+
+def _canon_batch(s: pd.Series) -> pd.Series:
+    """Vectorized canonicalization of one Arrow batch of URLs."""
+    s = s.fillna("")
+    fast = s.str.fullmatch(_FAST_RE) & ~s.str.contains(r"/\.\.?(?:/|$)", regex=True)
+    out = s.copy()
+    # Fast path needs at most one fix: an empty path ("scheme://host" -> ".../").
+    no_path = fast & s.str.match(r"[a-z][a-z0-9+.\-]*://[^/]+$")
+    out[no_path] = s[no_path] + "/"
+    slow = ~fast
+    if slow.any():
+        out[slow] = s[slow].map(canon_url_py)
+    return out
+
+
+@F.pandas_udf(T.StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    return _canon_batch(urls)
+
+
+def canonicalize_expr(url: Column) -> Column:
+    """Branch-free canonical transforms as pure column expressions.
+
+    Handles: strip fragment, lowercase scheme+host, strip :80/:443 default
+    port, sort query parameters, default empty path to "/". Does NOT handle
+    %-escapes or dot-segments (use ``canonicalize_udf`` for the full form).
+    Kept in Spark builtins so Catalyst codegens it and the DuckDB oracle can
+    express the identical transform (see __spark_entry__.q_url_canonicalize).
+    """
+    u = F.regexp_replace(url, r"#.*$", "")  # fragment
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))
+    # Strip the port only when it is the scheme default; keep others.
+    host = F.when(
+        ((scheme == "http") & hostport.endswith(":80"))
+        | ((scheme == "https") & hostport.endswith(":443")),
+        F.regexp_replace(hostport, r":\d+$", ""),
+    ).otherwise(hostport)
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", "")
+    path = F.regexp_extract(rest, r"^([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?([^#]*)", 1)
+    sorted_query = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_query)),
+    )
+
+
+def host_expr(url: Column) -> Column:
+    """Registered-host extraction (lowercased, port stripped) — builtin."""
+    return F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^@/]*@)?([^:/?#]*)", 1)
+    )
+
+
+def with_url_hash(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append the 128-bit URL key as two longs (url_hash_hi, url_hash_lo).
+
+    Spark's ``xxhash64`` folds each argument into the running hash, so
+    ``xxhash64(url)`` and ``xxhash64(url, lit(1))`` are two independent
+    64-bit digests of the same bytes — together the 128-bit key the
+    north rule asks for. JVM-side, codegen'd, zero Python.
+    """
+    return df.withColumn("url_hash_hi", F.xxhash64(F.col(url_col))).withColumn(
+        "url_hash_lo", F.xxhash64(F.col(url_col), F.lit(1))
+    )
+
+
+def shard_expr(hash_col: Column, n_shards: int) -> Column:
+    """Bloom shard id: pmod(hash, n_shards) — matches partitioning."""
+    return F.pmod(hash_col, F.lit(n_shards)).cast("int")

@@ -1,0 +1,86 @@
+"""Text extraction: the north-rule invariant — byte-identical extracted
+text per url vs the oracle ``text`` column — plus outlinks/lang/quality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from metadata_crawler_spark.functions.text import (
+    extract_meta_lang_udf,
+    extract_outlinks_udf,
+    extract_text_py,
+    extract_text_udf,
+    fingerprint_expr,
+    lang_id_expr,
+    quality_score_expr,
+    ws_token_count,
+)
+
+
+def test_extract_text_py_basics():
+    html = (
+        "<html><head><title>T</title><style>x{}</style></head>"
+        "<body><p>a  b</p><script>no()</script><a href='u'>c</a>"
+        "&amp;&lt;ok&gt;</body></html>"
+    )
+    assert extract_text_py(html) == "T a b c &<ok>"
+    assert extract_text_py(html.encode()) == "T a b c &<ok>"
+
+
+def test_byte_identical_extraction(spark, tables):
+    """UDF(html) == stored oracle text for EVERY fixture page (north rule)."""
+    mismatch = (
+        tables["pages"]
+        .select("url", "text", extract_text_udf("html").alias("got"))
+        .filter(F.col("got") != F.col("text"))
+        .count()
+    )
+    assert mismatch == 0
+
+
+def test_outlinks_and_meta_lang(spark, tables):
+    df = tables["pages"].select(
+        "lang",
+        extract_outlinks_udf("html").alias("links"),
+        extract_meta_lang_udf("html").alias("meta_lang"),
+    )
+    bad_lang = df.filter(F.col("meta_lang") != F.col("lang")).count()
+    assert bad_lang == 0
+    some_links = df.filter(F.size("links") > 0).count()
+    assert some_links > 0
+    # every extracted link is a fixture URL shape
+    one = df.filter(F.size("links") > 0).select(F.explode("links")).first()[0]
+    assert one.startswith(("http://", "https://"))
+
+
+def test_text_analysis_exprs(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog of war",),
+            ("der hund und die katze nicht",),
+            ("",),
+        ],
+        "text string",
+    )
+    rows = df.select(
+        lang_id_expr(F.col("text")).alias("lang"),
+        ws_token_count(F.col("text")).alias("ntok"),
+        quality_score_expr(F.col("text")).alias("q"),
+        fingerprint_expr(F.col("text")).alias("fp"),
+    ).collect()
+    assert rows[0].lang == "en"
+    assert rows[1].lang == "de"
+    assert rows[2].lang == "unknown"
+    assert rows[0].ntok == 7
+    assert rows[2].ntok == 0
+    assert 0.0 <= rows[0].q <= 1.0
+    assert len(rows[0].fp) == 32
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [("b a c",), ("c b a",), ("a b d",)], "text string"
+    )
+    fps = [r.fp for r in df.select(fingerprint_expr(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]

@@ -1,0 +1,120 @@
+"""URL canonicalization + hashing unit tests (golden cases + UDF parity).
+
+Mirrors the reference's parser unit tests (tests/test_utils.py:32-127 style:
+table of raw -> expected)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_crawler_spark.functions.urls import (
+    _canon_batch,
+    canon_url_py,
+    canonicalize_expr,
+    canonicalize_udf,
+    host_expr,
+    shard_expr,
+    with_url_hash,
+)
+
+GOLDEN = [
+    # already canonical — unchanged
+    ("https://example.com/a/b", "https://example.com/a/b"),
+    # empty path -> "/"
+    ("https://example.com", "https://example.com/"),
+    # scheme+host lowercased, path case preserved
+    ("HTTPS://Example.COM/Path/File", "https://example.com/Path/File"),
+    # default port stripped, non-default kept
+    ("http://example.com:80/x", "http://example.com/x"),
+    ("https://example.com:443/x", "https://example.com/x"),
+    ("https://example.com:8443/x", "https://example.com:8443/x"),
+    # fragment dropped
+    ("https://example.com/x#frag", "https://example.com/x"),
+    # dot segments resolved
+    ("https://example.com/a/./b/../c", "https://example.com/a/c"),
+    ("https://example.com/./x", "https://example.com/x"),
+    # query params sorted, blank values kept
+    ("https://example.com/x?b=2&a=1", "https://example.com/x?a=1&b=2"),
+    ("https://example.com/x?b=&a=1", "https://example.com/x?a=1&b="),
+    # percent-encoding: unreserved decoded, case preserved after decode
+    ("https://example.com/%61bc", "https://example.com/abc"),
+    ("https://example.com/a%2Fb", "https://example.com/a%2Fb"),
+    # whitespace trimmed
+    ("  https://example.com/x ", "https://example.com/x"),
+]
+
+
+@pytest.mark.parametrize("raw,expected", GOLDEN)
+def test_canon_url_py(raw, expected):
+    assert canon_url_py(raw) == expected
+
+
+def test_canon_idempotent():
+    for raw, _ in GOLDEN:
+        once = canon_url_py(raw)
+        assert canon_url_py(once) == once
+
+
+def test_canon_batch_matches_py():
+    raw = [r for r, _ in GOLDEN] * 7
+    out = _canon_batch(pd.Series(raw))
+    assert list(out) == [canon_url_py(r) for r in raw]
+
+
+def test_canonicalize_udf_on_fixture_pages(spark, tables):
+    """Every fixture URL canonicalizes (via the Spark UDF) to exactly what
+    the pure-Python reference produces."""
+    pdf = (
+        tables["pages"]
+        .select("url", canonicalize_udf("url").alias("canon"))
+        .toPandas()
+    )
+    expect = pdf["url"].map(canon_url_py)
+    assert (pdf["canon"] == expect).all()
+
+
+def test_canonicalize_expr_subset(spark):
+    """The builtin-expression tier agrees with the reference on its
+    declared subset (no %-escapes / dot segments)."""
+    raws = [
+        "HTTPS://Example.COM/Path?b=2&a=1#f",
+        "http://example.com:80/x",
+        "https://example.com",
+        "https://h1.example.org/a/b?z=9&y=8&x=7",
+    ]
+    df = spark.createDataFrame([(r,) for r in raws], "url string")
+    got = [r[0] for r in df.select(canonicalize_expr(F.col("url"))).collect()]
+    assert got == [canon_url_py(r) for r in raws]
+
+
+def test_host_expr(spark):
+    df = spark.createDataFrame(
+        [("https://User@Ex.COM:8443/p?q=1",), ("http://h2.example.net/x",)],
+        "url string",
+    )
+    assert [r[0] for r in df.select(host_expr(F.col("url"))).collect()] == [
+        "ex.com",
+        "h2.example.net",
+    ]
+
+
+def test_url_hash_128bit_and_shard(spark):
+    df = with_url_hash(
+        spark.createDataFrame([("a",), ("b",), ("a",)], "url string")
+    )
+    rows = df.collect()
+    # deterministic, equal urls -> equal 128-bit keys, different urls differ
+    assert (rows[0].url_hash_hi, rows[0].url_hash_lo) == (
+        rows[2].url_hash_hi,
+        rows[2].url_hash_lo,
+    )
+    assert (rows[0].url_hash_hi, rows[0].url_hash_lo) != (
+        rows[1].url_hash_hi,
+        rows[1].url_hash_lo,
+    )
+    # hi and lo are independent digests
+    assert rows[0].url_hash_hi != rows[0].url_hash_lo
+    shards = df.select(shard_expr(F.col("url_hash_hi"), 16).alias("s")).collect()
+    assert all(0 <= r.s < 16 for r in shards)
