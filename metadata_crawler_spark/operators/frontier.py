@@ -1,0 +1,176 @@
+"""Frontier scheduling: priority queue + politeness as DataFrame dataflow.
+
+Reference parity: the reference's scheduler is an asyncio work queue —
+64 scan workers over a bounded queue (/root/reference/src/metadata_crawler/
+data_collector.py:74-78,175-190), descent bounded at the version level
+(api/config.py:737-771), version dirs sorted DESCENDING so the newest is
+harvested first and doubly-indexed (data_collector.py:156-169), suffix/glob
+predicates gating both descent and emission (:203-215). There is no skew
+handling: one hot directory serializes on one worker.
+
+Spark redesign (north rule): the frontier is a table; one scheduling round
+is one declarative query —
+
+  valid-URL gate -> robots gate (broadcast join + builtin EXISTS predicate)
+  -> host-budget join (broadcast) -> per-host top-k (TWO-STAGE, salted, so
+  the Zipf hot host never lands in one task) -> politeness offsets computed
+  from rank*crawl_delay (schedule, don't sleep).
+
+Ordering is a pure function of the data — (depth ASC, score DESC, url ASC)
+— never of partition count or task order (SURVEY §7 hard part a); the
+url tie-break mirrors the reference's deterministic descending sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.urls import host_expr
+
+#: only http(s) URLs with a host are schedulable (reference analog: the
+#: suffix filter F1 gating emission, posix_backend.rs:226-233)
+VALID_URL_RE = r"^https?://[A-Za-z0-9\-._~%]+(:\d+)?(/.*)?$"
+
+def order_cols():
+    """The crawl order: a pure function of the data, with a total url
+    tie-break (reference analog: deterministic descending version sort)."""
+    return [F.col("depth").asc(), F.col("score").desc(), F.col("url").asc()]
+
+
+def valid_urls(frontier: DataFrame, url_col: str = "url") -> DataFrame:
+    return frontier.filter(F.col(url_col).rlike(VALID_URL_RE))
+
+
+def with_host(frontier: DataFrame, url_col: str = "url") -> DataFrame:
+    return frontier.withColumn("host", host_expr(F.col(url_col)))
+
+
+def path_expr(url_col):
+    return F.regexp_replace(url_col, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*", "")
+
+
+def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """Drop URLs matched by a disallow prefix; attach crawl_delay_ms.
+
+    robots is per-host and small relative to the frontier -> broadcast.
+    The prefix test is a builtin EXISTS over the disallow array (JVM-side,
+    no UDF). Hosts without robots rows pass with delay 0.
+    """
+    joined = frontier.join(F.broadcast(robots), "host", "left")
+    path = path_expr(F.col("url"))
+    disallowed = F.exists(
+        F.coalesce(F.col("disallow"), F.array()),
+        lambda d: path.startswith(d),
+    )
+    return (
+        joined.filter(~disallowed)
+        .withColumn("crawl_delay_ms", F.coalesce(F.col("crawl_delay_ms"), F.lit(0)))
+        .drop("disallow")
+    )
+
+
+def dedup_within_frontier(frontier: DataFrame) -> DataFrame:
+    """Collapse duplicate canonical URLs discovered in the same round to one
+    deterministic representative: min depth, then max score.
+    Aggregation (partial, map-side combined) instead of a window — at
+    10^10 rows a window would sort every partition; min/max structs don't.
+    """
+    best = F.min(F.struct("depth", F.col("score_neg"), "url")).alias("b")
+    return (
+        frontier.withColumn("score_neg", -F.col("score"))
+        .groupBy("url_hash_hi", "url_hash_lo")
+        .agg(best)
+        .select(
+            "url_hash_hi",
+            "url_hash_lo",
+            F.col("b.url").alias("url"),
+            F.col("b.depth").alias("depth"),
+            (-F.col("b.score_neg")).alias("score"),
+        )
+    )
+
+
+def per_host_topk(
+    frontier: DataFrame,
+    budget_col: str = "budget",
+    salt_parts: int = 8,
+) -> DataFrame:
+    """Per-host top-budget under (depth ASC, score DESC, url ASC), skew-safe.
+
+    TWO-STAGE top-k: stage 1 ranks within (host, salt) — the Zipf hot host
+    splits across ``salt_parts`` tasks — keeping at most ``budget`` rows per
+    salt; stage 2 ranks the surviving <= salt_parts*budget rows per host
+    exactly. Global top-budget is a subset of the union of per-salt
+    top-budgets, so the result is exact. Rank is returned as ``rank``
+    (1-based) — the politeness schedule derives from it.
+    """
+    salted = frontier.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("url"), F.lit(7)), F.lit(salt_parts))
+    )
+    w1 = Window.partitionBy("host", "_salt").orderBy(*order_cols())
+    pruned = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= F.col(budget_col))
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy("host").orderBy(*order_cols())
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= F.col(budget_col))
+    )
+
+
+def with_politeness_schedule(scheduled: DataFrame) -> DataFrame:
+    """Politeness without sleeping: the i-th URL of a host this round is
+    assigned fetch_offset_ms = (i-1) * crawl_delay_ms. A fetcher executes
+    its batch in rank order honoring offsets; the plan itself stays pure.
+    (Reference analog: bounded per-queue concurrency T1/T2 — it has no
+    per-host delay concept at all.)"""
+    return scheduled.withColumn(
+        "fetch_offset_ms", (F.col("rank") - 1).cast("long") * F.col("crawl_delay_ms")
+    )
+
+
+def schedule_round(
+    frontier: DataFrame,
+    hosts: DataFrame,
+    robots: DataFrame,
+    salt_parts: int = 8,
+    default_budget: int = 8,
+) -> DataFrame:
+    """One full scheduling round over an already-deduped frontier:
+    validity -> host -> robots -> budget -> skew-safe top-k -> politeness.
+
+    Returns columns: url, url_hash_hi/lo (if present), host, depth, score,
+    budget, crawl_delay_ms, rank, fetch_offset_ms.
+    """
+    f = with_host(valid_urls(frontier))
+    f = apply_robots(f, robots)
+    f = f.join(F.broadcast(hosts.select("host", "budget")), "host", "left")
+    f = f.withColumn("budget", F.coalesce(F.col("budget"), F.lit(default_budget)))
+    f = per_host_topk(f, "budget", salt_parts)
+    return with_politeness_schedule(f)
+
+
+def expand_outlinks(
+    fetched: DataFrame,
+    links_col: str = "links",
+    score_col: str = "score",
+    depth_col: str = "depth",
+) -> DataFrame:
+    """OPIC-style frontier expansion: a fetched page divides its score
+    among its outlinks; children enter at depth+1.
+
+    (Reference analog: _iter_content descending one directory level,
+    data_collector.py:192-230; the cash-splitting is ours, per north rule.)
+    """
+    n = F.size(F.col(links_col))
+    return (
+        fetched.filter(n > 0)
+        .select(
+            F.explode(F.col(links_col)).alias("url"),
+            (F.col(depth_col) + 1).alias("depth"),
+            (F.col(score_col) / n).alias("score"),
+        )
+    )

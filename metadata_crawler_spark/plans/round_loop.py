@@ -1,0 +1,298 @@
+"""The crawl round loop: micro-batch BFS rounds, checkpoint-resumable.
+
+Reference parity (the flagship ``add()`` lifecycle, /root/reference/src/
+metadata_crawler/run.py:305-518 + data_collector.py:232-273): discovery
+workers walk the tree and enqueue hits; consumer processes extract facets;
+a writer daemon upserts batches; the driver finalizes with a sweep and a
+catalogue descriptor. One asyncio recursion = our one round; its bounded
+queues = our shuffle boundaries; its unique-index upserts = our seen-set.
+
+One round here is ONE declarative DataFrame DAG:
+
+  frontier delta  --dedup (bloom + exact anti-join)-->  new URLs
+    --robots/budget joins + salted per-host top-k-->    scheduled
+    --join pages snapshot (broadcast the small side)--> fetchable
+    --mapInPandas fetch/extract (politeness enforced
+      inside the batch: rank*crawl_delay offsets)-->    fetched
+    --explode outlinks + OPIC split-->                  next frontier delta
+
+and the commit is: write round-scoped parquet for {scheduled, fetched,
+seen-delta, frontier-delta, bloom, metrics}, then atomically flip the
+manifest pointer (sources/tables.ManifestLog). Kill the process anywhere
+before the flip and the round never happened; re-running overwrites the
+same round-scoped paths — idempotent replay (SURVEY §7 hard part d).
+
+Scale notes (the 100 TB / 10^10-URL shape this is designed for):
+- the frontier delta is small relative to `pages`; Catalyst broadcasts it
+  into the fetch join so the pages table is never shuffled. On a real
+  cluster `pages` is an Iceberg table bucketed by bucket(url) and the join
+  is storage-partitioned instead.
+- dedup touches the exact seen table only for the Bloom "maybe" slice.
+- the per-host top-k is two-stage + salted; the hot host never serializes
+  one task (the reference's known weakness, SURVEY §4 "skew handling").
+- crawl ordering is a pure function of data (depth ASC, score DESC,
+  url ASC), never of partition count — verified by tests running the same
+  crawl at different parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import _decode, _extract_text_batch, _HREF_RE, _META_LANG_RE
+from ..functions.urls import canonicalize_udf, with_url_hash
+from ..operators.frontier import (
+    expand_outlinks,
+    schedule_round,
+    valid_urls,
+)
+from ..operators.seen import bloom_build, bloom_union, dedup_against_seen
+from ..operators.versioning import latest_per_key
+from ..sources.tables import ManifestLog, read_rounds, write_round_table
+
+
+@dataclass
+class CrawlConfig:
+    n_shards: int = 32
+    bloom_fpr: float = 0.01
+    bloom_expected_per_shard: int = 50_000
+    salt_parts: int = 8
+    default_budget: int = 8
+    #: combined-score rounding — floating sums across shuffles are not
+    #: bit-reproducible; 9 decimals makes ordering data-deterministic.
+    score_decimals: int = 9
+    broadcast_bloom: bool = True
+
+
+FETCH_SCHEMA = (
+    "url string, host string, depth int, score double, rank int, "
+    "crawl_delay_ms long, fetch_offset_ms long, url_hash_hi long, "
+    "url_hash_lo long, fetched boolean, warc_ts timestamp_ntz, "
+    "text string, lang string, links array<string>, planned_ms long"
+)
+
+
+def _fetch_batches(it):
+    """mapInPandas fetch/extract: politeness is enforced INSIDE the batch
+    (north rule) — rows execute in (host, rank) order with planned start
+    offsets rank*crawl_delay; no sleeping, the offset schedule and the
+    per-batch planned wall (max offset) are emitted as metrics. Extraction
+    is the same vectorized pandas pipeline the UDF tier uses, so ``text``
+    stays byte-identical per url."""
+    for pdf in it:
+        if pdf.empty:
+            continue
+        pdf = pdf.sort_values(["host", "rank", "url"], kind="mergesort").reset_index(
+            drop=True
+        )
+        has_html = pdf["html"].notna()
+        html = pdf["html"].where(has_html, b"")
+        text = _extract_text_batch(html)
+        dec = _decode(html)
+        links = dec.str.findall(_HREF_RE)
+        lang = dec.str.extract(_META_LANG_RE, expand=False).fillna("unknown").str.lower()
+        planned = (
+            pdf.groupby("host")["fetch_offset_ms"].transform("max").astype("int64")
+        )
+        out = pdf.drop(columns=["html"]).assign(
+            fetched=has_html,
+            text=text.where(has_html, None),
+            lang=lang.where(has_html, None),
+            links=links.where(has_html, None),
+            planned_ms=planned,
+        )
+        yield out
+
+
+def _combine_frontier(df: DataFrame, decimals: int) -> DataFrame:
+    """OPIC combine of duplicate discoveries: sum the cash, keep min depth,
+    deterministic url representative (all dups share the canonical url)."""
+    return (
+        df.groupBy("url_hash_hi", "url_hash_lo")
+        .agg(
+            F.min("url").alias("url"),
+            F.min("depth").alias("depth"),
+            F.round(F.sum("score"), decimals).alias("score"),
+        )
+    )
+
+
+@dataclass
+class Crawler:
+    spark: SparkSession
+    pages_path: str
+    robots: DataFrame
+    hosts: DataFrame
+    checkpoint_dir: str
+    config: CrawlConfig = field(default_factory=CrawlConfig)
+
+    def __post_init__(self):
+        self.log = ManifestLog(self.checkpoint_dir)
+        self._pages_snapshot: DataFrame | None = None
+
+    # -- inputs ------------------------------------------------------------
+    def pages_snapshot(self) -> DataFrame:
+        """Canonicalized, latest-per-url view of the pages table (the
+        reference's rank-0/latest semantics, data_collector.py:156-169).
+        Derived once per run; on a real cluster this is an Iceberg snapshot."""
+        if self._pages_snapshot is None:
+            raw = self.spark.read.parquet(self.pages_path)
+            canon = raw.withColumn("url_canon", canonicalize_udf("url"))
+            latest = latest_per_key(canon, "url_canon", "warc_ts", tiebreak="url")
+            self._pages_snapshot = latest.select(
+                F.col("url_canon").alias("page_url"), "warc_ts", "html"
+            )
+        return self._pages_snapshot
+
+    def _seed_frontier(self, seeds: DataFrame) -> DataFrame:
+        f = seeds.select(
+            canonicalize_udf("url").alias("url"),
+            F.col("depth").cast("int").alias("depth"),
+            F.col("priority").cast("double").alias("score"),
+        )
+        f = with_url_hash(valid_urls(f))
+        return _combine_frontier(f, self.config.score_decimals)
+
+    # -- state -------------------------------------------------------------
+    def _load_state(self, upto: int):
+        seen = read_rounds(self.spark, self.checkpoint_dir, "seen_delta", upto)
+        bloom_path = os.path.join(self.checkpoint_dir, f"round={upto:05d}", "bloom")
+        bloom = (
+            self.spark.read.parquet(bloom_path)
+            if os.path.exists(bloom_path)
+            else None
+        )
+        frontier_path = os.path.join(
+            self.checkpoint_dir, f"round={upto:05d}", "frontier_next"
+        )
+        frontier = (
+            self.spark.read.parquet(frontier_path)
+            if os.path.exists(frontier_path)
+            else None
+        )
+        return seen, bloom, frontier
+
+    # -- one round ---------------------------------------------------------
+    def run_round(
+        self,
+        round_no: int,
+        frontier: DataFrame,
+        seen: DataFrame | None,
+        bloom: DataFrame | None,
+    ) -> dict:
+        cfg = self.config
+        t0 = time.time()
+
+        new_urls = dedup_against_seen(
+            frontier, seen, bloom, cfg.n_shards, cfg.broadcast_bloom
+        )
+        scheduled = schedule_round(
+            new_urls, self.hosts, self.robots, cfg.salt_parts, cfg.default_budget
+        ).select(
+            "url", "host", "depth", "score", "rank", "crawl_delay_ms",
+            "fetch_offset_ms", "url_hash_hi", "url_hash_lo",
+        )
+        write_round_table(scheduled, self.checkpoint_dir, round_no, "scheduled")
+        scheduled = self.spark.read.parquet(
+            os.path.join(self.checkpoint_dir, f"round={round_no:05d}", "scheduled")
+        )
+
+        pages = self.pages_snapshot()
+        fetchable = scheduled.join(
+            pages, scheduled["url"] == pages["page_url"], "left"
+        ).drop("page_url")
+        fetched = fetchable.mapInPandas(_fetch_batches, FETCH_SCHEMA)
+        write_round_table(fetched, self.checkpoint_dir, round_no, "fetched")
+        fetched = self.spark.read.parquet(
+            os.path.join(self.checkpoint_dir, f"round={round_no:05d}", "fetched")
+        )
+
+        # seen delta: everything scheduled this round (attempted = seen)
+        seen_delta = scheduled.select("url_hash_hi", "url_hash_lo", "url").withColumn(
+            "seen_round", F.lit(round_no)
+        )
+        write_round_table(seen_delta, self.checkpoint_dir, round_no, "seen_delta")
+
+        # bloom evolution: OR-in this round's keys (append, never rebuild)
+        delta_bloom = bloom_build(
+            seen_delta,
+            cfg.n_shards,
+            cfg.bloom_fpr,
+            cfg.bloom_expected_per_shard,
+        )
+        new_bloom = bloom_union(bloom, delta_bloom) if bloom is not None else delta_bloom
+        bloom_out = os.path.join(
+            self.checkpoint_dir, f"round={round_no:05d}", "bloom"
+        )
+        new_bloom.write.mode("overwrite").parquet(bloom_out)
+
+        # next frontier: unscheduled carryover + OPIC-expanded outlinks
+        carryover = new_urls.join(
+            scheduled.select("url_hash_hi", "url_hash_lo"),
+            ["url_hash_hi", "url_hash_lo"],
+            "left_anti",
+        ).select("url", "depth", "score", "url_hash_hi", "url_hash_lo")
+        children = expand_outlinks(
+            fetched.filter(F.col("fetched")), "links", "score", "depth"
+        )
+        children = with_url_hash(
+            valid_urls(children.withColumn("url", canonicalize_udf("url")))
+        ).select("url", "depth", "score", "url_hash_hi", "url_hash_lo")
+        nxt = _combine_frontier(
+            carryover.unionByName(children), cfg.score_decimals
+        )
+        write_round_table(nxt, self.checkpoint_dir, round_no, "frontier_next")
+
+        # per-partition lineage metrics (north rule), committed with the round
+        metrics = (
+            fetched.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.count("*").alias("scheduled_n"),
+                F.sum(F.col("fetched").cast("int")).alias("fetched_n"),
+                F.max("planned_ms").alias("politeness_wall_ms"),
+            )
+            .withColumn("round", F.lit(round_no))
+        )
+        write_round_table(metrics, self.checkpoint_dir, round_no, "metrics")
+
+        counts = {
+            "round": round_no,
+            "frontier_in": frontier.count(),
+            "deduped": new_urls.count(),
+            "scheduled": scheduled.count(),
+            "fetched": fetched.filter(F.col("fetched")).count(),
+            "frontier_next": nxt.count(),
+            "wall_s": round(time.time() - t0, 3),
+        }
+        # THE commit point: manifest flip makes the round visible atomically
+        self.log.commit({"last_round": round_no, **{f"r{round_no}": counts}})
+        return counts
+
+    # -- the loop ----------------------------------------------------------
+    def run(self, seeds: DataFrame, rounds: int) -> list[dict]:
+        """Run/resume up to ``rounds`` rounds. Resume reads the manifest:
+        already-committed rounds are skipped entirely (their outputs are
+        the checkpoint)."""
+        state = self.log.read()
+        start = (state["last_round"] + 1) if state else 0
+        results: list[dict] = []
+        if start == 0:
+            frontier = self._seed_frontier(seeds)
+            seen, bloom = None, None
+        else:
+            seen, bloom, frontier = self._load_state(start - 1)
+            if frontier is None:
+                return results
+        for r in range(start, rounds):
+            if frontier.isEmpty():
+                break
+            counts = self.run_round(r, frontier, seen, bloom)
+            results.append(counts)
+            seen, bloom, frontier = self._load_state(r)
+        return results

@@ -1,0 +1,73 @@
+"""Table + atomic-manifest (checkpoint) layer.
+
+Reference parity: the catalogue — batched writes to latest/files stores,
+finalized by writing an intake-YAML descriptor with schema+counts
+(/root/reference/src/metadata_crawler/api/metadata_stores.py:447-477,
+api/stores/base.py:63-77) — and resumability via the crawl epoch.
+
+Spark realization: Iceberg would give us snapshots + MERGE + row-level
+deletes natively; the sandbox has no Iceberg jars, so the same contract is
+kept behind a thin layer (SURVEY §7.6): parquet directories written
+per-round plus ONE manifest JSON whose atomic rename is the commit point
+(os.replace). Replays are safe because every round's writes land under
+round-scoped paths and the manifest pointer flips last — an uncommitted
+round is invisible, an idempotent re-run overwrites the same paths
+(SURVEY §7 hard part d).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ManifestLog:
+    """Atomic JSON manifest: the commit pointer for the round loop."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self.path = os.path.join(root, "manifest.json")
+
+    def read(self) -> dict[str, Any] | None:
+        if not os.path.exists(self.path):
+            return None
+        with open(self.path) as fh:
+            return json.load(fh)
+
+    def commit(self, state: dict[str, Any]) -> None:
+        """Write-then-rename: readers see the old state or the new state,
+        never a torn one. This is the single commit point of a round."""
+        state = dict(state)
+        state["committed_at"] = time.time()
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh, indent=1, sort_keys=True)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self.path)
+
+
+def write_round_table(df: DataFrame, root: str, round_no: int, name: str) -> str:
+    """Round-scoped parquet write (overwrite => replay-idempotent)."""
+    path = os.path.join(root, f"round={round_no:05d}", name)
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def read_rounds(
+    spark: SparkSession, root: str, name: str, upto_round: int
+) -> DataFrame | None:
+    """Union of a table's committed per-round deltas (snapshot read)."""
+    paths = [
+        os.path.join(root, f"round={r:05d}", name)
+        for r in range(upto_round + 1)
+        if os.path.exists(os.path.join(root, f"round={r:05d}", name))
+    ]
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)

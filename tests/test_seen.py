@@ -1,0 +1,83 @@
+"""Seen-set tests: Bloom property tests (zero false negatives, bounded FPR),
+union evolution, cogrouped vs broadcast probe parity, tiered dedup equals
+plain anti-join (the reference's unique-index upsert semantics)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from metadata_crawler_spark.functions.urls import with_url_hash
+from metadata_crawler_spark.operators.seen import (
+    bloom_build,
+    bloom_params,
+    bloom_union,
+    dedup_against_seen,
+    probe_cogrouped,
+    probe_with_broadcast,
+)
+
+N_SHARDS = 8
+
+
+@pytest.fixture(scope="module")
+def keys(spark):
+    df = spark.range(0, 4000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 97), F.lit(".example.com/p/"), "id").alias("url")
+    )
+    return with_url_hash(df).cache()
+
+
+def test_bloom_params_sane():
+    m, k = bloom_params(1000, 0.01)
+    assert m % 8 == 0 and m > 9000
+    assert 1 <= k <= 16
+
+
+def test_zero_false_negatives_and_fpr(spark, keys):
+    inserted = keys.filter(F.col("url_hash_hi") % 2 == 0)
+    absent = keys.filter(F.col("url_hash_hi") % 2 != 0)
+    bloom = bloom_build(inserted, N_SHARDS, fpr=0.01).cache()
+    probed_in = probe_with_broadcast(inserted, bloom)
+    assert probed_in.filter(~F.col("maybe_seen")).count() == 0  # no false negatives
+    fp = probe_with_broadcast(absent, bloom).filter(F.col("maybe_seen")).count()
+    fpr = fp / max(1, absent.count())
+    assert fpr < 0.05  # target 0.01, generous bound
+
+
+def test_cogrouped_probe_matches_broadcast(spark, keys):
+    inserted = keys.limit(1500)
+    bloom = bloom_build(inserted, N_SHARDS, fpr=0.01).cache()
+    a = probe_with_broadcast(keys, bloom).select("url", "maybe_seen")
+    b = probe_cogrouped(keys, bloom, N_SHARDS).select("url", "maybe_seen")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_bloom_union_is_or(spark, keys):
+    first = keys.filter(F.col("url_hash_lo") % 3 == 0)
+    second = keys.filter(F.col("url_hash_lo") % 3 == 1)
+    m_exp = 2 * 4000 // N_SHARDS
+    b1 = bloom_build(first, N_SHARDS, 0.01, expected_per_shard=m_exp)
+    b2 = bloom_build(second, N_SHARDS, 0.01, expected_per_shard=m_exp)
+    merged = bloom_union(b1, b2).cache()
+    both = first.unionByName(second)
+    missed = probe_with_broadcast(both, merged).filter(~F.col("maybe_seen")).count()
+    assert missed == 0
+
+
+def test_dedup_tiers_equal_plain_antijoin(spark, keys):
+    seen = keys.filter(F.col("url_hash_hi") % 5 == 0).select(
+        "url_hash_hi", "url_hash_lo"
+    )
+    bloom = bloom_build(seen, N_SHARDS, 0.01)
+    tiered = dedup_against_seen(keys, seen, bloom, N_SHARDS).select("url")
+    plain = dedup_against_seen(keys, seen, None).select("url")
+    assert tiered.exceptAll(plain).count() == 0
+    assert plain.exceptAll(tiered).count() == 0
+
+
+def test_empty_bloom_everything_new(spark, keys):
+    sample = keys.limit(100)
+    empty_bloom = bloom_build(sample.limit(0), N_SHARDS, 0.01, expected_per_shard=64)
+    out = dedup_against_seen(sample, None, empty_bloom, N_SHARDS)
+    assert out.count() == 100
