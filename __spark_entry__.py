@@ -1,38 +1,813 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship frontier-scheduling round at sf0.001.
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2 (+ the training-data-pipeline ops); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL. Column names/aliases match exactly on both sides;
+monetary/aggregate floats are cast to DECIMAL so value hashes are
+order- and engine-independent; timestamps are emitted as epoch millis.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _pkg():
+    """Import the engine package relative to this file, regardless of CWD."""
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    if here not in sys.path:
+        sys.path.insert(0, here)
+    import metadata_crawler_spark  # noqa: F401
+    from metadata_crawler_spark import session as mcs_session
+
+    return mcs_session
+
+
+def _prep(spark: SparkSession) -> SparkSession:
+    """Re-assert runtime confs + ship the package to workers (the grading
+    harness owns the session; see session.tune/ship_package)."""
+    return _pkg().tune(spark)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# q01 flagship — one frontier-scheduling round (SURVEY §2.3 D3/J3, §2.4 O2,
+# §2.2 F1): synthesize a deterministic URL frontier from `documents`,
+# drop robots-denied hosts, anti-join the seen set, per-host top-k under
+# (depth ASC, score DESC, url ASC) with per-host budgets.
+# ---------------------------------------------------------------------------
+
+def q01_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from metadata_crawler_spark.operators.frontier import per_host_topk
+
+    d = _t(spark, sf_dir, "documents")
+    f = d.select(
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 97).cast("string"),
+            F.lit(".example.com/"), F.col("source"), F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (F.col("doc_id") % 97).alias("hostnum"),
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 97).cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        (F.col("doc_id") % 4).cast("int").alias("depth"),
+        (((F.col("doc_id") * 2654435761) % 1000) / 1000.0).alias("score"),
+        F.col("doc_id"),
+    )
+    # robots: hosts with hostnum % 11 == 0 deny everything
+    f = f.filter(F.col("hostnum") % 11 != 0)
+    # seen set: every doc_id % 7 == 0 was already crawled -> anti join
+    seen = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 97).cast("string"),
+            F.lit(".example.com/"), F.col("source"), F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    f = f.join(seen, "url", "left_anti")
+    # per-host budget from hostnum
+    f = f.withColumn(
+        "budget",
+        F.when(F.col("hostnum") % 3 == 0, 2)
+        .when(F.col("hostnum") % 3 == 1, 8)
+        .otherwise(32),
+    )
+    out = per_host_topk(f, "budget", salt_parts=4)
+    return out.select(
+        "url", "host", F.col("depth").cast("long").alias("depth"),
+        F.round("score", 6).alias("score"), F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_Q01_SQL = """
+WITH f AS (
+  SELECT 'https://h' || (doc_id % 97) || '.example.com/' || source || '/' || doc_id AS url,
+         (doc_id % 97) AS hostnum,
+         'h' || (doc_id % 97) || '.example.com' AS host,
+         (doc_id % 4) AS depth,
+         ((doc_id * 2654435761) % 1000) / 1000.0 AS score,
+         doc_id
+  FROM documents
+), gated AS (
+  SELECT * FROM f
+  WHERE hostnum % 11 <> 0
+    AND url NOT IN (
+      SELECT 'https://h' || (doc_id % 97) || '.example.com/' || source || '/' || doc_id
+      FROM documents WHERE doc_id % 7 = 0)
+), budgeted AS (
+  SELECT *, CASE WHEN hostnum % 3 = 0 THEN 2
+                 WHEN hostnum % 3 = 1 THEN 8 ELSE 32 END AS budget,
+         ROW_NUMBER() OVER (PARTITION BY host
+                            ORDER BY depth ASC, score DESC, url ASC) AS rank
+  FROM gated
+)
+SELECT url, host, depth, ROUND(score, 6) AS score, rank
+FROM budgeted WHERE rank <= budget
+"""
+
+
+# ---------------------------------------------------------------------------
+# q02 — URL canonicalization, builtin-expression tier (SURVEY §2.5 P14).
+# Oracle constructs the expected canonical form directly (ground truth).
+# ---------------------------------------------------------------------------
+
+def q02_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from metadata_crawler_spark.functions.urls import canonicalize_expr
+
+    d = _t(spark, sf_dir, "documents")
+    messy = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("HTTP://H"), (F.col("doc_id") % 50).cast("string"),
+                     F.lit(".EXAMPLE.COM:80/"), F.col("source"),
+                     F.lit("?b=2&a="), (F.col("doc_id") % 7).cast("string"),
+                     F.lit("#x")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("https://h"), (F.col("doc_id") % 50).cast("string"),
+                     F.lit(".example.com")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("HTTPS://h"), (F.col("doc_id") % 50).cast("string"),
+                     F.lit(".Example.com:443/"), F.col("source"), F.lit("/"),
+                     F.col("lang")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://h"), (F.col("doc_id") % 50).cast("string"),
+                     F.lit(".example.com/"), F.col("lang"),
+                     F.lit("?z=9&y=8&x="), (F.col("doc_id") % 5).cast("string")),
+        )
+        .alias("raw_url"),
+    )
+    return messy.select(
+        "doc_id", "raw_url", canonicalize_expr(F.col("raw_url")).alias("canon_url")
+    )
+
+
+_Q02_SQL = """
+SELECT doc_id,
+  CASE
+    WHEN doc_id % 4 = 0 THEN 'HTTP://H' || (doc_id % 50) || '.EXAMPLE.COM:80/' || source || '?b=2&a=' || (doc_id % 7) || '#x'
+    WHEN doc_id % 4 = 1 THEN 'https://h' || (doc_id % 50) || '.example.com'
+    WHEN doc_id % 4 = 2 THEN 'HTTPS://h' || (doc_id % 50) || '.Example.com:443/' || source || '/' || lang
+    ELSE 'https://h' || (doc_id % 50) || '.example.com/' || lang || '?z=9&y=8&x=' || (doc_id % 5)
+  END AS raw_url,
+  CASE
+    WHEN doc_id % 4 = 0 THEN 'http://h' || (doc_id % 50) || '.example.com/' || source || '?a=' || (doc_id % 7) || '&b=2'
+    WHEN doc_id % 4 = 1 THEN 'https://h' || (doc_id % 50) || '.example.com/'
+    WHEN doc_id % 4 = 2 THEN 'https://h' || (doc_id % 50) || '.example.com/' || source || '/' || lang
+    ELSE 'https://h' || (doc_id % 50) || '.example.com/' || lang || '?x=' || (doc_id % 5) || '&y=8&z=9'
+  END AS canon_url
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# q03 — exact dedup (hash-groupBy; SURVEY §2.3 D1). Corpus = documents plus
+# a shifted duplicate of every 3rd doc; representative = min id per content
+# hash (deterministic), exactly the unique-index upsert semantics.
+# ---------------------------------------------------------------------------
+
+def q03_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(dups)
+    return (
+        corpus.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("rep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+_Q03_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+)
+SELECT md5(text) AS content_hash, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+FROM corpus GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q04 — latest-vs-all versioning (SURVEY §2.4 O1): newest event per user.
+# ---------------------------------------------------------------------------
+
+def q04_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from metadata_crawler_spark.operators.versioning import latest_per_key
+
+    e = _t(spark, sf_dir, "events")
+    latest = latest_per_key(e, "user_id", "ts", tiebreak="event_id")
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("latest_event_id"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("latest_ts_ms"),
+        "event_type",
+    )
+
+
+_Q04_SQL = """
+SELECT user_id, event_id AS latest_event_id, epoch_ms(ts) AS latest_ts_ms, event_type
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id ASC) rn FROM events)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q05 — seen-set anti-join (SURVEY §2.7 J3): orders whose customer is NOT in
+# the "seen" set (negative balance), counted per priority.
+# ---------------------------------------------------------------------------
+
+def q05_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    seen = c.filter(F.col("c_acctbal") < 0).select(F.col("c_custkey"))
+    new = o.join(seen, o["o_custkey"] == seen["c_custkey"], "left_anti")
+    return new.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("decimal(18,2)").alias("total_price"),
+    )
+
+
+_Q05_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,2)) AS total_price
+FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# q06 — broadcast lookup join (SURVEY §2.7 J1, the CMOR-table analog):
+# revenue per brand via lineitem x broadcast(part).
+# ---------------------------------------------------------------------------
+
+def q06_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "inner")
+    return j.groupBy("p_brand").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+        ).cast("decimal(18,4)").alias("revenue"),
+    )
+
+
+_Q06_SQL = """
+SELECT p_brand, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# q07 — epoch-watermark stale sweep (SURVEY §2.3 D4): keep events within the
+# 30-day grace window of the max timestamp; count survivors per type.
+# ---------------------------------------------------------------------------
+
+def q07_stale_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    e = _t(spark, sf_dir, "events")
+    wm = e.select(
+        (F.max(F.col("ts").cast("timestamp")) - F.expr("INTERVAL 30 DAYS")).alias("wm")
+    )
+    kept = e.join(F.broadcast(wm)).filter(F.col("ts").cast("timestamp") >= F.col("wm"))
+    return kept.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"),
+        F.min(F.unix_millis(F.col("ts").cast("timestamp"))).alias("min_ts_ms"),
+    )
+
+
+_Q07_SQL = """
+SELECT event_type, COUNT(*) AS n_kept, MIN(epoch_ms(ts)) AS min_ts_ms
+FROM events
+WHERE ts >= (SELECT MAX(ts) - INTERVAL 30 DAY FROM events)
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q08 — version ranking (SURVEY §2.4 O1, descending version sort): rank each
+# order's lines newest-shipdate-first; rank 0 feeds the `latest` index.
+# ---------------------------------------------------------------------------
+
+def q08_version_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    # tiebreak linenumber: make the ordering total
+    ranked = li.withColumn(
+        "version_rank",
+        F.row_number().over(
+            W.partitionBy("l_orderkey").orderBy(
+                F.col("l_shipdate").desc(), F.col("l_linenumber").asc()
+            )
+        )
+        - 1,
+    )
+    return ranked.select(
+        "l_orderkey", "l_linenumber",
+        F.col("version_rank").cast("long").alias("version_rank"),
+        (F.col("version_rank") == 0).alias("is_latest"),
+    )
+
+
+_Q08_SQL = """
+SELECT l_orderkey, l_linenumber,
+       (ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                           ORDER BY l_shipdate DESC, l_linenumber ASC) - 1)
+         AS version_rank,
+       (ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                           ORDER BY l_shipdate DESC, l_linenumber ASC) - 1) = 0
+         AS is_latest
+FROM lineitem WHERE l_orderkey < 500
+"""
+
+
+# ---------------------------------------------------------------------------
+# q09 — path-spec parse (SURVEY §2.5 P1/P3): split a synthesized path into
+# facet components + extension pseudo-facet.
+# ---------------------------------------------------------------------------
+
+def q09_path_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    path = F.concat(
+        F.lit("/data/"), F.col("source"), F.lit("/"), F.col("lang"), F.lit("/doc_"),
+        F.col("doc_id").cast("string"), F.lit(".html"),
+    )
+    parts = F.split(path, "/")
+    fname = F.element_at(parts, -1)
+    return d.select(
+        "doc_id",
+        path.alias("path"),
+        F.element_at(parts, 3).alias("facet_source"),
+        F.element_at(parts, 4).alias("facet_lang"),
+        F.element_at(F.split(fname, r"\."), 1).alias("facet_stem"),
+        F.element_at(F.split(fname, r"\."), -1).alias("facet_fmt"),
+    )
+
+
+_Q09_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         '/data/' || source || '/' || lang || '/doc_' || doc_id || '.html' AS path
+  FROM documents
+)
+SELECT doc_id, path,
+       string_split(path, '/')[3] AS facet_source,
+       string_split(path, '/')[4] AS facet_lang,
+       string_split(string_split(path, '/')[-1], '.')[1] AS facet_stem,
+       string_split(string_split(path, '/')[-1], '.')[-1] AS facet_fmt
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# q10 — heuristic timestamp coercion (SURVEY §2.5 P4): digit-count parser
+# over mixed-granularity strings, the reference's convert_str_to_timestamp.
+# ---------------------------------------------------------------------------
+
+def q10_timestamp_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    e = _t(spark, sf_dir, "events").limit(5000)
+    ts = F.col("ts").cast("timestamp")
+    raw = (
+        F.when(F.col("event_id") % 3 == 0, F.date_format(ts, "yyyyMMdd"))
+        .when(F.col("event_id") % 3 == 1, F.date_format(ts, "yyyyMM"))
+        .otherwise(F.date_format(ts, "yyyyMMddHHmm"))
+    )
+    d = e.select("event_id", raw.alias("raw_ts"))
+    n = F.length("raw_ts")
+    parsed = (
+        F.when(n == 6, F.to_timestamp(F.col("raw_ts"), "yyyyMM"))
+        .when(n == 8, F.to_timestamp(F.col("raw_ts"), "yyyyMMdd"))
+        .when(n == 12, F.to_timestamp(F.col("raw_ts"), "yyyyMMddHHmm"))
+    )
+    return d.select("event_id", "raw_ts", F.unix_millis(parsed).alias("parsed_ms"))
+
+
+_Q10_SQL = """
+WITH d AS (
+  SELECT event_id,
+    CASE WHEN event_id % 3 = 0 THEN strftime(ts, '%Y%m%d')
+         WHEN event_id % 3 = 1 THEN strftime(ts, '%Y%m')
+         ELSE strftime(ts, '%Y%m%d%H%M') END AS raw_ts
+  FROM (SELECT * FROM events LIMIT 5000)
+)
+SELECT event_id, raw_ts,
+  epoch_ms(CASE WHEN length(raw_ts) = 6 THEN strptime(raw_ts, '%Y%m')
+                WHEN length(raw_ts) = 8 THEN strptime(raw_ts, '%Y%m%d')
+                WHEN length(raw_ts) = 12 THEN strptime(raw_ts, '%Y%m%d%H%M')
+           END) AS parsed_ms
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# q11 — daterange construction (SURVEY §2.5 P5): "YYYYMMDD-YYYYMMDD" with
+# open-bound sentinels (0001-01-01 / 9999-12-31).
+# ---------------------------------------------------------------------------
+
+def q11_daterange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    e = _t(spark, sf_dir, "events").limit(5000)
+    ts = F.col("ts").cast("timestamp")
+    raw = (
+        F.when(F.col("event_id") % 5 == 0,
+               F.concat(F.lit("-"), F.date_format(ts, "yyyyMMdd")))
+        .when(F.col("event_id") % 5 == 1,
+              F.concat(F.date_format(ts, "yyyyMMdd"), F.lit("-")))
+        .otherwise(F.concat(F.date_format(ts, "yyyyMMdd"), F.lit("-"),
+                            F.date_format(F.date_add(F.to_date(ts), 30), "yyyyMMdd")))
+    )
+    d = e.select("event_id", raw.alias("raw_range"))
+    lo = F.element_at(F.split("raw_range", "-"), 1)
+    hi = F.element_at(F.split("raw_range", "-"), 2)
+    start = F.when(lo == "", F.to_timestamp(F.lit("0001-01-01"))).otherwise(
+        F.to_timestamp(lo, "yyyyMMdd")
+    )
+    end = F.when(hi == "", F.to_timestamp(F.lit("9999-12-31"))).otherwise(
+        F.to_timestamp(hi, "yyyyMMdd")
+    )
+    return d.select(
+        "event_id", "raw_range",
+        F.date_format(start, "yyyy-MM-dd").alias("range_start"),
+        F.date_format(end, "yyyy-MM-dd").alias("range_end"),
+    )
+
+
+_Q11_SQL = """
+WITH d AS (
+  SELECT event_id,
+    CASE WHEN event_id % 5 = 0 THEN '-' || strftime(ts, '%Y%m%d')
+         WHEN event_id % 5 = 1 THEN strftime(ts, '%Y%m%d') || '-'
+         ELSE strftime(ts, '%Y%m%d') || '-' || strftime(CAST(ts AS DATE) + 30, '%Y%m%d')
+    END AS raw_range
+  FROM (SELECT * FROM events LIMIT 5000)
+)
+SELECT event_id, raw_range,
+  CASE WHEN string_split(raw_range, '-')[1] = '' THEN '0001-01-01'
+       ELSE strftime(strptime(string_split(raw_range, '-')[1], '%Y%m%d'), '%Y-%m-%d')
+  END AS range_start,
+  CASE WHEN string_split(raw_range, '-')[2] = '' THEN '9999-12-31'
+       ELSE strftime(strptime(string_split(raw_range, '-')[2], '%Y%m%d'), '%Y-%m-%d')
+  END AS range_end
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# q12 — time-frequency inference (SURVEY §2.5 P9): bucket each user's mean
+# inter-event gap into the reference's CMOR-frequency ladder.
+# ---------------------------------------------------------------------------
+
+def q12_freq_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    gaps = e.withColumn("gap_ms", ms - F.lag(ms).over(w)).filter(
+        F.col("gap_ms").isNotNull()
+    )
+    per_user = gaps.groupBy("user_id").agg(
+        F.sum("gap_ms").alias("tot"), F.count("*").alias("n")
+    ).select("user_id", (F.col("tot") / F.col("n")).alias("avg_gap_ms"))
+    freq = (
+        F.when(F.col("avg_gap_ms") < 3600_000, "subhr")
+        .when(F.col("avg_gap_ms") < 3 * 3600_000, "1hr")
+        .when(F.col("avg_gap_ms") < 6 * 3600_000, "3hr")
+        .when(F.col("avg_gap_ms") < 86400_000, "6hr")
+        .when(F.col("avg_gap_ms") < 7 * 86400_000, "day")
+        .otherwise("lowfreq")
+    )
+    return per_user.select("user_id", freq.alias("time_frequency")).groupBy(
+        "time_frequency"
+    ).agg(F.count("*").alias("n_users"))
+
+
+_Q12_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY ts ASC, event_id ASC) AS gap_ms
+  FROM events
+), per_user AS (
+  SELECT user_id, SUM(gap_ms) * 1.0 / COUNT(*) AS avg_gap_ms
+  FROM gaps WHERE gap_ms IS NOT NULL GROUP BY user_id
+)
+SELECT CASE WHEN avg_gap_ms < 3600000 THEN 'subhr'
+            WHEN avg_gap_ms < 10800000 THEN '1hr'
+            WHEN avg_gap_ms < 21600000 THEN '3hr'
+            WHEN avg_gap_ms < 86400000 THEN '6hr'
+            WHEN avg_gap_ms < 604800000 THEN 'day'
+            ELSE 'lowfreq' END AS time_frequency,
+       COUNT(*) AS n_users
+FROM per_user GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q13 — counters / metrics (SURVEY §2.6 A1-A4): per-type counts, distinct
+# users, value sums — the crawl's throughput accounting shape.
+# ---------------------------------------------------------------------------
+
+def q13_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(18,2)").alias("total_value"),
+    )
+
+
+_Q13_SQL = """
+SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,2)) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q14 — union of crawl sources (SURVEY §2.8 U1): two overlapping seed sets
+# unioned + deduped, counted per host.
+# ---------------------------------------------------------------------------
+
+def q14_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 23).cast("string"),
+                   F.lit(".example.org/"), F.col("doc_id").cast("string"))
+    a = d.filter(F.col("doc_id") % 2 == 0).select(url.alias("url"))
+    b = d.filter(F.col("doc_id") % 3 == 0).select(url.alias("url"))
+    u = a.unionByName(b).distinct()
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    return u.groupBy(host.alias("host")).agg(F.count("*").alias("n_urls"))
+
+
+_Q14_SQL = """
+WITH u AS (
+  SELECT DISTINCT url FROM (
+    SELECT 'https://h' || (doc_id % 23) || '.example.org/' || doc_id AS url
+    FROM documents WHERE doc_id % 2 = 0
+    UNION
+    SELECT 'https://h' || (doc_id % 23) || '.example.org/' || doc_id AS url
+    FROM documents WHERE doc_id % 3 = 0)
+)
+SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host, COUNT(*) AS n_urls
+FROM u GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q15 — facet translate / defaults chain (SURVEY §2.5 P2): coalesce raw ->
+# default, wrap pseudo-facets.
+# ---------------------------------------------------------------------------
+
+def q15_facet_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.coalesce(F.nullif(F.col("lang"), F.lit("")), F.lit("unknown")).alias("facet_lang"),
+        F.coalesce(F.nullif(F.col("source"), F.lit("")), F.lit("default_src")).alias("facet_source"),
+        F.lit("web").alias("facet_storage"),
+        F.when(F.col("n_chars") > 0, F.col("n_chars")).otherwise(F.lit(-1)).alias("facet_size"),
+    )
+
+
+_Q15_SQL = """
+SELECT doc_id,
+       COALESCE(NULLIF(lang, ''), 'unknown') AS facet_lang,
+       COALESCE(NULLIF(source, ''), 'default_src') AS facet_source,
+       'web' AS facet_storage,
+       CASE WHEN n_chars > 0 THEN n_chars ELSE -1 END AS facet_size
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# q16-q19 — text analysis suite (training-data pipeline ops).
+# ---------------------------------------------------------------------------
+
+def q16_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from metadata_crawler_spark.functions.text import TOKEN_PATTERN, ws_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ws_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), F.lit(0)))
+        .cast("long").alias("bpe_ish_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+_Q16_SQL = r"""
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE length(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
+       length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+         AS bpe_ish_tokens,
+       length(text) AS n_chars_actual
+FROM documents
+"""
+
+
+def q17_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from metadata_crawler_spark.functions.text import quality_score_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score_expr(F.col("text")).alias("quality"))
+
+
+def _marker_sql(word: str) -> str:
+    pad = f"' ' || text || ' '"
+    needle = f" {word} "
+    return (
+        f"CAST((length({pad}) - length(replace({pad}, '{needle}', ''))) / {len(needle)} AS INT)"
+    )
+
+
+_ALL_MARKERS = ["the", "and", "of", "der", "und", "nicht", "le", "et", "les",
+                "el", "que", "los"]
+
+_Q17_SQL = f"""
+SELECT doc_id,
+  ROUND(
+    LEAST(length(text) / 500.0, 1.0) * 0.4
+    + LEAST(({' + '.join(_marker_sql(w) for w in _ALL_MARKERS)}) / 10.0, 1.0) * 0.4
+    + (CASE WHEN length(text) > 0
+            THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
+            ELSE 0.0 END) * 0.2,
+  6) AS quality
+FROM documents
+"""
+
+
+def q18_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from metadata_crawler_spark.functions.text import lang_id_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(lang_id_expr(F.col("text")).alias("pred_lang")).groupBy(
+        "pred_lang"
+    ).agg(F.count("*").alias("n_docs"))
+
+
+def _lang_score_sql(words: list[str]) -> str:
+    return " + ".join(_marker_sql(w) for w in words)
+
+
+_Q18_SQL = f"""
+WITH scores AS (
+  SELECT ({_lang_score_sql(['der','und','nicht'])}) AS s_de,
+         ({_lang_score_sql(['the','and','of'])}) AS s_en,
+         ({_lang_score_sql(['el','que','los'])}) AS s_es,
+         ({_lang_score_sql(['le','et','les'])}) AS s_fr
+  FROM documents
+), pred AS (
+  SELECT CASE
+    WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'unknown'
+    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+    WHEN s_es >= s_fr THEN 'es'
+    ELSE 'fr' END AS pred_lang
+  FROM scores
+)
+SELECT pred_lang, COUNT(*) AS n_docs FROM pred GROUP BY pred_lang
+"""
+
+
+def q19_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from metadata_crawler_spark.functions.text import fingerprint_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_expr(F.col("text")).alias("fingerprint"))
+
+
+_Q19_SQL = r"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' '))
+         AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# q20 — JSON facet extraction (SURVEY §2.5 P15): pull the typed field out of
+# the free-form props dict.
+# ---------------------------------------------------------------------------
+
+def q20_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.max(k).alias("max_k")
+    )
+
+
+_Q20_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_frontier_schedule": q01_frontier_schedule,
+    "q02_url_canonicalize": q02_url_canonicalize,
+    "q03_dedup_exact": q03_dedup_exact,
+    "q04_latest_version": q04_latest_version,
+    "q05_seen_antijoin": q05_seen_antijoin,
+    "q06_lookup_join": q06_lookup_join,
+    "q07_stale_sweep": q07_stale_sweep,
+    "q08_version_rank": q08_version_rank,
+    "q09_path_parse": q09_path_parse,
+    "q10_timestamp_coerce": q10_timestamp_coerce,
+    "q11_daterange": q11_daterange,
+    "q12_freq_infer": q12_freq_infer,
+    "q13_counters": q13_counters,
+    "q14_union_sources": q14_union_sources,
+    "q15_facet_translate": q15_facet_translate,
+    "q16_token_count": q16_token_count,
+    "q17_quality_score": q17_quality_score,
+    "q18_lang_id": q18_lang_id,
+    "q19_fingerprint": q19_fingerprint,
+    "q20_json_extract": q20_json_extract,
+}
+
+_ORACLES: dict[str, str] = {
+    "q01_frontier_schedule": _Q01_SQL,
+    "q02_url_canonicalize": _Q02_SQL,
+    "q03_dedup_exact": _Q03_SQL,
+    "q04_latest_version": _Q04_SQL,
+    "q05_seen_antijoin": _Q05_SQL,
+    "q06_lookup_join": _Q06_SQL,
+    "q07_stale_sweep": _Q07_SQL,
+    "q08_version_rank": _Q08_SQL,
+    "q09_path_parse": _Q09_SQL,
+    "q10_timestamp_coerce": _Q10_SQL,
+    "q11_daterange": _Q11_SQL,
+    "q12_freq_infer": _Q12_SQL,
+    "q13_counters": _Q13_SQL,
+    "q14_union_sources": _Q14_SQL,
+    "q15_facet_translate": _Q15_SQL,
+    "q16_token_count": _Q16_SQL,
+    "q17_quality_score": _Q17_SQL,
+    "q18_lang_id": _Q18_SQL,
+    "q19_fingerprint": _Q19_SQL,
+    "q20_json_extract": _Q20_SQL,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one frontier-scheduling round at sf0.001."""
+    return q01_frontier_schedule(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)
