@@ -145,9 +145,12 @@ class Crawler:
             raw = self.spark.read.parquet(self.pages_path)
             canon = raw.withColumn("url_canon", canonicalize_udf("url"))
             latest = latest_per_key(canon, "url_canon", "warc_ts", tiebreak="url")
+            # persisted: every round joins against this snapshot; at cluster
+            # scale this is the Iceberg table itself (bucketed by url hash),
+            # not a recomputation
             self._pages_snapshot = latest.select(
                 F.col("url_canon").alias("page_url"), "warc_ts", "html"
-            )
+            ).persist()
         return self._pages_snapshot
 
     def _seed_frontier(self, seeds: DataFrame) -> DataFrame:
@@ -189,9 +192,11 @@ class Crawler:
         cfg = self.config
         t0 = time.time()
 
+        frontier = frontier.persist()
+        frontier_in = frontier.count()
         new_urls = dedup_against_seen(
             frontier, seen, bloom, cfg.n_shards, cfg.broadcast_bloom
-        )
+        ).persist()
         scheduled = schedule_round(
             new_urls, self.hosts, self.robots, cfg.salt_parts, cfg.default_budget
         ).select(
@@ -261,15 +266,20 @@ class Crawler:
         )
         write_round_table(metrics, self.checkpoint_dir, round_no, "metrics")
 
+        nxt_committed = self.spark.read.parquet(
+            os.path.join(self.checkpoint_dir, f"round={round_no:05d}", "frontier_next")
+        )
         counts = {
             "round": round_no,
-            "frontier_in": frontier.count(),
+            "frontier_in": frontier_in,
             "deduped": new_urls.count(),
             "scheduled": scheduled.count(),
             "fetched": fetched.filter(F.col("fetched")).count(),
-            "frontier_next": nxt.count(),
+            "frontier_next": nxt_committed.count(),
             "wall_s": round(time.time() - t0, 3),
         }
+        frontier.unpersist()
+        new_urls.unpersist()
         # THE commit point: manifest flip makes the round visible atomically
         self.log.commit({"last_round": round_no, **{f"r{round_no}": counts}})
         return counts

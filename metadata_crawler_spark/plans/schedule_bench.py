@@ -1,0 +1,195 @@
+"""The north-rule measurement pipeline: one scheduling mega-round as a
+SINGLE Spark action.
+
+frontier(canonicalize -> 128-bit hash -> OPIC combine) -> bloom probe +
+exact anti-join dedup -> robots gate -> budget join -> salted per-host
+top-k -> fetch join against the pages snapshot -> mapInPandas extract
+(text/lang/outlinks, politeness offsets) -> noop sink.
+
+This is the shape the 10^10-URL cluster job has per micro-batch; measuring
+it as one action isolates engine scaling from the per-round commit floor
+(which bench.py reports separately as `crawl`). Runnable as a module for
+fresh-JVM scaling probes:
+
+    python -m metadata_crawler_spark.plans.schedule_bench <cores> <fx_dir>
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.urls import canonicalize_udf, with_url_hash
+from ..operators.frontier import schedule_round, valid_urls
+from ..operators.seen import bloom_build, dedup_against_seen
+from .round_loop import FETCH_SCHEMA, _combine_frontier, _fetch_batches
+
+
+def run_schedule_pipeline(
+    spark: SparkSession,
+    fx_dir: str,
+    n_shards: int = 32,
+    salt_parts: int = 8,
+) -> dict:
+    """One full scheduling round over every URL in the fixture corpus, with
+    half the corpus pre-seen (bloom + exact tiers both exercised)."""
+    pages = spark.read.parquet(f"{fx_dir}/pages.parquet")
+    robots = spark.read.parquet(f"{fx_dir}/robots.parquet")
+    hosts = spark.read.parquet(f"{fx_dir}/hosts.parquet")
+
+    n_urls = pages.count()  # warm: parquet footers + page cache
+
+    t0 = time.time()
+    frontier = pages.select(
+        canonicalize_udf("url").alias("url"),
+        F.lit(0).alias("depth"),
+        F.lit(1.0).alias("score"),
+    )
+    # persist: downstream branches (seen filter, bloom build, anti-join
+    # broadcast, top-k) would otherwise EACH recompute the pandas-UDF chain
+    # inside concurrent broadcast-build jobs — a python-worker spawn storm
+    # that anti-scales with core count (measured: 4 concurrent rebuilds,
+    # 22-37s each at local[32] vs seconds when cached)
+    frontier = _combine_frontier(with_url_hash(valid_urls(frontier)), 9).persist()
+
+    # seen tier: every even hash was crawled before (deterministic half)
+    seen = frontier.filter(F.pmod(F.col("url_hash_hi"), F.lit(2)) == 0).select(
+        "url_hash_hi", "url_hash_lo"
+    )
+    bloom = bloom_build(
+        seen, n_shards, fpr=0.01, expected_per_shard=max(64, n_urls // n_shards)
+    )
+    new_urls = dedup_against_seen(frontier, seen, bloom, n_shards)
+    sched = schedule_round(new_urls, hosts, robots, salt_parts=salt_parts).select(
+        "url", "host", "depth", "score", "rank", "crawl_delay_ms",
+        "fetch_offset_ms", "url_hash_hi", "url_hash_lo",
+    )
+
+    snapshot = pages.select(
+        canonicalize_udf("url").alias("page_url"), "warc_ts", "html"
+    )
+    fetchable = sched.join(
+        snapshot, sched["url"] == snapshot["page_url"], "left"
+    ).drop("page_url")
+    fetched = fetchable.mapInPandas(_fetch_batches, FETCH_SCHEMA)
+
+    from pyspark.sql import Observation
+
+    obs = Observation("sched")
+    fetched = fetched.observe(
+        obs,
+        F.count(F.lit(1)).alias("scheduled"),
+        F.sum(F.col("fetched").cast("long")).alias("fetched"),
+    )
+    fetched.write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+    frontier.unpersist()
+    m = obs.get
+    return {
+        "frontier_urls": n_urls,
+        "scheduled": m["scheduled"],
+        "fetched": m["fetched"],
+        "wall_s": round(wall, 3),
+        "urls_per_sec": round(n_urls / wall, 1),
+    }
+
+
+def run_url_schedule_pipeline(
+    spark: SparkSession,
+    fx_dir: str,
+    n_shards: int = 32,
+    salt_parts: int = 8,
+) -> dict:
+    """The scaling-measurement variant: frontier URLs scheduled+deduped/sec
+    over a URLs-only corpus (no fetch/extract — exactly the north-rule
+    numerator), built to minimize fixed job count so the measurement is
+    engine throughput, not driver latency:
+
+    canonicalize -> hash -> OPIC combine (1 shuffle) -> bloom probe
+    (broadcast bitmaps, built once from the persisted frontier) -> exact
+    anti-join for the maybe-slice (shuffle join: parallel work, exactly
+    what a 10^10-row seen table costs) -> robots/budget broadcast joins ->
+    two-stage salted per-host top-k -> observed noop sink.
+    """
+    # a single parquet file under maxPartitionBytes (128MB) scans as ONE
+    # task no matter the core count — split small so the scan parallelizes
+    # (on a real cluster the frontier is many files; this is bench-only)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+    urls = spark.read.parquet(f"{fx_dir}/urls.parquet")
+    robots = spark.read.parquet(f"{fx_dir}/robots.parquet")
+    hosts = spark.read.parquet(f"{fx_dir}/hosts.parquet")
+    n_urls = urls.count()
+
+    t0 = time.time()
+    frontier = urls.select(
+        canonicalize_udf("url").alias("url"),
+        F.lit(0).alias("depth"),
+        F.lit(1.0).alias("score"),
+    )
+    frontier = _combine_frontier(with_url_hash(valid_urls(frontier)), 9).persist()
+    seen = frontier.filter(F.pmod(F.col("url_hash_hi"), F.lit(2)) == 0).select(
+        "url_hash_hi", "url_hash_lo"
+    )
+    bloom = bloom_build(
+        seen, n_shards, fpr=0.01,
+        expected_per_shard=max(64, n_urls // (2 * n_shards)),
+    )
+    new_urls = dedup_against_seen(frontier, seen, bloom, n_shards)
+    sched = schedule_round(new_urls, hosts, robots, salt_parts=salt_parts)
+
+    from pyspark.sql import Observation
+
+    obs = Observation("sched")
+    out = sched.observe(obs, F.count(F.lit(1)).alias("scheduled"))
+    out.write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+    frontier.unpersist()
+    return {
+        "frontier_urls": n_urls,
+        "scheduled": obs.get["scheduled"],
+        "wall_s": round(wall, 3),
+        "urls_per_sec": round(n_urls / wall, 1),
+    }
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    fx_dir = sys.argv[2]
+    repeat = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    mode = sys.argv[4] if len(sys.argv) > 4 else "urls"
+    from ..session import get_spark
+
+    spark = get_spark(f"schedprobe{cores}", cores=cores, shuffle_partitions=cores)
+    # warm the python workers + UDF pickle path once so the measurement is
+    # steady-state engine throughput, not process spawn
+    spark.range(0, 1000).select(
+        canonicalize_udf(F.concat(F.lit("https://w.com/"), "id")).alias("u")
+    ).write.format("noop").mode("overwrite").save()
+    # the sandbox host's CPU throughput swings ~3x between identical trials
+    # (measured: 8-25s for a fixed matmul workload), so scaling evidence is
+    # min-of-N on both levels — standard steady-state practice on noisy hosts
+    fn = run_url_schedule_pipeline if mode == "urls" else run_schedule_pipeline
+    # stability-seeking: the host's CPU delivery swings ~3x in bursts of
+    # tens of seconds, so sample until the two fastest runs agree within
+    # 25% (quiet window found) or the repeat budget is spent; report min.
+    runs = [fn(spark, fx_dir) for _ in range(2)]
+    max_runs = max(repeat, 6)
+    while len(runs) < max_runs:
+        walls = sorted(r["wall_s"] for r in runs)
+        if len(walls) >= 2 and walls[1] <= walls[0] * 1.25:
+            break
+        runs.append(fn(spark, fx_dir))
+    best = min(runs, key=lambda r: r["wall_s"])
+    best = dict(best)
+    best["cores"] = cores
+    best["walls_s"] = [r["wall_s"] for r in runs]
+    print(json.dumps(best))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -105,6 +105,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # single-node shuffle through ext4 serializes on disk I/O and hides CPU
+    # scaling; tmpfs shuffle is the honest local stand-in for a cluster's
+    # distributed shuffle service (each executor has its own local NVMe)
+    if os.path.isdir("/dev/shm"):
+        shm = "/dev/shm/mcs-spark-local"
+        os.makedirs(shm, exist_ok=True)
+        b = b.config("spark.local.dir", shm)
     for k, v in RUNTIME_CONFS.items():
         b = b.config(k, v)
     for k, v in (extra or {}).items():

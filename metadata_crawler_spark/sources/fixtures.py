@@ -224,3 +224,76 @@ def write_fixtures(out_dir: str, n_pages: int, seed: int = SEED) -> dict[str, st
     with open(marker, "w") as fh:
         fh.write("ok")
     return paths
+
+
+def write_url_corpus(out_dir: str, n_urls: int, seed: int = SEED) -> dict[str, str]:
+    """URL-only corpus for the scaling benchmark (north metric is frontier
+    URLs scheduled+deduped/sec — no html needed). Fully vectorized so tens
+    of millions of rows generate in seconds; cached like write_fixtures.
+
+    Same shape rules as pages.url: Zipf(1.2) hosts with a 15%% hot host,
+    ~4%% uppercase-host variants, ~3%% ':443' ports, ~3%% '#frag', ~2%%
+    exact duplicates of earlier rows — all collapsed by canonicalization.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, f".urlcorpus-{n_urls}-{seed}")
+    paths = {t: os.path.join(out_dir, f"{t}.parquet") for t in
+             ("urls", "robots", "hosts")}
+    if os.path.exists(marker) and all(os.path.exists(p) for p in paths.values()):
+        return paths
+    rng = np.random.default_rng(seed)
+    n_hosts = max(64, n_urls // 2000)
+    tld = np.array(TLDS)[np.arange(n_hosts) % 3]
+    host_arr = pd.Series(
+        ["h"] * n_hosts
+    ).str.cat(pd.Series(np.arange(n_hosts)).astype(str)).str.cat(
+        pd.Series([".example."] * n_hosts)
+    ).str.cat(pd.Series(tld))
+    host_idx = rng.choice(n_hosts, size=n_urls, p=_host_probs(n_hosts))
+    words = np.array(WORDS)
+    seg1 = words[rng.integers(0, len(words), n_urls)]
+    seg2 = words[rng.integers(0, len(words), n_urls)]
+    ids = rng.integers(0, 10 * n_urls, n_urls)
+
+    s = pd.Series(np.where(rng.random(n_urls) < 0.85, "https://", "http://"))
+    url = s.str.cat(host_arr.to_numpy()[host_idx]).str.cat(
+        ["/"] * n_urls
+    ).str.cat(seg1).str.cat(["/"] * n_urls).str.cat(seg2).str.cat(
+        ["/"] * n_urls
+    ).str.cat(pd.Series(ids).astype(str))
+
+    upper = rng.random(n_urls) < 0.04
+    url[upper] = url[upper].str.replace("example", "EXAMPLE", regex=False)
+    frag = rng.random(n_urls) < 0.03
+    url[frag] = url[frag] + "#frag"
+    dup = rng.random(n_urls) < 0.02
+    src = rng.integers(0, n_urls, n_urls)
+    url[dup] = url.to_numpy()[src[dup]]
+
+    pq.write_table(
+        pa.Table.from_arrays([pa.array(url, type=pa.string())], names=["url"]),
+        paths["urls"],
+        row_group_size=max(65536, n_urls // 64),
+    )
+
+    deny_all = rng.random(n_hosts) < 0.10
+    n_dis = rng.integers(0, 4, size=n_hosts)
+    dis_words = rng.integers(0, len(WORDS), size=(n_hosts, 3))
+    delays = np.array([0, 100, 500, 1000])[rng.integers(0, 4, size=n_hosts)]
+    robots = pd.DataFrame(
+        {
+            "host": host_arr,
+            "disallow": [
+                ["/"] if deny_all[i] else ["/" + WORDS[dis_words[i, k]] for k in range(n_dis[i])]
+                for i in range(n_hosts)
+            ],
+            "crawl_delay_ms": delays.astype(np.int64),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(robots, preserve_index=False), paths["robots"])
+    budgets = np.array([2, 8, 32])[rng.integers(0, 3, size=n_hosts)]
+    hosts_df = pd.DataFrame({"host": host_arr, "budget": budgets.astype(np.int32)})
+    pq.write_table(pa.Table.from_pandas(hosts_df, preserve_index=False), paths["hosts"])
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return paths
