@@ -753,6 +753,372 @@ FROM events GROUP BY event_type
 # driver contract
 # ---------------------------------------------------------------------------
 
+
+
+# ---------------------------------------------------------------------------
+# q21-q24 — near-duplicate family over documents (dedup ops a training-data
+# pipeline needs; engine versions in operators/dedup.py use xxhash64 3-gram
+# shingles — these oracle variants use md5 word-level hashing so DuckDB can
+# compute the identical value).
+# ---------------------------------------------------------------------------
+
+_MINHASH_K = 8
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + near-dup copies: every 5th doc re-appears (id+1000000)
+    with one word appended — deterministic in both engines."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" extraword")).alias("text"),
+    )
+    return d.unionByName(dups)
+
+
+_DUP_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' extraword' AS text
+  FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def q21_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    corpus = _dup_corpus(spark, sf_dir)
+    words = corpus.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("w")))).alias(f"sig_{i}")
+        for i in range(_MINHASH_K)
+    ]
+    return words.groupBy("doc_id").agg(*aggs)
+
+
+_Q21_SQL = f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM corpus)
+SELECT doc_id,
+  {', '.join(f"MIN(md5('{i}|' || w)) AS sig_{i}" for i in range(_MINHASH_K))}
+FROM w GROUP BY doc_id
+"""
+
+
+def q22_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded LSH on the q21 signatures: 4 bands x 2 rows; pairs sharing a
+    band key are candidates (SURVEY dedup family; engine version uses
+    xxhash64 + bucket caps, operators/dedup.py:lsh_candidate_pairs)."""
+    _prep(spark)
+    sigs = q21_minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.col(f"sig_{2*b}"), F.col(f"sig_{2*b+1}"))).alias(f"band_{b}")
+            for b in range(4)
+        ],
+    )
+    pairs = None
+    for b in range(4):
+        a = bands.select(F.col("doc_id").alias("id_a"), F.col(f"band_{b}").alias("bk"))
+        c = bands.select(F.col("doc_id").alias("id_b"), F.col(f"band_{b}").alias("bk"))
+        pb = a.join(c, "bk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        pairs = pb if pairs is None else pairs.unionByName(pb)
+    return pairs.distinct()
+
+
+_Q22_SQL = f"""
+WITH sigs AS ({{q21}}),
+bands AS (
+  SELECT doc_id,
+    {', '.join(f"md5(sig_{2*b} || sig_{2*b+1}) AS band_{b}" for b in range(4))}
+  FROM sigs
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON (a.band_0 = b.band_0 OR a.band_1 = b.band_1
+      OR a.band_2 = b.band_2 OR a.band_3 = b.band_3)
+WHERE a.doc_id < b.doc_id
+""".replace("{q21}", _Q21_SQL)
+
+
+def q23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-shingle Jaccard for all pairs among a deterministic
+    slice of the dup corpus (the verify tier after LSH)."""
+    _prep(spark)
+    from metadata_crawler_spark.operators.dedup import shingles_expr
+
+    corpus = _dup_corpus(spark, sf_dir).filter(
+        (F.col("doc_id") % 7 == 0) | (F.col("doc_id") >= 1_000_000)
+    )
+    sh = corpus.select(
+        "doc_id", F.array_distinct(shingles_expr(F.col("text"), 3)).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    j = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return j.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")).filter(
+        F.col("jaccard") >= 0.3
+    )
+
+
+_Q23_SQL = f"""
+WITH corpus AS (
+  SELECT * FROM ({_DUP_CORPUS_SQL})
+  WHERE doc_id % 7 = 0 OR doc_id >= 1000000
+),
+sh AS (
+  SELECT doc_id,
+    list_distinct(
+      CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 3
+           THEN [trim(text)]
+           ELSE list_transform(
+                  range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+                  i -> array_to_string(
+                         list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' '))
+      END) AS sh
+  FROM corpus
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM sh a, sh b
+WHERE a.doc_id < b.doc_id
+  AND len(list_intersect(a.sh, b.sh)) * 1.0
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
+"""
+
+
+def q24_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash via md5-hex bit votes (portable variant of
+    operators/dedup.py:simhash64): bit i votes +1 when the (i+1)-th hex
+    char of md5(word) has its high bit set."""
+    _prep(spark)
+    corpus = _dup_corpus(spark, sf_dir)
+    words = corpus.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    high = list("89abcdef")
+    votes = [
+        F.sum(
+            F.when(F.substring(F.md5("w"), i + 1, 1).isin(high), 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(16)
+    ]
+    agg = words.groupBy("doc_id").agg(*votes)
+    fp = None
+    for i in range(16):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select("doc_id", fp.cast("long").alias("simhash16"))
+
+
+_hex_high = "('8','9','a','b','c','d','e','f')"
+_Q24_SQL = f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM corpus),
+v AS (
+  SELECT doc_id,
+    {', '.join(f"SUM(CASE WHEN substr(md5(w), {i+1}, 1) IN {_hex_high} THEN 1 ELSE -1 END) AS v{i}" for i in range(16))}
+  FROM w GROUP BY doc_id
+)
+SELECT doc_id,
+  CAST({' + '.join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))} AS BIGINT)
+    AS simhash16
+FROM v
+"""
+
+
+# ---------------------------------------------------------------------------
+# q25-q27 — similarity search over the embeddings table.
+# ---------------------------------------------------------------------------
+
+def q25_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from metadata_crawler_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, k=5)
+
+
+_Q25_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS w FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, v.vec_id AS nbr_id,
+         ROUND(list_dot_product(v.e, q.w)
+               / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.w, q.w))), 6)
+           AS cosine
+  FROM v, q WHERE v.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, nbr_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q26_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from metadata_crawler_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return embedding_neardup_pairs(emb, threshold=0.3)
+
+
+_Q26_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 200)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+         AS cosine
+FROM v a, v b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.e, b.e)
+      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.3
+"""
+
+
+def q27_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path; pandas-UDF hyperplane bucketing) —
+    non-SQL-expressible, driver records the rows-only check; recall vs the
+    exact baseline is pytest-verified (tests/test_similarity.py)."""
+    _prep(spark)
+    from metadata_crawler_spark.operators.similarity import ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_topk(emb, queries, k=5, n_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# q28 — tumbling-window rollup (the streaming micro-batch agg shape,
+# SURVEY §2.9; Structured-Streaming variant in streaming/micro_batch.py).
+# ---------------------------------------------------------------------------
+
+def q28_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    e = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts").cast("timestamp"))
+    return e.groupBy(
+        F.unix_millis(hour).alias("hour_ms"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(18,2)").alias("total_value"),
+    )
+
+
+_Q28_SQL = """
+SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,2)) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q29-q31 — crawl-engine operators exercised through the driver contract on
+# deterministic self-generated fixtures (rows-only checks: bloom probing,
+# politeness batching and binary html extraction are not SQL-expressible;
+# their correctness gates are the pytest goldens).
+# ---------------------------------------------------------------------------
+
+def _fixture_dir() -> str:
+    import tempfile
+
+    from metadata_crawler_spark.sources.fixtures import write_fixtures
+
+    d = os.path.join(tempfile.gettempdir(), "mcs_entry_fixtures")
+    write_fixtures(d, 2000)
+    return d
+
+
+def q29_crawl_schedule_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full frontier round over the synthetic pages corpus: canonical
+    UDF -> 128-bit hash -> bloom+exact dedup -> robots -> salted top-k."""
+    _prep(spark)
+    from metadata_crawler_spark.plans.schedule_bench import run_schedule_pipeline  # noqa: F401
+    from metadata_crawler_spark.functions.urls import canonicalize_udf, with_url_hash
+    from metadata_crawler_spark.operators.frontier import schedule_round, valid_urls
+    from metadata_crawler_spark.operators.seen import bloom_build, dedup_against_seen
+    from metadata_crawler_spark.plans.round_loop import _combine_frontier
+
+    d = _fixture_dir()
+    pages = spark.read.parquet(os.path.join(d, "pages.parquet"))
+    robots = spark.read.parquet(os.path.join(d, "robots.parquet"))
+    hosts = spark.read.parquet(os.path.join(d, "hosts.parquet"))
+    frontier = pages.select(
+        canonicalize_udf("url").alias("url"),
+        F.lit(0).alias("depth"),
+        F.lit(1.0).alias("score"),
+    )
+    frontier = _combine_frontier(with_url_hash(valid_urls(frontier)), 9).persist()
+    seen = frontier.filter(F.pmod("url_hash_hi", F.lit(2)) == 0).select(
+        "url_hash_hi", "url_hash_lo"
+    )
+    bloom = bloom_build(seen, 8, expected_per_shard=1024)
+    new_urls = dedup_against_seen(frontier, seen, bloom, 8)
+    return schedule_round(new_urls, hosts, robots, salt_parts=4).select(
+        "url", "host", "depth", "rank", "fetch_offset_ms"
+    )
+
+
+def q30_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-bloom probe stats: zero false negatives by construction,
+    measured FPR in the result row."""
+    _prep(spark)
+    from metadata_crawler_spark.functions.urls import with_url_hash
+    from metadata_crawler_spark.operators.seen import bloom_build, probe_with_broadcast
+
+    d = _t(spark, sf_dir, "documents")
+    keys = with_url_hash(
+        d.select(F.concat(F.lit("https://x.com/"), "doc_id").alias("url"))
+    )
+    inserted = keys.filter(F.col("url_hash_hi") % 2 == 0)
+    absent = keys.filter(F.col("url_hash_hi") % 2 != 0)
+    bloom = bloom_build(inserted, 8, fpr=0.01)
+    fn = probe_with_broadcast(inserted, bloom).filter(~F.col("maybe_seen")).count()
+    fp = probe_with_broadcast(absent, bloom).filter(F.col("maybe_seen")).count()
+    return spark.createDataFrame(
+        [(int(inserted.count()), int(fn), int(fp))],
+        "n_inserted long, false_negatives long, false_positives long",
+    )
+
+
+def q31_html_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical text + outlink + meta-lang extraction from the binary
+    html column (pandas UDFs over Arrow batches)."""
+    _prep(spark)
+    from metadata_crawler_spark.functions.text import (
+        extract_meta_lang_udf,
+        extract_outlinks_udf,
+        extract_text_udf,
+    )
+
+    d = _fixture_dir()
+    pages = spark.read.parquet(os.path.join(d, "pages.parquet"))
+    out = pages.select(
+        "url",
+        extract_text_udf("html").alias("got_text"),
+        F.col("text").alias("oracle_text"),
+        F.size(extract_outlinks_udf("html")).alias("n_links"),
+        extract_meta_lang_udf("html").alias("meta_lang"),
+    )
+    return out.select(
+        "url",
+        (F.col("got_text") == F.col("oracle_text")).alias("byte_identical"),
+        "n_links",
+        "meta_lang",
+    )
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_frontier_schedule": q01_frontier_schedule,
     "q02_url_canonicalize": q02_url_canonicalize,
@@ -774,6 +1140,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_lang_id": q18_lang_id,
     "q19_fingerprint": q19_fingerprint,
     "q20_json_extract": q20_json_extract,
+    "q21_minhash_signatures": q21_minhash_signatures,
+    "q22_lsh_candidate_pairs": q22_lsh_candidate_pairs,
+    "q23_ngram_jaccard": q23_ngram_jaccard,
+    "q24_simhash16": q24_simhash16,
+    "q25_cosine_topk": q25_cosine_topk,
+    "q26_embedding_neardup": q26_embedding_neardup,
+    "q27_ann_lsh_topk": q27_ann_lsh_topk,
+    "q28_hourly_rollup": q28_hourly_rollup,
+    "q29_crawl_schedule_round": q29_crawl_schedule_round,
+    "q30_bloom_membership": q30_bloom_membership,
+    "q31_html_extraction": q31_html_extraction,
 }
 
 _ORACLES: dict[str, str] = {
@@ -797,6 +1174,13 @@ _ORACLES: dict[str, str] = {
     "q18_lang_id": _Q18_SQL,
     "q19_fingerprint": _Q19_SQL,
     "q20_json_extract": _Q20_SQL,
+    "q21_minhash_signatures": _Q21_SQL,
+    "q22_lsh_candidate_pairs": _Q22_SQL,
+    "q23_ngram_jaccard": _Q23_SQL,
+    "q24_simhash16": _Q24_SQL,
+    "q25_cosine_topk": _Q25_SQL,
+    "q26_embedding_neardup": _Q26_SQL,
+    "q28_hourly_rollup": _Q28_SQL,
 }
 
 

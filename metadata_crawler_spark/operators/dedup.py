@@ -1,0 +1,228 @@
+"""Near-duplicate detection family (training-data pipeline ops).
+
+The reference's only dedup is the exact unique-key upsert (SURVEY §2.3
+D1-D3); a 100 TB web corpus additionally needs content-level near-dup
+removal. Everything here is pure Spark column expressions + joins — no
+Python in the hot path — so Catalyst codegens the hashing and AQE handles
+the bucket-join skew:
+
+- exact_dedup            hash-groupBy representative selection (D1 analog)
+- minhash_signatures     k xxhash64 permutations over word n-gram shingles
+- lsh_candidate_pairs    banded LSH: band-key explode -> bucket self-join
+- jaccard_verify         exact n-gram Jaccard on candidate pairs
+- simhash64              64-bit SimHash from token hashes (bit-vote)
+- embedding_neardup      cosine-threshold pairs over embedding vectors
+
+Scale notes: signatures are fixed-width arrays (k longs/row); the LSH
+self-join shuffles on (band, key) — hot buckets (boilerplate shingles)
+are capped by ``max_bucket`` exactly like hot hosts in the frontier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """One deterministic representative (min id) per exact content hash."""
+    return (
+        df.groupBy(F.md5(F.col(content_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingles_expr(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (builtin, no UDF)."""
+    toks = F.split(F.trim(text), r"\s+")
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 32,
+    ngram: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>): sig_i = min over shingles of xxhash64(s, i).
+
+    The k "permutations" are xxhash64 with k different fold-in seeds —
+    each array_min(transform(...)) is whole-stage-codegen'd JVM work.
+    """
+    sh = shingles_expr(F.col(text_col), ngram)
+
+    def _perm(i: int):
+        # NB: must be a 1-arg lambda — a second parameter would make
+        # pyspark pass the ARRAY INDEX as the seed instead of i
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    sig = F.array(*[F.array_min(F.transform(sh, _perm(i))) for i in range(k)])
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Banded LSH: ids sharing any band key become a candidate pair.
+
+    Buckets larger than ``max_bucket`` are dropped (boilerplate shingle
+    storms — the dedup analog of the hot host; unbounded buckets turn the
+    self-join quadratic). Output: (id_a, id_b) with id_a < id_b, distinct.
+    """
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
+                ),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(
+        "id", F.posexplode(band_keys).alias("band", "bucket")
+    )
+    small = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    a = small.select("band", "bucket", F.explode("ids").alias("id_a"))
+    b = small.select("band", "bucket", F.explode("ids").alias("id_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ngram: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs (the verify tier after LSH).
+    Set ops on array columns — still no Python."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles_expr(F.col(text_col), ngram)).alias("sh"),
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return j.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash: per-token xxhash64, each bit votes +1/-1, sign of
+    the vote is the fingerprint bit. Hamming-close simhashes ~ near-dup.
+
+    Built as 64 bit-vote expressions folded into one long — verbose but
+    entirely codegen'd; documents with small edits land within a few bits.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    h = F.transform(toks, lambda t: F.xxhash64(t))
+    def _vote(i: int):
+        mask = F.lit(1 << i if i < 63 else -(2**63))
+        return lambda acc, x: acc + F.when(
+            x.bitwiseAND(mask) != 0, 1
+        ).otherwise(-1)
+
+    bit_votes = [F.aggregate(h, F.lit(0), _vote(i)) for i in range(64)]
+    fp = None
+    for i, v in enumerate(bit_votes):
+        bit = F.when(v > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return df.select(F.col(id_col).alias("id"), fp.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_neardup_pairs(
+    sims: DataFrame, max_hamming: int = 3, block_bits: int = 16
+) -> DataFrame:
+    """Blocked SimHash join: split the 64-bit fingerprint into 4 16-bit
+    blocks — pairs within hamming distance 3 share at least one exact
+    block (pigeonhole), so the join is equi on (block_idx, block_value),
+    never a cross join."""
+    blocks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * block_bits).bitwiseAND(
+                F.lit((1 << block_bits) - 1)
+            )
+            for i in range(64 // block_bits)
+        ]
+    )
+    exploded = sims.select(
+        "id", "simhash", F.posexplode(blocks).alias("blk", "blk_val")
+    )
+    o = exploded.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sim_b"), "blk", "blk_val"
+    )
+    return (
+        exploded.join(o, ["blk", "blk_val"])
+        .filter(F.col("id") < F.col("id_b"))
+        .select(
+            F.col("id").alias("id_a"),
+            "id_b",
+            hamming64(F.col("simhash"), F.col("sim_b")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Cosine-threshold near-dup pairs. Brute-force self-join baseline —
+    at scale, pre-bucket with operators.similarity.lsh_buckets and join
+    on bucket instead of the cross product."""
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    dot = F.aggregate(
+        F.zip_with("v", "v_b", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    na = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    nb = F.sqrt(F.aggregate(F.transform("v_b", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    cos = dot / (na * nb)
+    return (
+        v.crossJoin(b)
+        .filter(F.col("id") < F.col("id_b"))
+        .select(F.col("id").alias("id_a"), "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

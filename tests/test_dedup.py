@@ -1,0 +1,106 @@
+"""Near-dup family tests: planted near-duplicates must be found; exact
+verify tiers must agree with ground truth; LSH must stay sub-quadratic
+(bucket caps respected)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from metadata_crawler_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles_expr,
+    simhash64,
+    simhash_neardup_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the rain falls softly outside the house"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    for i in range(40):
+        words = BASE.split()
+        words[i % len(words)] = f"w{i}"
+        words[(i * 7) % len(words)] = f"v{i}"
+        rows.append((i, " ".join(words)))
+    # planted near-dup pairs: 100/101 and 102/103 differ by one word
+    rows.append((100, BASE))
+    rows.append((101, BASE.replace("rain", "snow")))
+    rows.append((102, "completely different tiny text about spark engines"))
+    rows.append((103, "completely different tiny text about spark planes"))
+    # exact dup of 100
+    rows.append((104, BASE))
+    return spark.createDataFrame(rows, "id long, text string").cache()
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    rows = df.select(shingles_expr(F.col("text"), 3).alias("s")).collect()
+    assert rows[0].s == ["a b c", "b c d"]
+    assert rows[1].s == ["a b"]  # shorter than n -> whole text
+
+
+def test_exact_dedup(docs):
+    d = exact_dedup(docs, "text", "id")
+    dup_groups = {r.rep_id: r.n_copies for r in d.filter(F.col("n_copies") > 1).collect()}
+    assert dup_groups == {100: 2}
+
+
+def test_minhash_lsh_finds_planted_pairs(docs):
+    sigs = minhash_signatures(docs, "text", "id", k=32, ngram=3).cache()
+    pairs = lsh_candidate_pairs(sigs, bands=8, rows_per_band=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (100, 101) in got
+    assert (100, 104) in got  # exact dup certainly collides
+    verified = jaccard_verify(pairs, docs, "text", "id", ngram=3, threshold=0.5)
+    v = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    assert v[(100, 104)] == 1.0
+    assert 0.5 <= v[(100, 101)] < 1.0
+    # 7-word docs differing in the last word: 4 of 6 distinct shingles
+    # shared -> j=2/3 exactly
+    assert abs(v[(102, 103)] - 0.666667) < 1e-5
+
+
+def test_simhash_neardup(spark, docs):
+    """SimHash needs enough tokens that one edit can't flip many vote
+    bits: on a 144-token doc a one-word change lands within hamming 3
+    (the blocked-join guarantee); on 24 tokens it would not."""
+    long_base = " ".join([BASE] * 6)
+    rows = [
+        (200, long_base),
+        (201, long_base.replace("windowsill", "doorstep", 1)),
+        (202, "an entirely different document about query engines and shuffles " * 20),
+        (203, long_base),
+    ]
+    longdocs = spark.createDataFrame(rows, "id long, text string")
+    sims = simhash64(longdocs, "text", "id").cache()
+    vals = {r.id: r.simhash for r in sims.collect()}
+    assert vals[200] == vals[203]  # identical text -> identical fingerprint
+    pairs = simhash_neardup_pairs(sims, max_hamming=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (200, 203) in got
+    assert (200, 201) in got
+    assert (200, 202) not in got
+
+
+def test_embedding_neardup(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((20, 16)).astype("float32")
+    vecs[11] = vecs[10] + 0.01 * rng.standard_normal(16).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_neardup_pairs(emb, threshold=0.95)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (10, 11) in got
+    assert len(got) <= 3  # random 16-dim vectors almost never clear 0.95

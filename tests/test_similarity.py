@@ -1,0 +1,70 @@
+"""Similarity search: exact brute-force vs DuckDB-style ground truth, and
+ANN recall against the exact baseline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from metadata_crawler_spark.operators.similarity import ann_topk, cosine_topk, lsh_buckets
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    pdf = emb.toPandas()
+    m = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+    ids = pdf["vec_id"].to_numpy()
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = cosine_topk(emb, queries, k=5).toPandas()
+    norms = np.linalg.norm(m, axis=1)
+    for qid in range(3):
+        qi = np.where(ids == qid)[0][0]
+        cos = (m @ m[qi]) / (norms * norms[qi])
+        cos_r = np.round(cos, 6)
+        order = sorted(
+            [(i, c) for i, c in zip(ids, cos_r) if i != qid],
+            key=lambda t: (-t[1], t[0]),
+        )[:5]
+        expect = [int(i) for i, _ in order]
+        gq = got[got["query_id"] == qid].sort_values("rank")
+        assert list(gq["nbr_id"]) == expect
+
+
+def test_ann_recall(spark):
+    """Recall vs exact top-k on CLUSTERED embeddings (uniform random
+    vectors are the LSH worst case: all cosines ~0.2, nothing to find).
+    20 clusters of 25 vectors, sigma 0.05 -> intra-cluster cosine ~0.86
+    (sigma 0.15 would put the noise norm above the signal norm in 64-d).
+    4 planes + 1-bit multiprobe -> expected bucket recall ~0.87."""
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((20, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs, rows = [], []
+    i = 0
+    for c in range(20):
+        for _ in range(25):
+            v = centers[c] + 0.05 * rng.standard_normal(64)
+            rows.append((i, [float(x) for x in v.astype("float32")]))
+            i += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    queries = emb.filter(F.col("vec_id") % 25 == 0).limit(10)
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    approx = ann_topk(emb, queries, k=5, n_planes=4, multiprobe=True).toPandas()
+    e = {(r.query_id, r.nbr_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.nbr_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"ANN recall too low: {recall}"
+
+
+def test_lsh_buckets_deterministic(spark, emb):
+    b1 = lsh_buckets(emb, n_planes=8).select("id", "bucket").toPandas()
+    b2 = lsh_buckets(emb, n_planes=8).select("id", "bucket").toPandas()
+    assert b1.sort_values("id")["bucket"].tolist() == b2.sort_values("id")["bucket"].tolist()
+    assert b1["bucket"].between(0, 255).all()
