@@ -1,0 +1,133 @@
+"""Structured-Streaming variants of the crawl round (SURVEY §2.9).
+
+The reference's crawl IS structurally a streaming job — bounded queues with
+worker pools (T1-T3, /root/reference/src/metadata_crawler/data_collector.py:
+74-78, api/metadata_stores.py:281-302), poison-pill shutdown (T4), epoch
+watermarks for late re-discovery (T5, metadata_stores.py:331-337). Spark
+mappings:
+
+- ``stream_frontier_rounds``  file-source stream of frontier deltas ->
+  ``foreachBatch`` running the SAME declarative round (dedup -> robots ->
+  budget top-k) per micro-batch with exactly-once sink semantics; the
+  analog of the scan-queue consumer loop.
+- ``stream_hourly_rollup``    watermarked tumbling-window aggregation over
+  the events stream (late data within the watermark still lands — the
+  reference's 5-day grace period in miniature).
+- ``politeness_gate_stateful``  ``applyInPandasWithState`` per-host state:
+  the host's next-allowed-fetch timestamp persists ACROSS micro-batches —
+  the one crawl operator that is genuinely stateful rather than a pure
+  function of the batch (no reference analog; its politeness is implicit
+  in queue concurrency).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+FRONTIER_SCHEMA = "url string, depth int, score double"
+
+
+def stream_frontier_rounds(
+    spark: SparkSession,
+    input_dir: str,
+    robots: DataFrame,
+    hosts: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "frontier_rounds",
+):
+    """Each parquet file landing in ``input_dir`` is a frontier delta; each
+    micro-batch runs one scheduling round and appends the scheduled set.
+    foreachBatch + (batch-scoped output paths) = exactly-once."""
+    from ..functions.urls import canonicalize_udf, with_url_hash
+    from ..operators.frontier import schedule_round, valid_urls
+    from ..plans.round_loop import _combine_frontier
+
+    stream = (
+        spark.readStream.schema(FRONTIER_SCHEMA).parquet(input_dir)
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        f = batch_df.select(
+            canonicalize_udf("url").alias("url"), "depth", "score"
+        )
+        f = _combine_frontier(with_url_hash(valid_urls(f)), 9)
+        sched = schedule_round(f, hosts, robots, salt_parts=4)
+        (
+            sched.select("url", "host", "depth", "rank", "fetch_offset_ms")
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/epoch={epoch_id:05d}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+
+
+def stream_hourly_rollup(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    watermark: str = "2 hours",
+    query_name: str = "hourly_rollup",
+):
+    """Watermarked tumbling-window count/sum per event_type into the memory
+    sink (batch-equivalent: __spark_entry__.q28_hourly_rollup)."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    agg = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("hour_ms"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
+POLITE_OUT_SCHEMA = "host string, url string, planned_start_ms long"
+POLITE_STATE_SCHEMA = "next_free_ms long"
+
+
+def _politeness_fn(key, pdfs, state: GroupState):
+    """Per-host token clock: each URL is planned at
+    max(batch_arrival, host.next_free) + i*crawl_delay; next_free persists
+    across micro-batches so a host hammered in batch N stays throttled in
+    batch N+1."""
+    (host,) = key
+    next_free = state.get[0] if state.exists else 0
+    rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("url", kind="mergesort")
+        for _, r in pdf.iterrows():
+            start = max(int(r["arrival_ms"]), next_free)
+            rows.append((host, r["url"], start))
+            next_free = start + int(r["crawl_delay_ms"])
+    state.update((next_free,))
+    yield pd.DataFrame(rows, columns=["host", "url", "planned_start_ms"])
+
+
+def politeness_gate_stateful(urls_stream: DataFrame):
+    """urls_stream: streaming DF (host, url, arrival_ms, crawl_delay_ms).
+    Returns the planned fetch schedule with cross-batch per-host state."""
+    return urls_stream.groupBy("host").applyInPandasWithState(
+        _politeness_fn,
+        POLITE_OUT_SCHEMA,
+        POLITE_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

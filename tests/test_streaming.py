@@ -1,0 +1,137 @@
+"""Structured-Streaming tests: micro-batch frontier rounds via foreachBatch,
+watermarked windowed rollup vs the batch oracle, and cross-batch stateful
+politeness (applyInPandasWithState)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from metadata_crawler_spark.streaming.micro_batch import (
+    politeness_gate_stateful,
+    stream_frontier_rounds,
+    stream_hourly_rollup,
+)
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def test_stream_hourly_rollup_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "events_in")
+    os.makedirs(src)
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.mode("overwrite").parquet(src)
+    q = stream_hourly_rollup(spark, src, EVENTS_SCHEMA, query_name="roll_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # append mode only emits windows the watermark has closed; compare those
+    got = spark.sql("SELECT * FROM roll_t")
+    batch = (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.unix_millis(F.date_trunc("hour", "ts")).alias("hour_ms"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    merged = got.join(batch, ["hour_ms", "event_type"], "inner").filter(
+        got["n_events"] != batch["n_events"]
+    )
+    assert merged.count() == 0
+    assert got.count() > 0
+
+
+def test_stream_frontier_rounds(spark, tables, tmp_path):
+    src = str(tmp_path / "frontier_in")
+    out = str(tmp_path / "sched_out")
+    ck = str(tmp_path / "stream_ck")
+    os.makedirs(src)
+    seeds = tables["seeds"].select(
+        "url", F.col("depth").cast("int").alias("depth"),
+        F.col("priority").cast("double").alias("score"),
+    )
+    seeds.write.mode("overwrite").parquet(src)
+    q = stream_frontier_rounds(
+        spark, src, tables["robots"], tables["hosts"], out, ck, "fr_t"
+    )
+    try:
+        q.processAllAvailable()
+        # second delta lands -> second micro-batch
+        seeds.withColumn("url", F.concat(F.lit("https://h0.example.com/x/"), F.md5("url"))).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    epochs = sorted(os.listdir(out))
+    assert len([e for e in epochs if e.startswith("epoch=")]) >= 2
+    sched = spark.read.parquet(os.path.join(out, epochs[0]))
+    assert sched.count() > 0
+    assert {"url", "host", "rank", "fetch_offset_ms"} <= set(sched.columns)
+
+
+def test_stateful_politeness_across_batches(spark, tmp_path):
+    """The same host throttled in batch 1 must stay throttled in batch 2:
+    planned starts keep increasing across micro-batches."""
+    src = str(tmp_path / "purls")
+    os.makedirs(src)
+    rows1 = [("h1", f"https://h1/x{i}", 1000, 500) for i in range(3)]
+    df = spark.createDataFrame(
+        rows1, "host string, url string, arrival_ms long, crawl_delay_ms long"
+    )
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "host string, url string, arrival_ms long, crawl_delay_ms long"
+    ).parquet(src)
+    out = politeness_gate_stateful(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("polite_t")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batch1 = spark.sql("SELECT * FROM polite_t").collect()
+        rows2 = [("h1", f"https://h1/y{i}", 1000, 500) for i in range(2)]
+        spark.createDataFrame(
+            rows2, "host string, url string, arrival_ms long, crawl_delay_ms long"
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        batch_all = spark.sql("SELECT * FROM polite_t ORDER BY planned_start_ms").collect()
+    finally:
+        q.stop()
+    starts1 = sorted(r.planned_start_ms for r in batch1)
+    assert starts1 == [1000, 1500, 2000]  # rank * crawl_delay within batch
+    starts_all = [r.planned_start_ms for r in batch_all]
+    # batch 2 URLs must start AFTER batch 1's next_free (2500), not at 1000
+    assert starts_all == [1000, 1500, 2000, 2500, 3000]
+
+
+def test_stream_is_incremental_not_restart(spark, tables, tmp_path):
+    """Checkpointed restart resumes from the offset log: re-starting the
+    frontier stream with no new files produces no new epochs."""
+    src = str(tmp_path / "fin2")
+    out = str(tmp_path / "sout2")
+    ck = str(tmp_path / "sck2")
+    os.makedirs(src)
+    tables["seeds"].select(
+        "url", F.col("depth").cast("int").alias("depth"),
+        F.col("priority").cast("double").alias("score"),
+    ).write.mode("overwrite").parquet(src)
+    for _ in range(2):
+        q = stream_frontier_rounds(
+            spark, src, tables["robots"], tables["hosts"], out, ck, "fr_r"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        time.sleep(0.2)
+    epochs = [e for e in os.listdir(out) if e.startswith("epoch=")]
+    assert len(epochs) == 1
