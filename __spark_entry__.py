@@ -1119,6 +1119,214 @@ def q31_html_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# q32-q38 — remaining SURVEY §2 families: catalogue walk (S7), delete-by-
+# facet (D5), special rules (P11/P12), cube metrics, set-ops (U2),
+# sessionization (T-family).
+# ---------------------------------------------------------------------------
+
+def q32_catalog_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intake-catalogue walk analog (S7): parse a nested catalogue document
+    and explode its url list into one row per data object
+    (reference: backends/intake.py:45-110 _walk_yaml_catalogue)."""
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    cat = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('{"name":"cat_'), F.col("doc_id").cast("string"),
+            F.lit('","n":'), (F.col("doc_id") % 5 + 1).cast("string"),
+            F.lit(',"urls":"'),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sequence(F.lit(1), F.col("doc_id") % 5 + 1),
+                    lambda i: F.concat(
+                        F.lit("https://cat.example.com/"),
+                        F.col("doc_id").cast("string"), F.lit("/p"), i.cast("string"),
+                    ),
+                ),
+            ),
+            F.lit('"}'),
+        ).alias("catalog_json"),
+    )
+    parsed = cat.select(
+        "doc_id",
+        F.get_json_object("catalog_json", "$.name").alias("cat_name"),
+        F.get_json_object("catalog_json", "$.n").cast("long").alias("n_declared"),
+        F.split(F.get_json_object("catalog_json", "$.urls"), ",").alias("urls"),
+    )
+    return parsed.select(
+        "doc_id", "cat_name", "n_declared", F.explode("urls").alias("url")
+    )
+
+
+_Q32_SQL = """
+WITH cat AS (
+  SELECT doc_id,
+    '{"name":"cat_' || doc_id || '","n":' || (doc_id % 5 + 1) || ',"urls":"' ||
+    array_to_string(
+      list_transform(range(1, (doc_id % 5 + 1)::INT + 1),
+                     i -> 'https://cat.example.com/' || doc_id || '/p' || i),
+      ',') || '"}' AS catalog_json
+  FROM documents
+)
+SELECT doc_id,
+       json_extract_string(catalog_json, '$.name') AS cat_name,
+       CAST(json_extract_string(catalog_json, '$.n') AS BIGINT) AS n_declared,
+       unnest(string_split(json_extract_string(catalog_json, '$.urls'), ',')) AS url
+FROM cat
+"""
+
+
+def q33_delete_by_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet-match delete (D5): glob 'e*' on lang -> anchored regex ->
+    filtered rewrite; survivors counted per facet (reference:
+    ingester/mongo.py:159-217 glob_to_regex + DeleteMany)."""
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    # glob 'e*' compiled driver-side to ^e.*$ (the reference's translation)
+    survivors = d.filter(~F.col("lang").rlike("^e.*$"))
+    return survivors.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+_Q33_SQL = """
+SELECT lang, COUNT(*) AS n_docs FROM documents
+WHERE NOT regexp_matches(lang, '^e.*$')
+GROUP BY lang
+"""
+
+
+def q34_conditional_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Special rule: conditional (P11) — the reference evals a templated
+    condition per record ("'pt' in time_frequency" -> inst/mean,
+    api/drs_config.toml:157-161); ours compiles to when/otherwise."""
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.when(F.col("source").contains("1"), F.lit("inst"))
+        .otherwise(F.lit("mean"))
+        .alias("cell_methods"),
+        F.when(F.col("n_chars") >= 300, F.lit("long"))
+        .when(F.col("n_chars") >= 100, F.lit("medium"))
+        .otherwise(F.lit("short"))
+        .alias("length_class"),
+    )
+
+
+_Q34_SQL = """
+SELECT doc_id,
+       CASE WHEN source LIKE '%1%' THEN 'inst' ELSE 'mean' END AS cell_methods,
+       CASE WHEN n_chars >= 300 THEN 'long'
+            WHEN n_chars >= 100 THEN 'medium'
+            ELSE 'short' END AS length_class
+FROM documents
+"""
+
+
+def q35_lookup_map_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Special rule: call/lookup (P12/J2) — the CORDEX domain->bbox dict
+    becomes a broadcast map literal probed with element_at (reference:
+    api/drs_config.toml:368-398, eval at config.py:697-702)."""
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    pairs = []
+    for k, v in [("en", "EUR"), ("de", "EUR"), ("fr", "EUR"),
+                 ("es", "EUR"), ("zh", "EAS"), ("ja", "EAS")]:
+        pairs.extend([F.lit(k), F.lit(v)])
+    region_map = F.create_map(*pairs)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.coalesce(F.element_at(region_map, F.col("lang")), F.lit("GLOBAL")).alias("region"),
+    )
+
+
+_Q35_SQL = """
+SELECT doc_id, lang,
+       CASE WHEN lang IN ('en','de','fr','es') THEN 'EUR'
+            WHEN lang IN ('zh','ja') THEN 'EAS'
+            ELSE 'GLOBAL' END AS region
+FROM documents
+"""
+
+
+def q36_cube_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metrics cube (A-family generalization): counts at every grouping-set
+    granularity of (event_type, user bucket)."""
+    _prep(spark)
+    e = _t(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 4).cast("long")
+    )
+    return e.cube("event_type", "user_bucket").agg(
+        F.count("*").alias("n_events")
+    )
+
+
+_Q36_SQL = """
+SELECT event_type, (user_id % 4) AS user_bucket, COUNT(*) AS n_events
+FROM events GROUP BY CUBE (event_type, (user_id % 4))
+"""
+
+
+def q37_except_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (U2, the stale-sweep shape): urls in source A that a
+    second crawl B did not re-discover."""
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 31).cast("string"),
+                   F.lit(".example.net/"), F.col("doc_id").cast("string"))
+    a = d.filter(F.col("doc_id") % 2 == 0).select(url.alias("url"))
+    b = d.filter(F.col("doc_id") % 3 == 0).select(url.alias("url"))
+    return a.exceptAll(b)
+
+
+_Q37_SQL = """
+SELECT 'https://h' || (doc_id % 31) || '.example.net/' || doc_id AS url
+FROM documents WHERE doc_id % 2 = 0
+EXCEPT ALL
+SELECT 'https://h' || (doc_id % 31) || '.example.net/' || doc_id AS url
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+def q38_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session; sessions counted
+    per user (lag + conditional cumsum — the batch form of the streaming
+    session_window)."""
+    _prep(spark)
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    gap = ms - F.lag(ms).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800_000), 1).otherwise(0)
+    sess = e.withColumn("new_sess", new_sess)
+    return sess.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+_Q38_SQL = """
+WITH g AS (
+  SELECT user_id, event_id,
+         epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY ts ASC, event_id ASC) AS gap
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_frontier_schedule": q01_frontier_schedule,
     "q02_url_canonicalize": q02_url_canonicalize,
@@ -1151,6 +1359,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_crawl_schedule_round": q29_crawl_schedule_round,
     "q30_bloom_membership": q30_bloom_membership,
     "q31_html_extraction": q31_html_extraction,
+    "q32_catalog_explode": q32_catalog_explode,
+    "q33_delete_by_facet": q33_delete_by_facet,
+    "q34_conditional_rule": q34_conditional_rule,
+    "q35_lookup_map_rule": q35_lookup_map_rule,
+    "q36_cube_metrics": q36_cube_metrics,
+    "q37_except_sources": q37_except_sources,
+    "q38_sessionize": q38_sessionize,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1181,6 +1396,13 @@ _ORACLES: dict[str, str] = {
     "q25_cosine_topk": _Q25_SQL,
     "q26_embedding_neardup": _Q26_SQL,
     "q28_hourly_rollup": _Q28_SQL,
+    "q32_catalog_explode": _Q32_SQL,
+    "q33_delete_by_facet": _Q33_SQL,
+    "q34_conditional_rule": _Q34_SQL,
+    "q35_lookup_map_rule": _Q35_SQL,
+    "q36_cube_metrics": _Q36_SQL,
+    "q37_except_sources": _Q37_SQL,
+    "q38_sessionize": _Q38_SQL,
 }
 
 
