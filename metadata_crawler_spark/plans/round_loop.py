@@ -208,12 +208,34 @@ class Crawler:
             os.path.join(self.checkpoint_dir, f"round={round_no:05d}", "scheduled")
         )
 
+        # fetch join: NEVER build/broadcast the pages side (it is the
+        # 100 TB table) — a plain left join makes pages the build side
+        # (non-preserved). Instead: inner join with the small scheduled
+        # set broadcast (pages is streamed once), then anti-union the
+        # misses (dead URLs) computed against the small hit set.
         pages = self.pages_snapshot()
-        fetchable = scheduled.join(
-            pages, scheduled["url"] == pages["page_url"], "left"
+        hits = pages.join(
+            F.broadcast(scheduled), pages["page_url"] == scheduled["url"], "inner"
         ).drop("page_url")
-        fetched = fetchable.mapInPandas(_fetch_batches, FETCH_SCHEMA)
+        fetched_hits = hits.mapInPandas(_fetch_batches, FETCH_SCHEMA).persist()
+        misses = (
+            scheduled.join(
+                F.broadcast(fetched_hits.select("url")), "url", "left_anti"
+            )
+            .withColumn("fetched", F.lit(False))
+            .withColumn("warc_ts", F.lit(None).cast("timestamp_ntz"))
+            .withColumn("text", F.lit(None).cast("string"))
+            .withColumn("lang", F.lit(None).cast("string"))
+            .withColumn("links", F.lit(None).cast("array<string>"))
+            .withColumn(
+                "planned_ms",
+                ((F.col("rank") - 1).cast("long") * F.col("crawl_delay_ms")).cast("long"),
+            )
+        )
+        out_cols = [f.split(" ")[0] for f in FETCH_SCHEMA.replace(", ", ",").split(",")]
+        fetched = fetched_hits.select(*out_cols).unionByName(misses.select(*out_cols))
         write_round_table(fetched, self.checkpoint_dir, round_no, "fetched")
+        fetched_hits.unpersist()
         fetched = self.spark.read.parquet(
             os.path.join(self.checkpoint_dir, f"round={round_no:05d}", "fetched")
         )

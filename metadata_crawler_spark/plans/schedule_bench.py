@@ -72,8 +72,10 @@ def run_schedule_pipeline(
     snapshot = pages.select(
         canonicalize_udf("url").alias("page_url"), "warc_ts", "html"
     )
-    fetchable = sched.join(
-        snapshot, sched["url"] == snapshot["page_url"], "left"
+    # broadcast the small scheduled side; stream the pages scan (the
+    # pages table is the 100 TB side — never the build side)
+    fetchable = snapshot.join(
+        F.broadcast(sched), snapshot["page_url"] == sched["url"], "inner"
     ).drop("page_url")
     fetched = fetchable.mapInPandas(_fetch_batches, FETCH_SCHEMA)
 
