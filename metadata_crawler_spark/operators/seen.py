@@ -218,6 +218,7 @@ def dedup_against_seen(
     bloom: DataFrame | None = None,
     n_shards: int = 32,
     broadcast_bloom: bool = True,
+    shuffle_exact_join: bool = False,
 ) -> DataFrame:
     """Return only candidates NOT in the seen set (reference analog: the
     unique-index upsert D1/D2 turning re-crawls into no-ops).
@@ -236,8 +237,15 @@ def dedup_against_seen(
         maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
         if seen_exact is None:
             return definitely_new
+        seen_keys = seen_exact.select("url_hash_hi", "url_hash_lo")
+        if shuffle_exact_join:
+            # at 10^10 URLs the seen table can never be the broadcast
+            # build side — force the shuffle hash join (all-parallel, no
+            # driver barrier); locally this is also what lets the anti
+            # join scale with cores instead of serializing on the build
+            seen_keys = seen_keys.hint("shuffle_hash")
         confirmed_new = maybe.join(
-            seen_exact.select("url_hash_hi", "url_hash_lo"),
+            seen_keys,
             ["url_hash_hi", "url_hash_lo"],
             "left_anti",
         )
