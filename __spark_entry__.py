@@ -1327,6 +1327,173 @@ FROM g GROUP BY user_id
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# q39-q44 — general relational coverage the engine exposes beyond the
+# reference: as-of join (operators/asof.py), pivot, intersect, rollup,
+# exact percentiles, running sums.
+# ---------------------------------------------------------------------------
+
+def _rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sparse rate table derived from events."""
+    e = _t(spark, sf_dir, "events")
+    return e.filter(F.col("event_id") % 50 == 0).select(
+        (F.col("user_id") % 4).alias("k"),
+        F.col("ts").cast("timestamp").alias("rts"),
+        (F.col("event_id") % 97).cast("double").alias("rate"),
+    )
+
+
+def q39_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (no Spark builtin): latest rate at/before each event's
+    timestamp per key — union-merge window formulation, zero Python."""
+    _prep(spark)
+    from metadata_crawler_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events").limit(4000).select(
+        "event_id",
+        (F.col("user_id") % 4).alias("k"),
+        F.col("ts").cast("timestamp").alias("ets"),
+    )
+    r = _rates(spark, sf_dir).withColumnRenamed("rts", "ets")
+    out = asof_join(e, r, "ets", ["k"], ["rate"])
+    return out.select(
+        "event_id", "k", F.unix_millis("ets").alias("ts_ms"), "rate"
+    )
+
+
+_Q39_SQL = """
+WITH e AS (
+  SELECT event_id, (user_id % 4) AS k, ts AS ets
+  FROM (SELECT * FROM events LIMIT 4000)
+),
+r AS (
+  SELECT (user_id % 4) AS k, ts AS rts,
+         CAST(event_id % 97 AS DOUBLE) AS rate
+  FROM events WHERE event_id % 50 = 0
+)
+SELECT e.event_id, e.k, epoch_ms(e.ets) AS ts_ms, r.rate
+FROM e ASOF LEFT JOIN r ON e.k = r.k AND e.ets >= r.rts
+"""
+
+
+def q40_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    e = _t(spark, sf_dir, "events").withColumn(
+        "bucket", (F.col("user_id") % 4).cast("long")
+    )
+    types = ["click", "view", "purchase", "signup", "error"]
+    p = e.groupBy("bucket").pivot("event_type", types).count()
+    cols = [F.col("bucket")] + [
+        F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types
+    ]
+    return p.select(*cols)
+
+
+_Q40_SQL = """
+SELECT (user_id % 4) AS bucket,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events GROUP BY 1
+"""
+
+
+def q41_intersect_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (U3 — absent in the reference; completes set ops)."""
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://i"), (F.col("doc_id") % 13).cast("string"),
+                   F.lit(".example.io/"), F.col("doc_id").cast("string"))
+    a = d.filter(F.col("doc_id") % 2 == 0).select(url.alias("url"))
+    b = d.filter(F.col("doc_id") % 3 == 0).select(url.alias("url"))
+    return a.intersect(b)
+
+
+_Q41_SQL = """
+SELECT 'https://i' || (doc_id % 13) || '.example.io/' || doc_id AS url
+FROM documents WHERE doc_id % 2 = 0
+INTERSECT
+SELECT 'https://i' || (doc_id % 13) || '.example.io/' || doc_id AS url
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+def q42_rollup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    e = _t(spark, sf_dir, "events").withColumn(
+        "bucket", (F.col("user_id") % 3).cast("long")
+    )
+    return e.rollup("event_type", "bucket").agg(
+        F.count("*").alias("n_events"),
+        F.grouping("event_type").cast("long").alias("g_type"),
+        F.grouping("bucket").cast("long").alias("g_bucket"),
+    )
+
+
+_Q42_SQL = """
+SELECT event_type, (user_id % 3) AS bucket, COUNT(*) AS n_events,
+       CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+       CAST(GROUPING((user_id % 3)) AS BIGINT) AS g_bucket
+FROM events GROUP BY ROLLUP (event_type, (user_id % 3))
+"""
+
+
+def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`)."""
+    _prep(spark)
+    e = _t(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.25, 0.5, 0.75))")
+    return e.groupBy("event_type").agg(
+        F.round(pct[0], 4).alias("p25"),
+        F.round(pct[1], 4).alias("p50"),
+        F.round(pct[2], 4).alias("p75"),
+    )
+
+
+_Q43_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 4) AS p25,
+       ROUND(quantile_cont(value, 0.50), 4) AS p50,
+       ROUND(quantile_cont(value, 0.75), 4) AS p75
+FROM events GROUP BY event_type
+"""
+
+
+def q44_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total (decimal so the cumulative sum is exact and
+    order-independent across engines)."""
+    _prep(spark)
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w)
+        .cast("decimal(18,2)").alias("cum_value"),
+    )
+
+
+_Q44_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,4)))
+              OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DECIMAL(18,2)) AS cum_value
+FROM events WHERE user_id < 20
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_frontier_schedule": q01_frontier_schedule,
     "q02_url_canonicalize": q02_url_canonicalize,
@@ -1366,6 +1533,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_cube_metrics": q36_cube_metrics,
     "q37_except_sources": q37_except_sources,
     "q38_sessionize": q38_sessionize,
+    "q39_asof_join": q39_asof_join,
+    "q40_pivot": q40_pivot,
+    "q41_intersect_sources": q41_intersect_sources,
+    "q42_rollup_metrics": q42_rollup_metrics,
+    "q43_percentiles": q43_percentiles,
+    "q44_running_sum": q44_running_sum,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1403,6 +1576,12 @@ _ORACLES: dict[str, str] = {
     "q36_cube_metrics": _Q36_SQL,
     "q37_except_sources": _Q37_SQL,
     "q38_sessionize": _Q38_SQL,
+    "q39_asof_join": _Q39_SQL,
+    "q40_pivot": _Q40_SQL,
+    "q41_intersect_sources": _Q41_SQL,
+    "q42_rollup_metrics": _Q42_SQL,
+    "q43_percentiles": _Q43_SQL,
+    "q44_running_sum": _Q44_SQL,
 }
 
 
