@@ -65,3 +65,28 @@ def count_stale(df: DataFrame, epoch_col: str, watermark) -> int:
     >75%% of the store, api/metadata_stores.py:383-397)."""
     wm = watermark if isinstance(watermark, Column) else F.lit(watermark)
     return df.filter(F.col(epoch_col) < wm).count()
+
+
+class SweepRefused(RuntimeError):
+    """Raised instead of an interactive prompt when a sweep would delete
+    more than ``guard_fraction`` of the store (the reference asks the
+    operator to confirm, api/metadata_stores.py:383-397; a batch engine
+    refuses and lets the caller pass force=True)."""
+
+
+def guarded_sweep(
+    df: DataFrame,
+    epoch_col: str,
+    watermark,
+    guard_fraction: float = 0.75,
+    force: bool = False,
+) -> DataFrame:
+    """sweep_stale with the reference's >75%%-deletion confirmation guard."""
+    total = df.count()
+    stale = count_stale(df, epoch_col, watermark)
+    if total and stale / total > guard_fraction and not force:
+        raise SweepRefused(
+            f"sweep would delete {stale}/{total} "
+            f"({stale / total:.0%}) > {guard_fraction:.0%}; pass force=True"
+        )
+    return sweep_stale(df, epoch_col, watermark)

@@ -57,6 +57,11 @@ from ..operators.versioning import latest_per_key
 from ..sources.tables import ManifestLog, read_rounds, write_round_table
 
 
+class EmptyCrawl(RuntimeError):
+    """Raised when a finished crawl fetched fewer objects than
+    ``fail_under`` (reference: run.py:510-515 + EmptyCrawl)."""
+
+
 @dataclass
 class CrawlConfig:
     n_shards: int = 32
@@ -64,6 +69,12 @@ class CrawlConfig:
     bloom_expected_per_shard: int = 50_000
     salt_parts: int = 8
     default_budget: int = 8
+    #: cap on URLs scheduled per round (the MDC_MAX_FILES test valve,
+    #: reference data_collector.py:87,131-136); None = unlimited
+    max_urls_per_round: int | None = None
+    #: minimum total fetched after run() completes, else EmptyCrawl
+    #: (reference --fail-under, run.py:510-515)
+    fail_under: int | None = None
     #: combined-score rounding — floating sums across shuffles are not
     #: bit-reproducible; 9 decimals makes ordering data-deterministic.
     score_decimals: int = 9
@@ -199,7 +210,14 @@ class Crawler:
         ).persist()
         scheduled = schedule_round(
             new_urls, self.hosts, self.robots, cfg.salt_parts, cfg.default_budget
-        ).select(
+        )
+        if cfg.max_urls_per_round is not None:
+            # deterministic valve: global order, not task order
+            scheduled = (
+                scheduled.orderBy("depth", F.col("score").desc(), "url")
+                .limit(cfg.max_urls_per_round)
+            )
+        scheduled = scheduled.select(
             "url", "host", "depth", "score", "rank", "crawl_delay_ms",
             "fetch_offset_ms", "url_hash_hi", "url_hash_lo",
         )
@@ -327,4 +345,10 @@ class Crawler:
             counts = self.run_round(r, frontier, seen, bloom)
             results.append(counts)
             seen, bloom, frontier = self._load_state(r)
+        if self.config.fail_under is not None:
+            total = sum(c["fetched"] for c in results)
+            if total < self.config.fail_under:
+                raise EmptyCrawl(
+                    f"crawl fetched {total} < fail_under={self.config.fail_under}"
+                )
         return results

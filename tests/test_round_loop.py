@@ -174,3 +174,40 @@ def test_metrics_lineage_written(crawl, spark):
                  m.groupBy("round").agg(F.sum("scheduled_n").alias("scheduled_n")).collect()}
     for res in results:
         assert per_round[res["round"]] == res["scheduled"]
+
+
+def test_max_urls_valve_and_fail_under(spark, fixture_dir, tables, tmp_path_factory):
+    from metadata_crawler_spark.plans.round_loop import CrawlConfig, Crawler, EmptyCrawl
+
+    ck = str(tmp_path_factory.mktemp("ckpt_valve"))
+    cfg = CrawlConfig(
+        n_shards=8, bloom_expected_per_shard=4096, salt_parts=4,
+        max_urls_per_round=5, fail_under=10_000,
+    )
+    c = Crawler(
+        spark=spark,
+        pages_path=os.path.join(fixture_dir, "pages.parquet"),
+        robots=tables["robots"],
+        hosts=tables["hosts"],
+        checkpoint_dir=ck,
+        config=cfg,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(EmptyCrawl):
+        c.run(tables["seeds"], rounds=2)
+    for r in range(2):
+        n = spark.read.parquet(os.path.join(ck, f"round={r:05d}", "scheduled")).count()
+        assert n <= 5
+
+
+def test_guarded_sweep(spark):
+    from metadata_crawler_spark.operators.versioning import SweepRefused, guarded_sweep
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(i, i) for i in range(100)], "id long, epoch long")
+    with _pytest.raises(SweepRefused):
+        guarded_sweep(df, "epoch", 90)  # would delete 90%
+    kept = guarded_sweep(df, "epoch", 90, force=True)
+    assert kept.count() == 10
+    assert guarded_sweep(df, "epoch", 10).count() == 90  # 10% -> no guard
