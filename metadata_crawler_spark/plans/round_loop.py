@@ -200,6 +200,8 @@ class Crawler:
         seen: DataFrame | None,
         bloom: DataFrame | None,
     ) -> dict:
+        from pyspark.sql import Observation
+
         cfg = self.config
         t0 = time.time()
 
@@ -221,7 +223,12 @@ class Crawler:
             "url", "host", "depth", "score", "rank", "crawl_delay_ms",
             "fetch_offset_ms", "url_hash_hi", "url_hash_lo",
         )
+        # counts piggyback on the write actions (Observation) — a crawl
+        # round is latency-bound by its job count, not its data volume
+        obs_sched = Observation(f"sched_{round_no}")
+        scheduled = scheduled.observe(obs_sched, F.count(F.lit(1)).alias("n"))
         write_round_table(scheduled, self.checkpoint_dir, round_no, "scheduled")
+        scheduled_n = int(obs_sched.get["n"])
         scheduled = self.spark.read.parquet(
             os.path.join(self.checkpoint_dir, f"round={round_no:05d}", "scheduled")
         )
@@ -252,7 +259,12 @@ class Crawler:
         )
         out_cols = [f.split(" ")[0] for f in FETCH_SCHEMA.replace(", ", ",").split(",")]
         fetched = fetched_hits.select(*out_cols).unionByName(misses.select(*out_cols))
+        obs_fetch = Observation(f"fetch_{round_no}")
+        fetched = fetched.observe(
+            obs_fetch, F.sum(F.col("fetched").cast("long")).alias("n_fetched")
+        )
         write_round_table(fetched, self.checkpoint_dir, round_no, "fetched")
+        fetched_n = int(obs_fetch.get["n_fetched"] or 0)
         fetched_hits.unpersist()
         fetched = self.spark.read.parquet(
             os.path.join(self.checkpoint_dir, f"round={round_no:05d}", "fetched")
@@ -292,7 +304,10 @@ class Crawler:
         nxt = _combine_frontier(
             carryover.unionByName(children), cfg.score_decimals
         )
+        obs_next = Observation(f"next_{round_no}")
+        nxt = nxt.observe(obs_next, F.count(F.lit(1)).alias("n"))
         write_round_table(nxt, self.checkpoint_dir, round_no, "frontier_next")
+        frontier_next_n = int(obs_next.get["n"])
 
         # per-partition lineage metrics (north rule), committed with the round
         metrics = (
@@ -306,22 +321,24 @@ class Crawler:
         )
         write_round_table(metrics, self.checkpoint_dir, round_no, "metrics")
 
-        nxt_committed = self.spark.read.parquet(
-            os.path.join(self.checkpoint_dir, f"round={round_no:05d}", "frontier_next")
-        )
         counts = {
             "round": round_no,
             "frontier_in": frontier_in,
             "deduped": new_urls.count(),
-            "scheduled": scheduled.count(),
-            "fetched": fetched.filter(F.col("fetched")).count(),
-            "frontier_next": nxt_committed.count(),
+            "scheduled": scheduled_n,
+            "fetched": fetched_n,
+            "frontier_next": frontier_next_n,
             "wall_s": round(time.time() - t0, 3),
         }
         frontier.unpersist()
         new_urls.unpersist()
-        # THE commit point: manifest flip makes the round visible atomically
-        self.log.commit({"last_round": round_no, **{f"r{round_no}": counts}})
+        # THE commit point: manifest flip makes the round visible atomically;
+        # prior rounds' counts are carried forward (lineage accumulates)
+        state = self.log.read() or {}
+        state.pop("committed_at", None)
+        state["last_round"] = round_no
+        state[f"r{round_no}"] = counts
+        self.log.commit(state)
         return counts
 
     # -- the loop ----------------------------------------------------------
@@ -336,14 +353,18 @@ class Crawler:
             frontier = self._seed_frontier(seeds)
             seen, bloom = None, None
         else:
+            # frontier exhaustion is read from the committed counts — no
+            # isEmpty() action (it would re-run the whole frontier chain)
+            if state.get(f"r{start - 1}", {}).get("frontier_next") == 0:
+                return results
             seen, bloom, frontier = self._load_state(start - 1)
             if frontier is None:
                 return results
         for r in range(start, rounds):
-            if frontier.isEmpty():
-                break
             counts = self.run_round(r, frontier, seen, bloom)
             results.append(counts)
+            if counts["frontier_next"] == 0:
+                break
             seen, bloom, frontier = self._load_state(r)
         if self.config.fail_under is not None:
             total = sum(c["fetched"] for c in results)
