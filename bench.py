@@ -144,6 +144,11 @@ def main() -> None:
     t0 = time.time()
     crawl_full = _crawl_throughput(spark, fx_paths)
     queries["crawl_rounds"] = round(time.time() - t0, 3)
+
+    # hot-host skew handling win (salted two-stage top-k vs naive window)
+    from metadata_crawler_spark.plans.schedule_bench import skew_win
+
+    skew = skew_win(spark, os.path.abspath(url_dir))
     spark.stop()
 
     # scaling evidence: PAIRED interleaved trials of the same job on the
@@ -191,6 +196,7 @@ def main() -> None:
                 "not the engine)"
             ),
         },
+        "skew": skew,
         "n_pages": n_pages,
         "n_scaling_urls": n_scale,
         "cpus": CPUS,
