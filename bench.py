@@ -134,6 +134,9 @@ def main() -> None:
         "q06_lookup_join",
         "q13_counters",
         "q19_fingerprint",
+        "q21_minhash_signatures",
+        "q25_cosine_topk",
+        "q38_sessionize",
     ):
         fn = entry_mod.queries()[name]
         t0 = time.time()
