@@ -212,7 +212,7 @@ def paired_main() -> None:
             }
         )
         # a pair already at/above the 0.8 target needs no more sampling
-        if eff >= 0.85:
+        if eff >= 0.8:
             break
     best = max(pairs, key=lambda p: p["efficiency"])
     print(
