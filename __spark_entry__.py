@@ -1494,6 +1494,80 @@ FROM events WHERE user_id < 20
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# q45-q46 — re-crawl change detection + robots.txt parsing.
+# ---------------------------------------------------------------------------
+
+def q45_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two crawls diffed by content hash: unchanged/changed/new/gone per
+    URL (epoch-refresh analog, operators/changes.py)."""
+    _prep(spark)
+    from metadata_crawler_spark.operators.changes import change_stats, detect_changes
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://c"), (F.col("doc_id") % 41).cast("string"),
+                   F.lit(".example.org/"), F.col("doc_id").cast("string"))
+    old = d.filter(F.col("doc_id") % 5 != 0).select(url.alias("url"), "text")
+    new = d.filter(F.col("doc_id") % 7 != 0).select(
+        url.alias("url"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat("text", F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return change_stats(detect_changes(old, new))
+
+
+_Q45_SQL = """
+WITH o AS (
+  SELECT 'https://c' || (doc_id % 41) || '.example.org/' || doc_id AS url,
+         md5(text) AS old_hash
+  FROM documents WHERE doc_id % 5 <> 0
+),
+n AS (
+  SELECT 'https://c' || (doc_id % 41) || '.example.org/' || doc_id AS url,
+         md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS new_hash
+  FROM documents WHERE doc_id % 7 <> 0
+),
+j AS (
+  SELECT COALESCE(o.url, n.url) AS url, o.old_hash, n.new_hash
+  FROM o FULL OUTER JOIN n ON o.url = n.url
+)
+SELECT CASE WHEN old_hash IS NULL THEN 'new'
+            WHEN new_hash IS NULL THEN 'gone'
+            WHEN old_hash = new_hash THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       COUNT(*) AS n_urls
+FROM j GROUP BY 1
+"""
+
+
+def q46_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt bodies -> rules table (pandas UDF; rows-only check —
+    golden-tested in tests/test_robots_changes.py)."""
+    _prep(spark)
+    from metadata_crawler_spark.functions.robots import render_robots_txt, robots_table
+
+    d = _t(spark, sf_dir, "documents").limit(500)
+    # deterministic synthetic robots bodies driven by doc_id
+    body = F.concat(
+        F.lit("User-agent: *\n"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("Disallow: /private\nDisallow: /tmp\n"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("Disallow: /\n"))
+        .otherwise(F.lit("Disallow:\n")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("Crawl-delay: 2\n")).otherwise(F.lit("")),
+    )
+    pages = d.select(
+        F.concat(F.lit("h"), F.col("doc_id").cast("string"), F.lit(".example.com")).alias("host"),
+        body.cast("binary").alias("robots_txt"),
+    )
+    rules = robots_table(pages)
+    del render_robots_txt
+    return rules.select(
+        "host", F.size("disallow").alias("n_disallow"), "crawl_delay_ms"
+    )
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_frontier_schedule": q01_frontier_schedule,
     "q02_url_canonicalize": q02_url_canonicalize,
@@ -1539,6 +1613,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_rollup_metrics": q42_rollup_metrics,
     "q43_percentiles": q43_percentiles,
     "q44_running_sum": q44_running_sum,
+    "q45_change_detection": q45_change_detection,
+    "q46_robots_parse": q46_robots_parse,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1582,6 +1658,7 @@ _ORACLES: dict[str, str] = {
     "q42_rollup_metrics": _Q42_SQL,
     "q43_percentiles": _Q43_SQL,
     "q44_running_sum": _Q44_SQL,
+    "q45_change_detection": _Q45_SQL,
 }
 
 
