@@ -71,3 +71,25 @@ def read_rounds(
     if not paths:
         return None
     return spark.read.parquet(*paths)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed on a join key (Iceberg analog:
+    ``PARTITIONED BY bucket(n, col)``). A later equi-join on
+    ``bucket_col`` reads the bucketed side WITHOUT an Exchange — at
+    100 TB this is what keeps the per-round fetch join from shuffling
+    the pages table when the scheduled side outgrows broadcast; Spark
+    shuffles only the small side into the existing bucket layout."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
