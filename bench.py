@@ -149,9 +149,12 @@ def main() -> None:
     queries["crawl_rounds"] = round(time.time() - t0, 3)
 
     # hot-host skew handling win (salted two-stage top-k vs naive window)
-    from metadata_crawler_spark.plans.schedule_bench import skew_win
+    try:
+        from metadata_crawler_spark.plans.schedule_bench import skew_win
 
-    skew = skew_win(spark, os.path.abspath(url_dir))
+        skew = skew_win(spark, os.path.abspath(url_dir))
+    except Exception as exc:  # never lose the JSON line to a sub-bench
+        skew = {"error": str(exc)[:200]}
     spark.stop()
 
     # scaling evidence: PAIRED interleaved trials of the same job on the
@@ -166,16 +169,20 @@ def main() -> None:
     # noise regime; efficiency is taken from the best pair.
     import subprocess
 
-    repeat = os.environ.get("MCS_BENCH_REPEAT", "3")
-    proc = subprocess.run(
-        [sys.executable, "-m", "metadata_crawler_spark.plans.schedule_bench",
-         "paired", os.path.abspath(url_dir), repeat, "1", "4"],
-        capture_output=True, text=True, cwd=HERE, timeout=2400,
-    )
-    scaling = json.loads(proc.stdout.strip().splitlines()[-1])
-    thr_n = scaling["localN_urls_per_sec"]
-    thr_4n = scaling["local4N_urls_per_sec"]
-    efficiency = scaling["efficiency"]
+    repeat = os.environ.get("MCS_BENCH_REPEAT", "4")
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "metadata_crawler_spark.plans.schedule_bench",
+             "paired", os.path.abspath(url_dir), repeat, "1", "4"],
+            capture_output=True, text=True, cwd=HERE, timeout=2400,
+        )
+        scaling = json.loads(proc.stdout.strip().splitlines()[-1])
+        thr_n = scaling["localN_urls_per_sec"]
+        thr_4n = scaling["local4N_urls_per_sec"]
+        efficiency = scaling["efficiency"]
+    except Exception as exc:  # never lose the JSON line to a sub-bench
+        scaling = {"levels": [1, 4], "error": str(exc)[:200]}
+        thr_n = thr_4n = efficiency = None
 
     out = {
         "metric": "frontier URLs scheduled+deduped/sec (north rule); wall secs per headline query",
