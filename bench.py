@@ -47,7 +47,7 @@ def _n_scaling_urls(sf: float) -> int:
     """URL-corpus size for the scaling probes: big enough that parallel work
     dominates the fixed per-job driver latency (F ~5s, W ~21us/url measured),
     so N->4N efficiency reflects the engine, not the floor."""
-    return max(2_000_000, int(40_000_000 * sf))
+    return max(2_000_000, int(60_000_000 * sf))
 
 
 def _mk_spark(cores: int):
