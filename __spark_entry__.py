@@ -4,8 +4,9 @@
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2 (+ the training-data-pipeline ops); ``oracle_sql()`` gives the
 DuckDB-equivalent SQL. Column names/aliases match exactly on both sides;
-monetary/aggregate floats are cast to DECIMAL so value hashes are
-order- and engine-independent; timestamps are emitted as epoch millis.
+monetary/aggregate sums use exact DECIMAL arithmetic internally but are
+emitted as ROUND()'d DOUBLEs (DECIMAL output columns hash differently across
+engines even when values agree — VERDICT r1); timestamps are epoch millis.
 """
 
 from __future__ import annotations
@@ -245,15 +246,19 @@ def q05_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     seen = c.filter(F.col("c_acctbal") < 0).select(F.col("c_custkey"))
     new = o.join(seen, o["o_custkey"] == seen["c_custkey"], "left_anti")
+    # exact decimal arithmetic inside, double representation outside: the
+    # driver's value-hash diverges on DECIMAL rendering, not math (VERDICT r1)
     return new.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("decimal(18,2)").alias("total_price"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2
+        ).alias("total_price"),
     )
 
 
 _Q05_SQL = """
 SELECT o_orderpriority, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,2)) AS total_price
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_price
 FROM orders
 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
 GROUP BY o_orderpriority
@@ -272,15 +277,18 @@ def q06_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "inner")
     return j.groupBy("p_brand").agg(
         F.count("*").alias("n_lines"),
-        F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-        ).cast("decimal(18,4)").alias("revenue"),
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            ).cast("double"),
+            4,
+        ).alias("revenue"),
     )
 
 
 _Q06_SQL = """
 SELECT p_brand, COUNT(*) AS n_lines,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 """
@@ -547,13 +555,15 @@ def q13_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(18,2)").alias("total_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
+        ).alias("total_value"),
     )
 
 
 _Q13_SQL = """
 SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,2)) AS total_value
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
 FROM events GROUP BY event_type
 """
 
@@ -1011,14 +1021,16 @@ def q28_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(hour).alias("hour_ms"), "event_type"
     ).agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(18,2)").alias("total_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
+        ).alias("total_value"),
     )
 
 
 _Q28_SQL = """
 SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,2)) AS total_value
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
 FROM events GROUP BY 1, 2
 """
 
@@ -1479,17 +1491,18 @@ def q44_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        F.sum(F.col("value").cast("decimal(18,4)")).over(w)
-        .cast("decimal(18,2)").alias("cum_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double"), 2
+        ).alias("cum_value"),
     )
 
 
 _Q44_SQL = """
 SELECT event_id, user_id,
-       CAST(SUM(CAST(value AS DECIMAL(18,4)))
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4)))
               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS DECIMAL(18,2)) AS cum_value
+            AS DOUBLE), 2) AS cum_value
 FROM events WHERE user_id < 20
 """
 
