@@ -3,17 +3,29 @@ scheduler joins against.
 
 Reference parity: per-dataset gating config (suffixes/glob_pattern,
 /root/reference/src/metadata_crawler/api/config.py:577-585,:479) is
-declared in TOML; a web crawler instead discovers its gating rules by
-fetching /robots.txt per host. This module turns a table of
-(host, robots_txt binary) into (host, disallow array<string>,
-crawl_delay_ms long) — the exact shape operators/frontier.apply_robots
-consumes.
+declared in TOML — and its glob gate DOES support wildcards; a web crawler
+instead discovers its gating rules by fetching /robots.txt per host. This
+module turns a table of (host, robots_txt binary) into
+(host, allow array<string>, disallow array<string>, crawl_delay_ms long)
+— the shape operators/frontier.apply_robots consumes.
 
-Parsing is a vectorized-enough pandas UDF (per-row line split — robots
-bodies are tiny and arrive in Arrow batches); semantics follow the
-original robots exclusion protocol: the `*` user-agent group's Disallow
-prefixes and Crawl-delay, empty Disallow means allow-all, groups for
-other agents are ignored.
+Semantics follow the Robots Exclusion Protocol (RFC 9309):
+
+- a group is one or more CONSECUTIVE ``User-agent`` lines followed by its
+  rule lines — a run of UA lines shares one rule block;
+- group selection: the most specific user-agent token that matches our
+  agent wins (token is a case-insensitive prefix of the agent name);
+  ``*`` is the fallback; all groups with the winning token are merged;
+- ``Allow`` and ``Disallow`` both supported; matching uses longest-match
+  precedence with allow winning ties (enforced in
+  operators/frontier.apply_robots, JVM-side);
+- patterns may contain ``*`` (any run) and a trailing ``$`` (end anchor);
+- empty ``Disallow:`` means allow-all; rules before any UA line are
+  ignored; ``Crawl-delay`` is per selected group.
+
+Parsing is a pandas UDF (per-row line split — robots bodies are tiny and
+arrive in Arrow batches); pattern MATCHING against the frontier is pure
+Spark expressions (frontier.apply_robots), never per-row Python.
 """
 
 from __future__ import annotations
@@ -23,13 +35,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+#: the product token this crawler identifies as (RFC 9309 §2.2.1)
+DEFAULT_AGENT = "mcsbot"
 
-def parse_robots_txt(body: str) -> tuple[list[str], int]:
-    """(disallow prefixes, crawl_delay_ms) for the '*' agent group."""
-    disallow: list[str] = []
-    delay_ms = 0
-    applies = False
-    saw_any_agent = False
+
+def parse_robots_txt(
+    body: str, agent: str = DEFAULT_AGENT
+) -> tuple[list[str], list[str], int]:
+    """(allow patterns, disallow patterns, crawl_delay_ms) for the group
+    that best matches ``agent``.
+
+    Group state machine: a UA line NOT preceded by another UA line starts a
+    new group; consecutive UA lines extend the current group's token set
+    (they share the rule block that follows).
+    """
+    groups: list[dict] = []
+    cur: dict | None = None
+    in_ua_run = False
     for raw in body.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -38,40 +60,79 @@ def parse_robots_txt(body: str) -> tuple[list[str], int]:
         key = key.strip().lower()
         val = val.strip()
         if key == "user-agent":
-            # a new group header; '*' group applies to us
-            if saw_any_agent and applies and disallow:
-                # already collected the * group and a new group starts
-                pass
-            applies = val == "*"
-            saw_any_agent = True
-        elif key == "disallow" and applies:
+            if not in_ua_run:
+                cur = {"tokens": [], "allow": [], "disallow": [], "delay": None}
+                groups.append(cur)
+            cur["tokens"].append(val.lower())
+            in_ua_run = True
+            continue
+        in_ua_run = False
+        if cur is None:
+            continue  # rules before any User-agent line are ignored
+        if key == "disallow":
             if val:
-                disallow.append(val)
-        elif key == "crawl-delay" and applies:
+                cur["disallow"].append(val)
+        elif key == "allow":
+            if val:
+                cur["allow"].append(val)
+        elif key == "crawl-delay":
             try:
-                delay_ms = int(float(val) * 1000)
+                cur["delay"] = int(float(val) * 1000)
             except ValueError:
                 pass
-    return disallow, delay_ms
+
+    agent_l = agent.lower()
+
+    def _score(tokens: list[str]) -> int:
+        """-1 = no match, 0 = '*', else specificity = token length."""
+        best = -1
+        for t in tokens:
+            if t == "*":
+                best = max(best, 0)
+            elif t and agent_l.startswith(t):
+                best = max(best, len(t))
+        return best
+
+    best = max((_score(g["tokens"]) for g in groups), default=-1)
+    if best < 0:
+        return [], [], 0
+    allow: list[str] = []
+    disallow: list[str] = []
+    delay_ms = 0
+    for g in groups:
+        if _score(g["tokens"]) == best:
+            allow.extend(g["allow"])
+            disallow.extend(g["disallow"])
+            if g["delay"] is not None:
+                delay_ms = g["delay"]
+    return allow, disallow, delay_ms
 
 
 ROBOTS_RULES_SCHEMA = T.StructType(
     [
+        T.StructField("allow", T.ArrayType(T.StringType())),
         T.StructField("disallow", T.ArrayType(T.StringType())),
         T.StructField("crawl_delay_ms", T.LongType()),
     ]
 )
 
 
+def _decode_one(b) -> str:
+    if isinstance(b, (bytes, bytearray, memoryview)):
+        return bytes(b).decode("utf-8", "replace")
+    return b or ""
+
+
 @F.pandas_udf(ROBOTS_RULES_SCHEMA)
 def parse_robots_udf(bodies: pd.Series) -> pd.DataFrame:
-    if len(bodies) and isinstance(bodies.iloc[0], (bytes, bytearray)):
-        bodies = bodies.str.decode("utf-8", errors="replace")
-    parsed = [parse_robots_txt(b or "") for b in bodies]
+    # per-ELEMENT decode: a batch can mix bytes and NULLs, so sniffing the
+    # first element (the old behavior) left later bytes undecoded
+    parsed = [parse_robots_txt(_decode_one(b)) for b in bodies]
     return pd.DataFrame(
         {
-            "disallow": [p[0] for p in parsed],
-            "crawl_delay_ms": [p[1] for p in parsed],
+            "allow": [p[0] for p in parsed],
+            "disallow": [p[1] for p in parsed],
+            "crawl_delay_ms": [p[2] for p in parsed],
         }
     )
 
@@ -83,14 +144,23 @@ def robots_table(robots_pages: DataFrame, host_col: str = "host",
         F.col(host_col).alias("host"), parse_robots_udf(F.col(body_col)).alias("r")
     )
     return parsed.select(
-        "host", F.col("r.disallow").alias("disallow"),
+        "host",
+        F.col("r.allow").alias("allow"),
+        F.col("r.disallow").alias("disallow"),
         F.col("r.crawl_delay_ms").alias("crawl_delay_ms"),
     )
 
 
-def render_robots_txt(disallow: list[str], crawl_delay_ms: int) -> str:
-    """Inverse (fixture side): deterministic robots.txt body."""
+def render_robots_txt(
+    disallow: list[str],
+    crawl_delay_ms: int,
+    allow: list[str] | None = None,
+) -> str:
+    """Inverse (fixture side): deterministic robots.txt body. Includes a
+    decoy group for another agent and a shared-UA-run group so parsers
+    exercising group selection see realistic structure."""
     lines = ["# synthetic robots fixture", "User-agent: *"]
+    lines += [f"Allow: {a}" for a in (allow or [])]
     lines += [f"Disallow: {d}" for d in disallow]
     if not disallow:
         lines.append("Disallow:")

@@ -52,9 +52,14 @@ def extract_text_py(html: bytes | str) -> str:
 
 
 def _decode(html: pd.Series) -> pd.Series:
-    if html.dtype == object and len(html) and isinstance(html.iloc[0], (bytes, bytearray)):
-        return html.str.decode("utf-8", errors="replace")
-    return html.fillna("").astype(str)
+    """bytes/str/NULL-mixed series -> str series, element-wise and still
+    vectorized: ``.str.decode`` decodes the bytes elements and yields NaN
+    for everything else, which then falls back to the original value.
+    (First-element sniffing broke batches whose first row was NULL.)"""
+    if html.dtype != object:
+        return html.fillna("").astype(str)
+    dec = html.str.decode("utf-8", errors="replace")
+    return dec.where(dec.notna(), html).fillna("").astype(str)
 
 
 def _extract_text_batch(html: pd.Series) -> pd.Series:

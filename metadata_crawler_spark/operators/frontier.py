@@ -50,23 +50,81 @@ def path_expr(url_col):
     return F.regexp_replace(url_col, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*", "")
 
 
-def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
-    """Drop URLs matched by a disallow prefix; attach crawl_delay_ms.
+#: robots tables above this row count are joined with a shuffle instead of a
+#: broadcast (at 10^8 hosts the rules table is not broadcastable)
+ROBOTS_BROADCAST_MAX_ROWS = 4_000_000
 
-    robots is per-host and small relative to the frontier -> broadcast.
-    The prefix test is a builtin EXISTS over the disallow array (JVM-side,
-    no UDF). Hosts without robots rows pass with delay 0.
+
+def _like_rule_structs(patterns, allow: bool):
+    """Raw robots patterns -> array<struct<like_pat,prec,allow>>: ``*`` ->
+    ``%``, trailing ``$`` -> end anchor (no trailing ``%``), LIKE
+    metacharacters escaped. prec = raw pattern length (RFC 9309
+    longest-match precedence). Pure expressions — codegen'd, no UDF."""
+
+    def mk(p):
+        anchored = F.endswith(p, F.lit("$"))
+        raw = F.when(anchored, F.substring(p, 1, F.length(p) - 1)).otherwise(p)
+        esc = F.replace(raw, F.lit("\\"), F.lit("\\\\"))
+        esc = F.replace(esc, F.lit("%"), F.lit("\\%"))
+        esc = F.replace(esc, F.lit("_"), F.lit("\\_"))
+        esc = F.replace(esc, F.lit("*"), F.lit("%"))
+        like_pat = F.when(anchored, esc).otherwise(F.concat(esc, F.lit("%")))
+        return F.struct(
+            like_pat.alias("like_pat"),
+            F.length(p).alias("prec"),
+            F.lit(allow).alias("allow"),
+        )
+
+    return F.transform(F.coalesce(patterns, F.array().cast("array<string>")), mk)
+
+
+#: longest-match verdict: among rules whose LIKE pattern matches __path,
+#: highest precedence wins; allow wins ties; no match -> allowed.
+#: (column LIKE pattern + aggregate — whole-stage codegen, no Python)
+_ROBOTS_VERDICT = """
+aggregate(
+  filter(__rules, r -> __path LIKE r.like_pat),
+  named_struct('prec', -1, 'allow', true),
+  (acc, r) -> if(r.prec > acc.prec or (r.prec = acc.prec and r.allow),
+                 named_struct('prec', r.prec, 'allow', r.allow), acc)
+).allow
+"""
+
+
+def apply_robots(
+    frontier: DataFrame,
+    robots: DataFrame,
+    broadcast: bool | None = None,
+) -> DataFrame:
+    """Drop URLs the host's robots rules disallow; attach crawl_delay_ms.
+
+    RFC 9309 matching: Allow + Disallow patterns with ``*``/``$`` wildcards,
+    longest-match precedence, allow wins ties, hosts without rules pass
+    with delay 0. Patterns are compiled to LIKE patterns and evaluated
+    JVM-side (no UDF).
+
+    ``broadcast``: True/False forces the join strategy; None (default)
+    auto-switches — broadcast while the rules table is provably small
+    (bounded ``limit().count()`` probe), shuffle join beyond
+    ROBOTS_BROADCAST_MAX_ROWS (the 10^8-host path).
     """
-    joined = frontier.join(F.broadcast(robots), "host", "left")
-    path = path_expr(F.col("url"))
-    disallowed = F.exists(
-        F.coalesce(F.col("disallow"), F.array()),
-        lambda d: path.startswith(d),
+    rules = _like_rule_structs(F.col("disallow"), False)
+    if "allow" in robots.columns:
+        rules = F.concat(rules, _like_rule_structs(F.col("allow"), True))
+    rtab = robots.select(
+        "host", rules.alias("__rules"), F.col("crawl_delay_ms").alias("__delay")
     )
+    if broadcast is None:
+        # bounded probe: scans at most MAX+1 rows, never the whole table
+        probe = robots.select("host").limit(ROBOTS_BROADCAST_MAX_ROWS + 1).count()
+        broadcast = probe <= ROBOTS_BROADCAST_MAX_ROWS
+    joined = frontier.join(F.broadcast(rtab) if broadcast else rtab, "host", "left")
+    joined = joined.withColumn("__path", path_expr(F.col("url")))
+    allowed = F.col("__rules").isNull() | F.expr(_ROBOTS_VERDICT)
     return (
-        joined.filter(~disallowed)
-        .withColumn("crawl_delay_ms", F.coalesce(F.col("crawl_delay_ms"), F.lit(0)))
-        .drop("disallow")
+        joined.filter(allowed)
+        .withColumn("crawl_delay_ms", F.coalesce(F.col("__delay"), F.lit(0)))
+        .drop("__rules", "__path", "__delay")
     )
 
 
@@ -132,12 +190,31 @@ def with_politeness_schedule(scheduled: DataFrame) -> DataFrame:
     )
 
 
+def gate_frontier(
+    frontier: DataFrame,
+    hosts: DataFrame,
+    robots: DataFrame,
+    default_budget: int = 8,
+    robots_broadcast: bool | None = True,
+) -> DataFrame:
+    """The admission gates of a round: validity -> host -> robots ->
+    budget attach. Everything that survives is ELIGIBLE (fetchable now or
+    a later round); everything filtered here is permanently blocked and
+    must NOT re-enter the frontier (the round loop drops it — carrying
+    blocked URLs forever would grow per-round cost without bound)."""
+    f = with_host(valid_urls(frontier))
+    f = apply_robots(f, robots, broadcast=robots_broadcast)
+    f = f.join(F.broadcast(hosts.select("host", "budget")), "host", "left")
+    return f.withColumn("budget", F.coalesce(F.col("budget"), F.lit(default_budget)))
+
+
 def schedule_round(
     frontier: DataFrame,
     hosts: DataFrame,
     robots: DataFrame,
     salt_parts: int = 8,
     default_budget: int = 8,
+    robots_broadcast: bool | None = True,
 ) -> DataFrame:
     """One full scheduling round over an already-deduped frontier:
     validity -> host -> robots -> budget -> skew-safe top-k -> politeness.
@@ -145,10 +222,7 @@ def schedule_round(
     Returns columns: url, url_hash_hi/lo (if present), host, depth, score,
     budget, crawl_delay_ms, rank, fetch_offset_ms.
     """
-    f = with_host(valid_urls(frontier))
-    f = apply_robots(f, robots)
-    f = f.join(F.broadcast(hosts.select("host", "budget")), "host", "left")
-    f = f.withColumn("budget", F.coalesce(F.col("budget"), F.lit(default_budget)))
+    f = gate_frontier(frontier, hosts, robots, default_budget, robots_broadcast)
     f = per_host_topk(f, "budget", salt_parts)
     return with_politeness_schedule(f)
 

@@ -226,7 +226,13 @@ def dedup_against_seen(
     Bloom pre-filter splits candidates into definitely-new (bloom says no;
     no join at all — zero false negatives guarantee) and maybe-seen, which
     alone pays the exact ``left_anti`` join. Without a bloom, plain anti.
+
+    A bloom WITHOUT an exact tier cannot prove membership — treating its
+    'maybe' slice as seen would silently drop ~fpr of genuinely-new URLs —
+    so with ``seen_exact=None`` every candidate is returned unfiltered.
     """
+    if seen_exact is None:
+        return candidates
     if bloom is not None:
         probed = (
             probe_with_broadcast(candidates, bloom)
@@ -235,8 +241,6 @@ def dedup_against_seen(
         )
         definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-        if seen_exact is None:
-            return definitely_new
         seen_keys = seen_exact.select("url_hash_hi", "url_hash_lo")
         if shuffle_exact_join:
             # at 10^10 URLs the seen table can never be the broadcast
@@ -250,8 +254,6 @@ def dedup_against_seen(
             "left_anti",
         )
         return definitely_new.unionByName(confirmed_new)
-    if seen_exact is None:
-        return candidates
     return candidates.join(
         seen_exact.select("url_hash_hi", "url_hash_lo"),
         ["url_hash_hi", "url_hash_lo"],

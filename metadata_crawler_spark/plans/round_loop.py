@@ -48,11 +48,14 @@ from pyspark.sql import functions as F
 from ..functions.text import _decode, _extract_text_batch, _HREF_RE, _META_LANG_RE
 from ..functions.urls import canonicalize_udf, with_url_hash
 from ..operators.frontier import (
+    ROBOTS_BROADCAST_MAX_ROWS,
     expand_outlinks,
-    schedule_round,
+    gate_frontier,
+    per_host_topk,
     valid_urls,
+    with_politeness_schedule,
 )
-from ..operators.seen import bloom_build, bloom_union, dedup_against_seen
+from ..operators.seen import bloom_build, bloom_params, bloom_union, dedup_against_seen
 from ..operators.versioning import latest_per_key
 from ..sources.tables import ManifestLog, read_rounds, write_round_table
 
@@ -78,7 +81,16 @@ class CrawlConfig:
     #: combined-score rounding — floating sums across shuffles are not
     #: bit-reproducible; 9 decimals makes ordering data-deterministic.
     score_decimals: int = 9
-    broadcast_bloom: bool = True
+    #: True/False forces the bloom probe strategy; None auto-flips to the
+    #: cogrouped (nothing-broadcast) path when the filter's total bytes —
+    #: known from config arithmetic, no job — exceed the broadcast budget.
+    broadcast_bloom: bool | None = None
+
+
+#: auto-flip threshold for broadcasting the sharded bloom filter: above this
+#: the 10^10-URL cogrouped probe path is used (a 10-bits/key filter over
+#: 10^10 keys is ~12 GB — never broadcastable)
+BLOOM_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
 
 
 FETCH_SCHEMA = (
@@ -146,6 +158,29 @@ class Crawler:
     def __post_init__(self):
         self.log = ManifestLog(self.checkpoint_dir)
         self._pages_snapshot: DataFrame | None = None
+        self._robots_broadcast: bool | None = None
+
+    def robots_broadcast(self) -> bool:
+        """Size-based robots join switch, decided once per Crawler: a
+        bounded limit-probe (scans at most MAX+1 rows) — broadcast small
+        rules tables, shuffle-join the 10^8-host ones."""
+        if self._robots_broadcast is None:
+            probe = (
+                self.robots.select("host")
+                .limit(ROBOTS_BROADCAST_MAX_ROWS + 1)
+                .count()
+            )
+            self._robots_broadcast = probe <= ROBOTS_BROADCAST_MAX_ROWS
+        return self._robots_broadcast
+
+    def bloom_broadcast(self) -> bool:
+        """Size-based bloom probe switch: total filter bytes follow from
+        config arithmetic (shards x m_bits) — no job needed."""
+        cfg = self.config
+        if cfg.broadcast_bloom is not None:
+            return cfg.broadcast_bloom
+        m, _ = bloom_params(cfg.bloom_expected_per_shard, cfg.bloom_fpr)
+        return (m // 8) * cfg.n_shards <= BLOOM_BROADCAST_MAX_BYTES
 
     # -- inputs ------------------------------------------------------------
     def pages_snapshot(self) -> DataFrame:
@@ -208,10 +243,18 @@ class Crawler:
         frontier = frontier.persist()
         frontier_in = frontier.count()
         new_urls = dedup_against_seen(
-            frontier, seen, bloom, cfg.n_shards, cfg.broadcast_bloom
+            frontier, seen, bloom, cfg.n_shards, self.bloom_broadcast()
         ).persist()
-        scheduled = schedule_round(
-            new_urls, self.hosts, self.robots, cfg.salt_parts, cfg.default_budget
+        # gates split from top-k so the carryover can be computed from the
+        # ELIGIBLE set: URLs dropped by validity/robots are permanently
+        # blocked and must not ride the frontier forever (they would never
+        # be scheduled, never enter seen, and re-pay the gates every round)
+        gated = gate_frontier(
+            new_urls, self.hosts, self.robots, cfg.default_budget,
+            self.robots_broadcast(),
+        ).persist()
+        scheduled = with_politeness_schedule(
+            per_host_topk(gated, "budget", cfg.salt_parts)
         )
         if cfg.max_urls_per_round is not None:
             # deterministic valve: global order, not task order
@@ -257,7 +300,9 @@ class Crawler:
                 ((F.col("rank") - 1).cast("long") * F.col("crawl_delay_ms")).cast("long"),
             )
         )
-        out_cols = [f.split(" ")[0] for f in FETCH_SCHEMA.replace(", ", ",").split(",")]
+        from pyspark.sql.types import StructType
+
+        out_cols = StructType.fromDDL(FETCH_SCHEMA).fieldNames()
         fetched = fetched_hits.select(*out_cols).unionByName(misses.select(*out_cols))
         obs_fetch = Observation(f"fetch_{round_no}")
         fetched = fetched.observe(
@@ -289,12 +334,15 @@ class Crawler:
         )
         new_bloom.write.mode("overwrite").parquet(bloom_out)
 
-        # next frontier: unscheduled carryover + OPIC-expanded outlinks
-        carryover = new_urls.join(
+        # next frontier: over-budget carryover (eligible but not scheduled
+        # this round) + OPIC-expanded outlinks; gate-blocked URLs are gone
+        carryover = gated.select(
+            "url", "depth", "score", "url_hash_hi", "url_hash_lo"
+        ).join(
             scheduled.select("url_hash_hi", "url_hash_lo"),
             ["url_hash_hi", "url_hash_lo"],
             "left_anti",
-        ).select("url", "depth", "score", "url_hash_hi", "url_hash_lo")
+        )
         children = expand_outlinks(
             fetched.filter(F.col("fetched")), "links", "score", "depth"
         )
@@ -332,6 +380,7 @@ class Crawler:
         }
         frontier.unpersist()
         new_urls.unpersist()
+        gated.unpersist()
         # THE commit point: manifest flip makes the round visible atomically;
         # prior rounds' counts are carried forward (lineage accumulates)
         state = self.log.read() or {}
@@ -340,6 +389,26 @@ class Crawler:
         state[f"r{round_no}"] = counts
         self.log.commit(state)
         return counts
+
+    def _check_fail_under(self) -> None:
+        """Whole-crawl --fail-under semantics (reference run.py:510-515):
+        the committed manifest counts cover ALL rounds, so a resumed crawl
+        near its end is judged on the full crawl, not just this
+        invocation's rounds. Applied on every exit path of run()."""
+        import re
+
+        if self.config.fail_under is None:
+            return
+        state = self.log.read() or {}
+        total = sum(
+            v.get("fetched", 0)
+            for k, v in state.items()
+            if re.fullmatch(r"r\d+", k) and isinstance(v, dict)
+        )
+        if total < self.config.fail_under:
+            raise EmptyCrawl(
+                f"crawl fetched {total} < fail_under={self.config.fail_under}"
+            )
 
     # -- the loop ----------------------------------------------------------
     def run(self, seeds: DataFrame, rounds: int) -> list[dict]:
@@ -356,9 +425,11 @@ class Crawler:
             # frontier exhaustion is read from the committed counts — no
             # isEmpty() action (it would re-run the whole frontier chain)
             if state.get(f"r{start - 1}", {}).get("frontier_next") == 0:
+                self._check_fail_under()
                 return results
             seen, bloom, frontier = self._load_state(start - 1)
             if frontier is None:
+                self._check_fail_under()
                 return results
         for r in range(start, rounds):
             counts = self.run_round(r, frontier, seen, bloom)
@@ -366,10 +437,5 @@ class Crawler:
             if counts["frontier_next"] == 0:
                 break
             seen, bloom, frontier = self._load_state(r)
-        if self.config.fail_under is not None:
-            total = sum(c["fetched"] for c in results)
-            if total < self.config.fail_under:
-                raise EmptyCrawl(
-                    f"crawl fetched {total} < fail_under={self.config.fail_under}"
-                )
+        self._check_fail_under()
         return results

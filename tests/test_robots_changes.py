@@ -26,22 +26,67 @@ Crawl-delay: 1.5
 User-agent: OtherBot
 Disallow: /
 """
-    dis, delay = parse_robots_txt(body)
+    allow, dis, delay = parse_robots_txt(body)
+    assert allow == []
     assert dis == ["/private", "/tmp/"]
     assert delay == 1500
 
 
 def test_parse_empty_and_allow_all():
-    assert parse_robots_txt("") == ([], 0)
-    assert parse_robots_txt("User-agent: *\nDisallow:") == ([], 0)
-    assert parse_robots_txt("garbage without colons\n???") == ([], 0)
+    assert parse_robots_txt("") == ([], [], 0)
+    assert parse_robots_txt("User-agent: *\nDisallow:") == ([], [], 0)
+    assert parse_robots_txt("garbage without colons\n???") == ([], [], 0)
+
+
+def test_parse_allow_directive():
+    body = "User-agent: *\nAllow: /public/\nDisallow: /\nCrawl-delay: 2"
+    assert parse_robots_txt(body) == (["/public/"], ["/"], 2000)
+
+
+def test_parse_multi_agent_group_run():
+    # consecutive UA lines share ONE rule block (RFC 9309): the '*' token
+    # inside the run makes the whole block apply to us
+    body = "User-agent: *\nUser-agent: somebot\nDisallow: /x\n"
+    assert parse_robots_txt(body) == ([], ["/x"], 0)
+    # reversed order inside the run must behave identically
+    body2 = "User-agent: somebot\nUser-agent: *\nDisallow: /x\n"
+    assert parse_robots_txt(body2) == ([], ["/x"], 0)
+
+
+def test_parse_specific_agent_precedence():
+    body = (
+        "User-agent: *\nDisallow: /everyone\n\n"
+        "User-agent: mcsbot\nDisallow: /just-us\nCrawl-delay: 3\n"
+    )
+    # the specific group REPLACES the * group for our agent
+    assert parse_robots_txt(body, agent="mcsbot") == ([], ["/just-us"], 3000)
+    # other agents fall back to *
+    assert parse_robots_txt(body, agent="strangerbot") == ([], ["/everyone"], 0)
+    # token-prefix match: 'mcsbot/1.2' still selects the mcsbot group
+    assert parse_robots_txt(body, agent="mcsbot/1.2") == ([], ["/just-us"], 3000)
+
+
+def test_parse_same_token_groups_merge():
+    body = "User-agent: *\nDisallow: /a\n\nUser-agent: *\nDisallow: /b\n"
+    assert parse_robots_txt(body) == ([], ["/a", "/b"], 0)
+
+
+def test_parse_rules_before_any_agent_ignored():
+    assert parse_robots_txt("Disallow: /x\nUser-agent: *\nDisallow: /y\n") == (
+        [], ["/y"], 0
+    )
 
 
 def test_render_parse_roundtrip():
-    for dis, delay in ([["/a", "/b/c"], 500], [[], 0], [["/"], 2000]):
-        body = render_robots_txt(dis, delay)
-        got_dis, got_delay = parse_robots_txt(body)
+    for dis, delay, allow in (
+        [["/a", "/b/c"], 500, []],
+        [[], 0, []],
+        [["/"], 2000, ["/public/"]],
+    ):
+        body = render_robots_txt(dis, delay, allow=allow)
+        got_allow, got_dis, got_delay = parse_robots_txt(body)
         assert got_dis == dis
+        assert got_allow == allow
         assert got_delay == delay
 
 
@@ -72,6 +117,87 @@ def test_robots_table_feeds_scheduler(spark):
     )
     kept = sorted(r.url for r in apply_robots(frontier, rules).collect())
     assert kept == ["https://a.com/ok", "https://c.com/y"]
+
+
+def test_apply_robots_allow_longest_match(spark):
+    # Allow overrides Disallow when its pattern is longer (RFC 9309
+    # longest-match); allow wins exact-length ties
+    robots = spark.createDataFrame(
+        [("a.com", ["/public/"], ["/"], 0), ("t.com", ["/p"], ["/p"], 0)],
+        "host string, allow array<string>, disallow array<string>, "
+        "crawl_delay_ms long",
+    )
+    frontier = with_host(
+        spark.createDataFrame(
+            [
+                ("https://a.com/public/page", 0, 1.0),
+                ("https://a.com/private/page", 0, 1.0),
+                ("https://t.com/page", 0, 1.0),
+            ],
+            "url string, depth int, score double",
+        )
+    )
+    kept = sorted(r.url for r in apply_robots(frontier, robots).collect())
+    assert kept == ["https://a.com/public/page", "https://t.com/page"]
+
+
+def test_apply_robots_wildcards(spark):
+    robots = spark.createDataFrame(
+        [("w.com", [], ["/*.pdf$", "/tmp*", "/exact$"], 0)],
+        "host string, allow array<string>, disallow array<string>, "
+        "crawl_delay_ms long",
+    )
+    urls = [
+        ("https://w.com/docs/file.pdf", False),   # *.pdf$ matches
+        ("https://w.com/docs/file.pdfx", True),   # $ anchors the end
+        ("https://w.com/tmp/scratch", False),     # /tmp* prefix-with-star
+        ("https://w.com/tmpfile", False),
+        ("https://w.com/exact", False),           # anchored exact
+        ("https://w.com/exactly", True),
+        ("https://w.com/ok.html", True),
+    ]
+    frontier = with_host(
+        spark.createDataFrame(
+            [(u, 0, 1.0) for u, _ in urls], "url string, depth int, score double"
+        )
+    )
+    kept = {r.url for r in apply_robots(frontier, robots).collect()}
+    for u, want_kept in urls:
+        assert (u in kept) == want_kept, u
+
+
+def test_apply_robots_shuffle_switch_plan(spark):
+    """broadcast=False must produce a non-broadcast join (the 10^8-host
+    path); broadcast=True a BroadcastHashJoin."""
+    robots = spark.createDataFrame(
+        [("a.com", ["/x"], 10)],
+        "host string, disallow array<string>, crawl_delay_ms long",
+    )
+    frontier = with_host(
+        spark.createDataFrame(
+            [("https://a.com/y", 0, 1.0)], "url string, depth int, score double"
+        )
+    )
+    bcast_plan = apply_robots(frontier, robots, broadcast=True)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in bcast_plan
+    shuf_plan = apply_robots(frontier, robots, broadcast=False)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in shuf_plan
+    # same rows either way
+    a = sorted(r.url for r in apply_robots(frontier, robots, broadcast=True).collect())
+    b = sorted(r.url for r in apply_robots(frontier, robots, broadcast=False).collect())
+    assert a == b == ["https://a.com/y"]
+
+
+def test_parse_robots_udf_null_first_row(spark):
+    """A batch whose FIRST robots body is NULL must still decode the rest
+    (the old first-element sniff raised TypeError here)."""
+    rows = [
+        ("n.com", None),
+        ("a.com", b"User-agent: *\nDisallow: /x\nCrawl-delay: 1\n"),
+    ]
+    pages = spark.createDataFrame(rows, "host string, robots_txt binary").coalesce(1)
+    got = {r.host: (list(r.disallow), r.crawl_delay_ms) for r in robots_table(pages).collect()}
+    assert got == {"n.com": ([], 0), "a.com": (["/x"], 1000)}
 
 
 def test_detect_changes(spark):
