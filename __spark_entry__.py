@@ -976,24 +976,48 @@ SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= 5
 
 
 def q26_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup pairs (the scale path, never a cross join):
+    candidates = bucket hamming <= 1 via multiprobe explode + equi-join,
+    exact cosine re-rank. The oracle replicates the seeded hyperplanes as
+    SQL literals, so the bucketed semantics themselves are driver-checked."""
     _prep(spark)
     from metadata_crawler_spark.operators.dedup import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    return embedding_neardup_pairs(emb, threshold=0.3)
+    return embedding_neardup_pairs(emb, threshold=0.3, method="lsh", n_planes=8)
 
 
-_Q26_SQL = """
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 200)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_dot_product(a.e, b.e)
-             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+def _q26_sql() -> str:
+    """DuckDB twin of the LSH path: the deterministic hyperplanes (seeded
+    numpy RNG, float64 — identical to similarity._planes) are inlined as
+    list literals; candidate set = bit_count(xor(buckets)) <= 1 (exactly
+    the 1-bit multiprobe set); same ROUND'd-cosine threshold."""
+    import numpy as np
+
+    planes = np.random.default_rng(7).standard_normal((64, 8))
+    terms = []
+    for i in range(8):
+        coeffs = ", ".join(repr(float(x)) for x in planes[:, i])
+        terms.append(
+            f"(CASE WHEN list_dot_product(e, [{coeffs}]) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 200),
+b AS (SELECT vec_id, e, ({bucket}) AS bucket FROM v)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       ROUND(list_dot_product(a.e, c.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
          AS cosine
-FROM v a, v b
-WHERE a.vec_id < b.vec_id
-  AND list_dot_product(a.e, b.e)
-      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.3
+FROM b a JOIN b c
+  ON a.vec_id < c.vec_id
+ AND bit_count(xor(a.bucket::BIGINT, c.bucket::BIGINT)) <= 1
+WHERE ROUND(list_dot_product(a.e, c.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6) >= 0.3
 """
+
+
+_Q26_SQL = _q26_sql()
 
 
 def q27_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

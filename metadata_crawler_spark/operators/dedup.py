@@ -200,29 +200,77 @@ def simhash_neardup_pairs(
     )
 
 
-def embedding_neardup_pairs(
-    emb: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    threshold: float = 0.9,
-) -> DataFrame:
-    """Cosine-threshold near-dup pairs. Brute-force self-join baseline —
-    at scale, pre-bucket with operators.similarity.lsh_buckets and join
-    on bucket instead of the cross product."""
-    v = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    )
-    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+def _pair_cosine() -> Column:
     dot = F.aggregate(
         F.zip_with("v", "v_b", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     )
     na = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
     nb = F.sqrt(F.aggregate(F.transform("v_b", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
-    cos = dot / (na * nb)
-    return (
-        v.crossJoin(b)
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    method: str = "lsh",
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Cosine-threshold near-dup pairs over an embedding column.
+
+    ``method='lsh'`` (default — the 100 TB path): random-hyperplane
+    bucketing (similarity.lsh_buckets, one numpy matmul per Arrow batch),
+    candidates = pairs whose buckets differ in <= 1 bit (one side explodes
+    its bucket plus every 1-bit flip, equi-join on bucket — NEVER a cross
+    join), then exact cosine re-rank on candidates only. Deterministic:
+    seeded planes, so the candidate set is a pure function of the data.
+
+    ``method='exact'``: all-pairs brute force — the small-N recall oracle
+    (tests/test_dedup.py); quadratic, never use at scale.
+    """
+    if method == "exact":
+        v = emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        b = v.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+        return (
+            v.crossJoin(b)
+            .filter(F.col("id") < F.col("id_b"))
+            .select(F.col("id").alias("id_a"), "id_b",
+                    F.round(_pair_cosine(), 6).alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        )
+    from .similarity import lsh_buckets
+
+    bk = lsh_buckets(emb, n_planes, seed, id_col=id_col, vec_col=vec_col)
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("int")
+            for i in range(n_planes)
+        ],
+    )
+    left = bk.select(
+        "id",
+        F.col("vec").cast("array<double>").alias("v"),
+        F.explode(probes).alias("bucket"),
+    )
+    right = bk.select(
+        F.col("id").alias("id_b"),
+        F.col("vec").cast("array<double>").alias("v_b"),
+        "bucket",
+    )
+    cand = (
+        left.join(right, "bucket")
         .filter(F.col("id") < F.col("id_b"))
-        .select(F.col("id").alias("id_a"), "id_b", F.round(cos, 6).alias("cosine"))
+        # hamming-0 and hamming-1 pairs are each found from both sides
+        .dropDuplicates(["id", "id_b"])
+    )
+    return (
+        cand.select(F.col("id").alias("id_a"), "id_b",
+                    F.round(_pair_cosine(), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -77,7 +77,9 @@ def lsh_buckets(
 
     @F.pandas_udf(T.IntegerType())
     def bucket(vecs: pd.Series) -> pd.Series:
-        m = np.vstack(vecs.to_numpy())
+        # float64 so the sign test agrees with any float64 re-computation
+        # (e.g. the DuckDB oracle) regardless of the stored vector width
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
         planes = _planes(m.shape[1], n_planes, seed)
         bits = (m @ planes) > 0
         out = np.zeros(len(vecs), dtype=np.int32)

@@ -107,18 +107,39 @@ def _politeness_fn(key, pdfs, state: GroupState):
     """Per-host token clock: each URL is planned at
     max(batch_arrival, host.next_free) + i*crawl_delay; next_free persists
     across micro-batches so a host hammered in batch N stays throttled in
-    batch N+1."""
+    batch N+1.
+
+    The recurrence start_i = max(arrival_i, next_free_{i-1}),
+    next_free_i = start_i + delay_i vectorizes: with C = cumsum(delay)
+    (inclusive), Cprev = C - delay, B_i = arrival_i - Cprev_i (B_0 folded
+    with the persisted next_free), M = cummax(B) gives
+    start_i = Cprev_i + M_i and final next_free = C_last + M_last — one
+    numpy pass per host group, no per-row Python.
+    """
+    import numpy as np
+
     (host,) = key
     next_free = state.get[0] if state.exists else 0
-    rows = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("url", kind="mergesort")
-        for _, r in pdf.iterrows():
-            start = max(int(r["arrival_ms"]), next_free)
-            rows.append((host, r["url"], start))
-            next_free = start + int(r["crawl_delay_ms"])
-    state.update((next_free,))
-    yield pd.DataFrame(rows, columns=["host", "url", "planned_start_ms"])
+    chunks = [p for p in pdfs if not p.empty]
+    if not chunks:
+        state.update((int(next_free),))
+        yield pd.DataFrame(columns=["host", "url", "planned_start_ms"])
+        return
+    pdf = pd.concat(chunks, ignore_index=True).sort_values(
+        "url", kind="mergesort", ignore_index=True
+    )
+    arrival = pdf["arrival_ms"].to_numpy(np.int64)
+    delay = pdf["crawl_delay_ms"].to_numpy(np.int64)
+    c = np.cumsum(delay)
+    cprev = c - delay
+    b = arrival - cprev
+    b[0] = max(b[0], next_free)
+    m = np.maximum.accumulate(b)
+    start = cprev + m
+    state.update((int(c[-1] + m[-1]),))
+    yield pd.DataFrame(
+        {"host": host, "url": pdf["url"], "planned_start_ms": start}
+    )
 
 
 def politeness_gate_stateful(urls_stream: DataFrame):
