@@ -1021,15 +1021,53 @@ _Q26_SQL = _q26_sql()
 
 
 def q27_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (scale path; pandas-UDF hyperplane bucketing) —
-    non-SQL-expressible, driver records the rows-only check; recall vs the
-    exact baseline is pytest-verified (tests/test_similarity.py)."""
+    """LSH-bucketed ANN top-k (scale path; pandas-UDF hyperplane bucketing,
+    1-bit multiprobe, exact re-rank). The oracle inlines the seeded planes
+    as SQL literals (same trick as q26), so the approximate search itself
+    is driver-checked; recall vs the exact baseline is pytest-verified."""
     _prep(spark)
     from metadata_crawler_spark.operators.similarity import ann_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return ann_topk(emb, queries, k=5, n_planes=4)
+
+
+def _q27_sql() -> str:
+    import numpy as np
+
+    planes = np.random.default_rng(7).standard_normal((64, 4))
+    terms = []
+    for i in range(4):
+        coeffs = ", ".join(repr(float(x)) for x in planes[:, i])
+        terms.append(
+            f"(CASE WHEN list_dot_product(e, [{coeffs}]) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (SELECT vec_id, e, ({bucket}) AS bucket FROM v),
+q AS (SELECT vec_id AS query_id, e AS w, bucket AS qb FROM b WHERE vec_id < 5),
+cand AS (
+  SELECT q.query_id, c.vec_id AS nbr_id,
+         ROUND(list_dot_product(c.e, q.w)
+               / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(q.w, q.w))), 6)
+           AS cosine
+  FROM b c JOIN q
+    ON bit_count(xor(c.bucket::BIGINT, q.qb::BIGINT)) <= 1
+   AND c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, nbr_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, nbr_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+_Q27_SQL = _q27_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -1061,14 +1099,16 @@ FROM events GROUP BY 1, 2
 
 # ---------------------------------------------------------------------------
 # q29-q31 — crawl-engine operators exercised through the driver contract on
-# deterministic self-generated fixtures (rows-only checks: bloom probing,
-# politeness batching and binary html extraction are not SQL-expressible;
-# their correctness gates are the pytest goldens).
+# deterministic self-generated fixtures. q29 and q31 have full DuckDB
+# oracles (built dynamically in oracle_sql() over the fixture parquet);
+# only q30's bloom INTERNALS stay rows-only (probabilistic bitmaps are not
+# SQL-expressible; their gate is the pytest FPR/zero-FN suite).
 # ---------------------------------------------------------------------------
 
 def _fixture_dir() -> str:
     import tempfile
 
+    _pkg()
     from metadata_crawler_spark.sources.fixtures import write_fixtures
 
     d = os.path.join(tempfile.gettempdir(), "mcs_entry_fixtures")
@@ -1078,9 +1118,14 @@ def _fixture_dir() -> str:
 
 def q29_crawl_schedule_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One full frontier round over the synthetic pages corpus: canonical
-    UDF -> 128-bit hash -> bloom+exact dedup -> robots -> salted top-k."""
+    UDF -> 128-bit hash -> bloom+exact dedup -> robots -> salted top-k.
+
+    The seen split is an md5 predicate on the canonical url (SQL-portable)
+    rather than bloom internals: the bloom+exact-anti-join composition is
+    EXACT by construction (zero false negatives; false positives confirmed
+    against the exact tier), so the final scheduled set is a pure function
+    of the data — which is what the DuckDB oracle recomputes."""
     _prep(spark)
-    from metadata_crawler_spark.plans.schedule_bench import run_schedule_pipeline  # noqa: F401
     from metadata_crawler_spark.functions.urls import canonicalize_udf, with_url_hash
     from metadata_crawler_spark.operators.frontier import schedule_round, valid_urls
     from metadata_crawler_spark.operators.seen import bloom_build, dedup_against_seen
@@ -1096,14 +1141,68 @@ def q29_crawl_schedule_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0).alias("score"),
     )
     frontier = _combine_frontier(with_url_hash(valid_urls(frontier)), 9).persist()
-    seen = frontier.filter(F.pmod("url_hash_hi", F.lit(2)) == 0).select(
-        "url_hash_hi", "url_hash_lo"
-    )
+    seen = frontier.filter(
+        F.substring(F.md5("url"), 1, 1).isin(*list("01234567"))
+    ).select("url_hash_hi", "url_hash_lo")
     bloom = bloom_build(seen, 8, expected_per_shard=1024)
     new_urls = dedup_against_seen(frontier, seen, bloom, 8)
     return schedule_round(new_urls, hosts, robots, salt_parts=4).select(
-        "url", "host", "depth", "rank", "fetch_offset_ms"
+        "url", "host",
+        F.col("depth").cast("long").alias("depth"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("fetch_offset_ms").cast("long").alias("fetch_offset_ms"),
     )
+
+
+def _q29_sql(fixture_dir: str) -> str:
+    """DuckDB twin of the scheduling round, over the fixture parquet + the
+    canon mapping table (canonicalization itself is UDF-tier; its oracle is
+    q02 + the golden pytest suite)."""
+    return f"""
+WITH pages AS (SELECT * FROM read_parquet('{fixture_dir}/pages.parquet')),
+cmap AS (SELECT * FROM read_parquet('{fixture_dir}/canon.parquet')),
+robots AS (SELECT * FROM read_parquet('{fixture_dir}/robots.parquet')),
+hostsb AS (SELECT * FROM read_parquet('{fixture_dir}/hosts.parquet')),
+frontier AS (
+  SELECT cmap.canon_url AS url, 0 AS depth, ROUND(SUM(1.0), 9) AS score
+  FROM pages JOIN cmap ON pages.url = cmap.url
+  WHERE regexp_matches(cmap.canon_url,
+        '^https?://[A-Za-z0-9\\-._~%]+(:\\d+)?(/.*)?$')
+  GROUP BY cmap.canon_url
+),
+new_urls AS (
+  SELECT * FROM frontier
+  WHERE substr(md5(url), 1, 1) NOT IN ('0','1','2','3','4','5','6','7')
+),
+gated AS (
+  SELECT n.url,
+         regexp_extract(n.url,
+             '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^@/]*@)?([^:/?#]*)', 1) AS host,
+         n.depth, n.score,
+         regexp_replace(n.url,
+             '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/]*', '') AS path
+  FROM new_urls n
+),
+robo AS (
+  SELECT g.*, COALESCE(r.crawl_delay_ms, 0) AS crawl_delay_ms, b.budget
+  FROM gated g
+  LEFT JOIN robots r ON g.host = r.host
+  LEFT JOIN hostsb b ON g.host = b.host
+  WHERE r.host IS NULL
+     OR NOT EXISTS (SELECT 1 FROM unnest(r.disallow) AS t(d)
+                    WHERE starts_with(g.path, d))
+),
+ranked AS (
+  SELECT url, host, depth, crawl_delay_ms,
+         COALESCE(budget, 8) AS budget,
+         ROW_NUMBER() OVER (PARTITION BY host
+                            ORDER BY depth ASC, score DESC, url ASC) AS rank
+  FROM robo
+)
+SELECT url, host, CAST(depth AS BIGINT) AS depth, CAST(rank AS BIGINT) AS rank,
+       CAST((rank - 1) * crawl_delay_ms AS BIGINT) AS fetch_offset_ms
+FROM ranked WHERE rank <= budget
+"""
 
 
 def q30_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1130,7 +1229,10 @@ def q30_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q31_html_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-identical text + outlink + meta-lang extraction from the binary
-    html column (pandas UDFs over Arrow batches)."""
+    html column (pandas UDFs over Arrow batches). The md5 of the UDF-
+    extracted text is compared against the oracle's md5 of the fixture
+    ``text`` column — the north rule's byte-identical invariant, now
+    driver-checked rather than rows-only."""
     _prep(spark)
     from metadata_crawler_spark.functions.text import (
         extract_meta_lang_udf,
@@ -1140,19 +1242,28 @@ def q31_html_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _fixture_dir()
     pages = spark.read.parquet(os.path.join(d, "pages.parquet"))
-    out = pages.select(
+    return pages.select(
         "url",
-        extract_text_udf("html").alias("got_text"),
-        F.col("text").alias("oracle_text"),
-        F.size(extract_outlinks_udf("html")).alias("n_links"),
+        F.md5(extract_text_udf("html")).alias("text_md5"),
+        F.size(extract_outlinks_udf("html")).cast("long").alias("n_links"),
         extract_meta_lang_udf("html").alias("meta_lang"),
     )
-    return out.select(
-        "url",
-        (F.col("got_text") == F.col("oracle_text")).alias("byte_identical"),
-        "n_links",
-        "meta_lang",
-    )
+
+
+def _q31_sql(fixture_dir: str) -> str:
+    """DuckDB twin: md5 of the stored oracle text (written by the same pure
+    reference extractor the UDF must reproduce byte-for-byte) + regex link
+    count / meta-lang over the decoded html."""
+    return f"""
+SELECT url,
+       md5(text) AS text_md5,
+       CAST(len(regexp_extract_all(decode(html), 'href="([^"]+)"')) AS BIGINT)
+         AS n_links,
+       lower(regexp_extract(decode(html),
+             'content-language["'']\\s+content=["'']([A-Za-z\\-]+)["'']', 1))
+         AS meta_lang
+FROM read_parquet('{fixture_dir}/pages.parquet')
+"""
 
 
 
@@ -1580,29 +1691,55 @@ FROM j GROUP BY 1
 
 
 def q46_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """robots.txt bodies -> rules table (pandas UDF; rows-only check —
-    golden-tested in tests/test_robots_changes.py)."""
+    """robots.txt bodies -> rules table (pandas UDF). Bodies are synthesized
+    deterministically from doc_id and exercise the full RFC 9309 surface:
+    Allow directives, a specific-agent group that must REPLACE the ``*``
+    group for our agent (mcsbot), and per-group crawl delays. The oracle
+    computes the expected group selection directly from doc_id."""
     _prep(spark)
-    from metadata_crawler_spark.functions.robots import render_robots_txt, robots_table
+    from metadata_crawler_spark.functions.robots import robots_table
 
-    d = _t(spark, sf_dir, "documents").limit(500)
-    # deterministic synthetic robots bodies driven by doc_id
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    doc_id = F.col("doc_id")
     body = F.concat(
+        # specific group for our agent on every 5th host — wins over '*'
+        F.when(
+            doc_id % 5 == 0,
+            F.lit("User-agent: mcsbot\nDisallow: /special\nCrawl-delay: 1\n\n"),
+        ).otherwise(F.lit("")),
         F.lit("User-agent: *\n"),
-        F.when(F.col("doc_id") % 4 == 0, F.lit("Disallow: /private\nDisallow: /tmp\n"))
-        .when(F.col("doc_id") % 4 == 1, F.lit("Disallow: /\n"))
+        F.when(doc_id % 2 == 0, F.lit("Allow: /public/\n")).otherwise(F.lit("")),
+        F.when(doc_id % 4 == 0, F.lit("Disallow: /private\nDisallow: /tmp\n"))
+        .when(doc_id % 4 == 1, F.lit("Disallow: /\n"))
         .otherwise(F.lit("Disallow:\n")),
-        F.when(F.col("doc_id") % 3 == 0, F.lit("Crawl-delay: 2\n")).otherwise(F.lit("")),
+        F.when(doc_id % 3 == 0, F.lit("Crawl-delay: 2\n")).otherwise(F.lit("")),
     )
     pages = d.select(
-        F.concat(F.lit("h"), F.col("doc_id").cast("string"), F.lit(".example.com")).alias("host"),
+        "doc_id",
+        F.concat(F.lit("h"), doc_id.cast("string"), F.lit(".example.com")).alias("host"),
         body.cast("binary").alias("robots_txt"),
     )
     rules = robots_table(pages)
-    del render_robots_txt
     return rules.select(
-        "host", F.size("disallow").alias("n_disallow"), "crawl_delay_ms"
+        "host",
+        F.size("allow").cast("long").alias("n_allow"),
+        F.size("disallow").cast("long").alias("n_disallow"),
+        "crawl_delay_ms",
     )
+
+
+_Q46_SQL = """
+SELECT 'h' || doc_id || '.example.com' AS host,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+                 WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_allow,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 1
+                 WHEN doc_id % 4 = 0 THEN 2
+                 WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_disallow,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 1000
+                 WHEN doc_id % 3 = 0 THEN 2000 ELSE 0 END AS BIGINT)
+         AS crawl_delay_ms
+FROM documents WHERE doc_id < 500
+"""
 
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1681,6 +1818,7 @@ _ORACLES: dict[str, str] = {
     "q24_simhash16": _Q24_SQL,
     "q25_cosine_topk": _Q25_SQL,
     "q26_embedding_neardup": _Q26_SQL,
+    "q27_ann_lsh_topk": _Q27_SQL,
     "q28_hourly_rollup": _Q28_SQL,
     "q32_catalog_explode": _Q32_SQL,
     "q33_delete_by_facet": _Q33_SQL,
@@ -1696,6 +1834,7 @@ _ORACLES: dict[str, str] = {
     "q43_percentiles": _Q43_SQL,
     "q44_running_sum": _Q44_SQL,
     "q45_change_detection": _Q45_SQL,
+    "q46_robots_parse": _Q46_SQL,
 }
 
 
@@ -1709,4 +1848,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    out = dict(_ORACLES)
+    # fixture-backed oracles: building them HERE also writes the fixture
+    # parquet, so DuckDB can read it regardless of which side runs first
+    d = _fixture_dir()
+    out["q29_crawl_schedule_round"] = _q29_sql(d)
+    out["q31_html_extraction"] = _q31_sql(d)
+    return out

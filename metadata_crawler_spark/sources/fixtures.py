@@ -193,7 +193,20 @@ def gen_fixtures(n_pages: int, seed: int = SEED) -> dict[str, pd.DataFrame]:
     budgets = np.array([2, 8, 32])[rng.integers(0, 3, size=n_hosts)]
     hosts_df = pd.DataFrame({"host": hosts, "budget": budgets.astype(np.int32)})
 
-    return {"pages": pages, "seeds": seeds, "robots": robots, "hosts": hosts_df}
+    # raw-url -> canonical-url mapping (canon is a pure function of url, so
+    # DISTINCT is safe): lets the DuckDB oracle replicate canonicalization
+    # without re-implementing RFC 3986 in SQL (__spark_entry__.q29)
+    canon_df = pd.DataFrame({"url": urls, "canon_url": canon}).drop_duplicates(
+        subset=["url"], ignore_index=True
+    )
+
+    return {
+        "pages": pages,
+        "seeds": seeds,
+        "robots": robots,
+        "hosts": hosts_df,
+        "canon": canon_df,
+    }
 
 
 _PAGES_SCHEMA = pa.schema(
@@ -213,7 +226,7 @@ def write_fixtures(out_dir: str, n_pages: int, seed: int = SEED) -> dict[str, st
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, f".fixtures-{n_pages}-{seed}")
     paths = {t: os.path.join(out_dir, f"{t}.parquet") for t in
-             ("pages", "seeds", "robots", "hosts")}
+             ("pages", "seeds", "robots", "hosts", "canon")}
     if os.path.exists(marker) and all(os.path.exists(p) for p in paths.values()):
         return paths
     tables = gen_fixtures(n_pages, seed)
