@@ -494,12 +494,16 @@ FROM d
 
 # ---------------------------------------------------------------------------
 # q12 — time-frequency inference (SURVEY §2.5 P9): bucket each user's mean
-# inter-event gap into the reference's CMOR-frequency ladder.
+# inter-event gap into the reference's FULL CMOR ladder — subhr/1hr/3hr/6hr/
+# day/6d/1w/sem/mon/season/yr/dec/<Xd> with the 1%/60s tolerance
+# (cftime_utils.py:30-95; boundaries ported rung for rung).
 # ---------------------------------------------------------------------------
 
 def q12_freq_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from pyspark.sql import Window as W
+
+    from metadata_crawler_spark.functions.timestamps import freq_bucket_expr
 
     e = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
@@ -510,35 +514,43 @@ def q12_freq_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = gaps.groupBy("user_id").agg(
         F.sum("gap_ms").alias("tot"), F.count("*").alias("n")
     ).select("user_id", (F.col("tot") / F.col("n")).alias("avg_gap_ms"))
-    freq = (
-        F.when(F.col("avg_gap_ms") < 3600_000, "subhr")
-        .when(F.col("avg_gap_ms") < 3 * 3600_000, "1hr")
-        .when(F.col("avg_gap_ms") < 6 * 3600_000, "3hr")
-        .when(F.col("avg_gap_ms") < 86400_000, "6hr")
-        .when(F.col("avg_gap_ms") < 7 * 86400_000, "day")
-        .otherwise("lowfreq")
-    )
+    freq = freq_bucket_expr(F.col("avg_gap_ms") / 1000.0)
     return per_user.select("user_id", freq.alias("time_frequency")).groupBy(
         "time_frequency"
     ).agg(F.count("*").alias("n_users"))
 
 
-_Q12_SQL = """
+def _freq_case_sql(g: str) -> str:
+    """The CMOR ladder as portable SQL (tolerances precomputed)."""
+    day = 86400.0
+    near = [("1hr", 3600.0), ("3hr", 10800.0), ("6hr", 21600.0),
+            ("day", day), ("6d", 6 * day), ("1w", 7 * day), ("sem", 14 * day)]
+    near_sql = "\n".join(
+        f"       WHEN abs({g} - {t}) <= {max(60.0, t * 0.01)} THEN '{name}'"
+        for name, t in near
+    )
+    return f"""CASE WHEN {g} IS NULL THEN 'fx'
+       WHEN {g} <= 0 THEN 'unknown'
+       WHEN {g} < 1800 THEN 'subhr'
+{near_sql}
+       WHEN {g} BETWEEN {20 * day} AND {40 * day} THEN 'mon'
+       WHEN {g} BETWEEN {80 * day} AND {100 * day} THEN 'season'
+       WHEN {g} BETWEEN {350 * day} AND {380 * day} THEN 'yr'
+       WHEN {g} BETWEEN {9 * 365 * day} AND {11 * 365 * day} THEN 'dec'
+       ELSE CAST(ROUND({g} / 86400.0, 3) AS VARCHAR) || 'd' END"""
+
+
+_Q12_SQL = f"""
 WITH gaps AS (
   SELECT user_id,
          epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
                                                 ORDER BY ts ASC, event_id ASC) AS gap_ms
   FROM events
 ), per_user AS (
-  SELECT user_id, SUM(gap_ms) * 1.0 / COUNT(*) AS avg_gap_ms
+  SELECT user_id, (SUM(gap_ms) * 1.0 / COUNT(*)) / 1000.0 AS g
   FROM gaps WHERE gap_ms IS NOT NULL GROUP BY user_id
 )
-SELECT CASE WHEN avg_gap_ms < 3600000 THEN 'subhr'
-            WHEN avg_gap_ms < 10800000 THEN '1hr'
-            WHEN avg_gap_ms < 21600000 THEN '3hr'
-            WHEN avg_gap_ms < 86400000 THEN '6hr'
-            WHEN avg_gap_ms < 604800000 THEN 'day'
-            ELSE 'lowfreq' END AS time_frequency,
+SELECT {_freq_case_sql('g')} AS time_frequency,
        COUNT(*) AS n_users
 FROM per_user GROUP BY 1
 """
@@ -1728,6 +1740,61 @@ def q46_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q47_timestamp_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full heuristic timestamp-coercion ladder (SURVEY §2.5 P4, reference
+    convert_str_to_timestamp utils/__init__.py:190-271): %Y, %Y%m, %Y%j
+    (day-of-year), %Y%m%d, %Y%m%d%H, %Y%m%d%H%M, %Y%m%d%H%M%S (seconds
+    dropped), T-separated ISO, and the 'fx' -> alternative fallback. The
+    oracle computes the expected instant INDEPENDENTLY via date_trunc."""
+    _prep(spark)
+    from metadata_crawler_spark.functions.timestamps import coerce_timestamp_expr
+
+    e = _t(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    m = F.col("event_id") % 9
+    raw = (
+        F.when(m == 0, F.lit("fx"))
+        .when(m == 1, F.date_format(ts, "yyyy"))
+        .when(m == 2, F.date_format(ts, "yyyyMM"))
+        .when(m == 3, F.date_format(ts, "yyyyDDD"))
+        .when(m == 4, F.date_format(ts, "yyyyMMdd"))
+        .when(m == 5, F.date_format(ts, "yyyyMMddHH"))
+        .when(m == 6, F.date_format(ts, "yyyyMMddHHmm"))
+        .when(m == 7, F.date_format(ts, "yyyyMMddHHmmss"))
+        .otherwise(F.date_format(ts, "yyyy-MM-dd'T'HH:mm"))
+    )
+    parsed = coerce_timestamp_expr(raw)
+    return e.select(
+        "event_id", raw.alias("raw_ts"), F.unix_millis(parsed).alias("parsed_ms")
+    )
+
+
+_Q47_SQL = """
+SELECT event_id,
+  CASE event_id % 9
+    WHEN 0 THEN 'fx'
+    WHEN 1 THEN strftime(ts, '%Y')
+    WHEN 2 THEN strftime(ts, '%Y%m')
+    WHEN 3 THEN strftime(ts, '%Y%j')
+    WHEN 4 THEN strftime(ts, '%Y%m%d')
+    WHEN 5 THEN strftime(ts, '%Y%m%d%H')
+    WHEN 6 THEN strftime(ts, '%Y%m%d%H%M')
+    WHEN 7 THEN strftime(ts, '%Y%m%d%H%M%S')
+    ELSE strftime(ts, '%Y-%m-%dT%H:%M') END AS raw_ts,
+  epoch_ms(CASE event_id % 9
+    WHEN 0 THEN TIMESTAMP '0001-01-01 00:00:00'
+    WHEN 1 THEN date_trunc('year', ts)
+    WHEN 2 THEN date_trunc('month', ts)
+    WHEN 3 THEN date_trunc('day', ts)
+    WHEN 4 THEN date_trunc('day', ts)
+    WHEN 5 THEN date_trunc('hour', ts)
+    WHEN 6 THEN date_trunc('minute', ts)
+    WHEN 7 THEN date_trunc('minute', ts)
+    ELSE date_trunc('minute', ts) END) AS parsed_ms
+FROM events
+"""
+
+
 _Q46_SQL = """
 SELECT 'h' || doc_id || '.example.com' AS host,
        CAST(CASE WHEN doc_id % 5 = 0 THEN 0
@@ -1789,6 +1856,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_running_sum": q44_running_sum,
     "q45_change_detection": q45_change_detection,
     "q46_robots_parse": q46_robots_parse,
+    "q47_timestamp_ladder": q47_timestamp_ladder,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1835,6 +1903,7 @@ _ORACLES: dict[str, str] = {
     "q44_running_sum": _Q44_SQL,
     "q45_change_detection": _Q45_SQL,
     "q46_robots_parse": _Q46_SQL,
+    "q47_timestamp_ladder": _Q47_SQL,
 }
 
 

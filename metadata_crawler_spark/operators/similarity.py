@@ -94,40 +94,25 @@ def lsh_buckets(
     )
 
 
-def ann_topk(
+def write_bucketed_corpus(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
+    path: str,
     n_planes: int = 8,
-    multiprobe: bool = True,
+    seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Approximate top-k: equi-join on LSH bucket (queries multiprobe their
-    bucket plus every 1-bit flip), exact cosine re-rank inside candidates.
-    Recall is tested against cosine_topk in tests/test_similarity.py."""
-    cb = lsh_buckets(corpus, n_planes, id_col=id_col, vec_col=vec_col)
-    qb = lsh_buckets(queries, n_planes, id_col=id_col, vec_col=vec_col)
-    if multiprobe:
-        probes = F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("int")
-                for i in range(n_planes)
-            ],
-        )
-        qb = qb.select(
-            F.col("id").alias("query_id"),
-            F.col("vec").alias("w"),
-            F.explode(probes).alias("bucket"),
-        )
-    else:
-        qb = qb.select(
-            F.col("id").alias("query_id"), F.col("vec").alias("w"), "bucket"
-        )
-    cand = cb.select(
-        F.col("id").alias("nbr_id"), F.col("vec").alias("v"), "bucket"
-    ).join(F.broadcast(qb), "bucket").filter(F.col("nbr_id") != F.col("query_id"))
+) -> None:
+    """Persist the corpus PARTITIONED BY its LSH bucket (Iceberg analog:
+    ``PARTITIONED BY bucket(n, col)``): the one-time bucketing cost buys
+    every subsequent ANN query partition pruning — only the probe buckets'
+    files are ever read (ann_topk_bucketed). This is the 10^10-vector
+    path; ann_topk recomputes buckets per call and scans everything."""
+    lsh_buckets(corpus, n_planes, seed, id_col=id_col, vec_col=vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path)
+
+
+def _rerank_topk(cand: DataFrame, k: int) -> DataFrame:
     scored = cand.select(
         "query_id",
         "nbr_id",
@@ -145,3 +130,72 @@ def ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def _probe_queries(
+    queries: DataFrame, n_planes: int, multiprobe: bool, id_col: str, vec_col: str
+) -> DataFrame:
+    qb = lsh_buckets(queries, n_planes, id_col=id_col, vec_col=vec_col)
+    if not multiprobe:
+        return qb.select(
+            F.col("id").alias("query_id"), F.col("vec").alias("w"), "bucket"
+        )
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("int")
+            for i in range(n_planes)
+        ],
+    )
+    return qb.select(
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("w"),
+        F.explode(probes).alias("bucket"),
+    )
+
+
+def ann_topk_bucketed(
+    spark,
+    corpus_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a write_bucketed_corpus() table: the probe-bucket
+    set (small — queries x (n_planes+1)) becomes an IN-list partition
+    filter, so the scan reads ONLY those bucket directories. Identical
+    results to ann_topk on the same corpus/planes (tested)."""
+    qb = _probe_queries(queries, n_planes, multiprobe, id_col, vec_col).persist()
+    probe_buckets = [int(r["bucket"]) for r in qb.select("bucket").distinct().collect()]
+    corpus = spark.read.parquet(corpus_path).filter(
+        F.col("bucket").isin(probe_buckets)
+    )
+    cand = corpus.select(
+        F.col("id").alias("nbr_id"), F.col("vec").alias("v"), "bucket"
+    ).join(F.broadcast(qb), "bucket").filter(F.col("nbr_id") != F.col("query_id"))
+    return _rerank_topk(cand, k)
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: equi-join on LSH bucket (queries multiprobe their
+    bucket plus every 1-bit flip), exact cosine re-rank inside candidates.
+    Recall is tested against cosine_topk in tests/test_similarity.py.
+    Buckets are recomputed per call — for a standing corpus use
+    write_bucketed_corpus + ann_topk_bucketed (partition-pruned reads)."""
+    cb = lsh_buckets(corpus, n_planes, id_col=id_col, vec_col=vec_col)
+    qb = _probe_queries(queries, n_planes, multiprobe, id_col, vec_col)
+    cand = cb.select(
+        F.col("id").alias("nbr_id"), F.col("vec").alias("v"), "bucket"
+    ).join(F.broadcast(qb), "bucket").filter(F.col("nbr_id") != F.col("query_id"))
+    return _rerank_topk(cand, k)

@@ -68,3 +68,51 @@ def test_lsh_buckets_deterministic(spark, emb):
     b2 = lsh_buckets(emb, n_planes=8).select("id", "bucket").toPandas()
     assert b1.sort_values("id")["bucket"].tolist() == b2.sort_values("id")["bucket"].tolist()
     assert b1["bucket"].between(0, 255).all()
+
+
+def test_ann_bucketed_pruned_read(spark, tmp_path):
+    """write_bucketed_corpus + ann_topk_bucketed must (a) return exactly
+    what ann_topk returns on the same corpus/planes and (b) physically
+    read only the probe buckets' partition directories."""
+    import numpy as np
+
+    from metadata_crawler_spark.operators.similarity import (
+        ann_topk,
+        ann_topk_bucketed,
+        write_bucketed_corpus,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim = 2000, 16
+    rows = [(i, [float(x) for x in rng.standard_normal(dim)]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "bucketed_corpus")
+    write_bucketed_corpus(emb, path, n_planes=6)
+
+    got = ann_topk_bucketed(spark, path, queries, k=5, n_planes=6)
+    want = ann_topk(emb, queries, k=5, n_planes=6)
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) == 15
+
+    # pruning evidence: the filtered scan touches fewer partition dirs than
+    # exist on disk (3 queries x 7 probes <= 21 buckets of 64)
+    import os
+
+    all_buckets = {d for d in os.listdir(path) if d.startswith("bucket=")}
+    touched = {
+        r.f.split("/bucket=")[1].split("/")[0]
+        for r in spark.read.parquet(path)
+        .filter(F.col("bucket").isin([0, 1]))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert touched <= {"0", "1"} and len(all_buckets) > 2
+    plan = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin([0, 1]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
