@@ -167,14 +167,17 @@ def paired_main() -> None:
     each pair shares the host's noise window (this VM's CPU delivery
     swings ~3x in bursts of tens of seconds — sequential per-level
     sampling can land the two levels in different regimes and report
-    nonsense in either direction). Efficiency is taken from the best
-    pair: the engine's demonstrated scaling when the host cooperated.
+    nonsense in either direction). The HEADLINE efficiency is the MEDIAN
+    over all pairs (>=3; round-1 review: best-of-pairs was too thin);
+    the best pair is reported alongside as the demonstrated ceiling.
 
     usage: ... schedule_bench paired <fx_dir> [n_pairs] [N [mult]]
     """
     from ..session import get_spark
 
     fx_dir = sys.argv[2]
+    # default 3 pairs (median headline); explicit smaller values are for
+    # smoke runs only — the driver's BENCH uses the default
     n_pairs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     # default N=1, 4N=4: this VM's memory bandwidth saturates above ~4
     # cores (pure JVM hash-agg measures 1->4: 3.7x, 4->16: 2.3x, and a
@@ -211,20 +214,26 @@ def paired_main() -> None:
                 "efficiency": eff,
             }
         )
-        # a pair already at/above the 0.8 target needs no more sampling
-        if eff >= 0.8:
-            break
-    best = max(pairs, key=lambda p: p["efficiency"])
+    import statistics
+
+    # headline = MEDIAN pair; the pair realizing it carries the throughputs
+    by_eff = sorted(pairs, key=lambda p: p["efficiency"])
+    median_pair = by_eff[(len(by_eff) - 1) // 2]
+    best = by_eff[-1]
     print(
         json.dumps(
             {
                 "levels": list(levels),
                 "n_urls": walls[levels[0]]["frontier_urls"],
+                "median_pair": median_pair,
                 "best_pair": best,
                 "pairs": pairs,
-                "efficiency": best["efficiency"],
-                "localN_urls_per_sec": best[f"thr_{levels[0]}"],
-                "local4N_urls_per_sec": best[f"thr_{levels[1]}"],
+                "efficiency": round(
+                    statistics.median(p["efficiency"] for p in pairs), 3
+                ),
+                "efficiency_best": best["efficiency"],
+                "localN_urls_per_sec": median_pair[f"thr_{levels[0]}"],
+                "local4N_urls_per_sec": median_pair[f"thr_{levels[1]}"],
             }
         )
     )
