@@ -1795,6 +1795,80 @@ FROM events
 """
 
 
+def q48_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary building (training-data pipeline op): global word
+    counts -> deterministic top-200 (count DESC, token ASC). Map-side
+    partial aggregation makes this one shuffle of (token, count) pairs —
+    the 100 TB plan never moves document bodies."""
+    _prep(spark)
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+    counts = words.groupBy("token").agg(F.count("*").alias("n"))
+    w = W.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 200)
+        .select("token", "n", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+_Q48_SQL = r"""
+WITH w AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents
+),
+c AS (SELECT token, COUNT(*) AS n FROM w GROUP BY token),
+r AS (SELECT token, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rank
+      FROM c)
+SELECT token, n, rank FROM r WHERE rank <= 200
+"""
+
+
+def q49_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (training-data pipeline op): flag corpus
+    documents sharing any word 3-gram with a benchmark set (docs with
+    doc_id % 50 == 0). Broadcast the benchmark's distinct shingles; the
+    corpus text column never shuffles (operators/dedup.py:
+    ngram_contamination)."""
+    _prep(spark)
+    from metadata_crawler_spark.operators.dedup import ngram_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 50 != 0).select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 50 == 0).select("text")
+    out = ngram_contamination(corpus, bench, "text", "doc_id", ngram=3)
+    return out.select(
+        "doc_id",
+        F.col("n_contaminated_ngrams").cast("long").alias("n_contaminated_ngrams"),
+        "contaminated",
+    )
+
+
+_SHINGLE3_SQL = (
+    "CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 3"
+    "     THEN [trim(text)]"
+    "     ELSE list_transform("
+    "            range(1, len(string_split_regex(trim(text), '\\s+')) - 1),"
+    "            i -> array_to_string("
+    "                   list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' '))"
+    " END"
+)
+
+_Q49_SQL = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+bench AS (SELECT text FROM documents WHERE doc_id % 50 = 0),
+d AS (SELECT doc_id, unnest(list_distinct({_SHINGLE3_SQL})) AS sh FROM corpus),
+b AS (SELECT DISTINCT unnest(list_distinct({_SHINGLE3_SQL})) AS sh FROM bench),
+hits AS (SELECT doc_id, COUNT(*) AS n FROM d JOIN b USING (sh) GROUP BY doc_id)
+SELECT c.doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated_ngrams,
+       COALESCE(h.n, 0) > 0 AS contaminated
+FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+"""
+
+
 _Q46_SQL = """
 SELECT 'h' || doc_id || '.example.com' AS host,
        CAST(CASE WHEN doc_id % 5 = 0 THEN 0
@@ -1857,6 +1931,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_change_detection": q45_change_detection,
     "q46_robots_parse": q46_robots_parse,
     "q47_timestamp_ladder": q47_timestamp_ladder,
+    "q48_vocab_topk": q48_vocab_topk,
+    "q49_contamination": q49_contamination,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1904,6 +1980,8 @@ _ORACLES: dict[str, str] = {
     "q45_change_detection": _Q45_SQL,
     "q46_robots_parse": _Q46_SQL,
     "q47_timestamp_ladder": _Q47_SQL,
+    "q48_vocab_topk": _Q48_SQL,
+    "q49_contamination": _Q49_SQL,
 }
 
 

@@ -200,6 +200,46 @@ def simhash_neardup_pairs(
     )
 
 
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    ngram: int = 8,
+) -> DataFrame:
+    """Training-data decontamination: flag documents sharing any word
+    n-gram with a benchmark/eval set (the standard n-gram-overlap
+    contamination test a pretraining pipeline runs before training).
+
+    Plan shape for 100 TB: the corpus side explodes its distinct shingles
+    (map-side, no shuffle of full texts); the benchmark side is small by
+    definition -> broadcast distinct shingles; the join is a broadcast
+    semi-ish inner + per-doc count. Never a cross join; the corpus text
+    column never shuffles.
+    """
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles_expr(F.col(text_col), ngram))).alias("sh"),
+    )
+    b = benchmark.select(
+        F.explode(F.array_distinct(shingles_expr(F.col(text_col), ngram))).alias("sh")
+    ).distinct()
+    hits = d.join(F.broadcast(b), "sh").groupBy("id").agg(
+        F.count("*").alias("n_contaminated_ngrams")
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_contaminated_ngrams", F.lit(0)).alias(
+                "n_contaminated_ngrams"
+            ),
+            (F.coalesce("n_contaminated_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def _pair_cosine() -> Column:
     dot = F.aggregate(
         F.zip_with("v", "v_b", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x

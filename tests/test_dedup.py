@@ -156,3 +156,31 @@ def test_embedding_neardup_lsh_no_cartesian_plan(spark):
     planted = {(int(a), int(a + 1)) for a in ids[0::1000][: n // 1000]}
     # seeded determinism: near-identical vectors share buckets
     assert len(got & planted) >= int(0.9 * len(planted))
+
+
+def test_ngram_contamination_planted(spark):
+    from metadata_crawler_spark.operators.dedup import ngram_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words entirely here now"),
+            (3, "prefix words then the quick brown fox appears"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("benchmark says the quick brown fox is overused",)], "text string"
+    )
+    got = {
+        r.doc_id: (r.n_contaminated_ngrams, r.contaminated)
+        for r in ngram_contamination(corpus, bench, "text", "doc_id", ngram=3).collect()
+    }
+    assert got[1][1] and got[3][1] and not got[2][1]
+    assert got[1][0] >= 2  # 'the quick brown' + 'quick brown fox'
+    # plan: benchmark side broadcast, no cartesian
+    plan = (
+        ngram_contamination(corpus, bench, "text", "doc_id", ngram=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
