@@ -75,3 +75,24 @@ def test_glob_to_regex_and_delete(spark):
     assert kept == [("de", "s1"), ("es", "s2"), ("fr", "s2")]
     # no facets -> no-op
     assert delete_by_facets(df, {}).count() == 4
+
+
+def test_jdbc_option_builders():
+    """S9/S10 source shapes: pure option builders (connector jars are the
+    only cluster-side difference)."""
+    import pytest
+
+    from metadata_crawler_spark.sources.jdbc import mongo_options, postgres_options
+
+    opts = postgres_options(
+        "pg.internal", "meta", "catalogue", "crawler", password="s",
+        partition_column="id", lower=0, upper=1_000_000, num_partitions=16,
+    )
+    assert opts["url"] == "jdbc:postgresql://pg.internal:5432/meta"
+    assert opts["partitionColumn"] == "id"
+    assert opts["numPartitions"] == "16"
+    assert opts["lowerBound"] == "0" and opts["upperBound"] == "1000000"
+    with pytest.raises(ValueError):
+        postgres_options("h", "d", "t", "u", partition_column="id")
+    m = mongo_options("mongodb://m:27017", "meta", "catalogue")
+    assert m["database"] == "meta" and m["collection"] == "catalogue"
