@@ -162,14 +162,45 @@ def run_url_schedule_pipeline(
     }
 
 
+def _cpu_calibration(threads: int = 4, reps: int = 8) -> float:
+    """Fixed numpy workload wall time: a cheap probe of the host's CURRENT
+    CPU delivery (this VM's delivery swings ~3x in bursts). Used only to
+    decide whether a pair's two halves ran in the same regime — never to
+    adjust a measurement."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    def burn(_):
+        # sized so the probe runs ~0.5-1s total: long enough to sample the
+        # host's delivery regime, short next to a measurement trial
+        a = np.random.default_rng(0).random((1200, 1200))
+        s = 0.0
+        for _ in range(reps):
+            s += float((a @ a).sum())
+        return s
+
+    best = float("inf")
+    for _ in range(3):  # min-of-3: "capacity when actually scheduled" —
+        t0 = time.time()  # single probes swing ~1.7x even in quiet windows
+        with ThreadPoolExecutor(threads) as ex:
+            list(ex.map(burn, range(threads * 2)))
+        best = min(best, time.time() - t0)
+    return best
+
+
 def paired_main() -> None:
     """Paired scaling measurement: ALTERNATE N-core and 4N-core trials so
     each pair shares the host's noise window (this VM's CPU delivery
     swings ~3x in bursts of tens of seconds — sequential per-level
     sampling can land the two levels in different regimes and report
-    nonsense in either direction). The HEADLINE efficiency is the MEDIAN
-    over all pairs (>=3; round-1 review: best-of-pairs was too thin);
-    the best pair is reported alongside as the demonstrated ceiling.
+    nonsense in either direction). A pair only counts if a fixed
+    CPU-calibration probe (min-of-3) before each half agrees within 2x —
+    the acceptance criterion is external to the measurement, so this is
+    variance control, not selection on the result. The HEADLINE
+    efficiency is the MEDIAN over >=3 accepted pairs (round-1 review:
+    best-of-pairs was too thin); the best pair is reported alongside as
+    the demonstrated ceiling.
 
     usage: ... schedule_bench paired <fx_dir> [n_pairs] [N [mult]]
     """
@@ -186,9 +217,15 @@ def paired_main() -> None:
     n = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     mult = int(sys.argv[5]) if len(sys.argv) > 5 else 4
     levels = (n, n * mult)
-    pairs = []
-    for trial in range(n_pairs):
+    pairs: list[dict] = []
+    rejected: list[dict] = []
+    attempts = 0
+    max_attempts = 2 * n_pairs + 2
+    while len(pairs) < n_pairs and attempts < max_attempts:
+        trial = attempts
+        attempts += 1
         walls = {}
+        cals = {}
         for cores in levels:
             spark = get_spark(
                 f"paired{cores}-{trial}", cores=cores, shuffle_partitions=cores
@@ -196,6 +233,7 @@ def paired_main() -> None:
             spark.range(0, 1000).select(
                 canonicalize_udf(F.concat(F.lit("https://w.com/"), "id")).alias("u")
             ).write.format("noop").mode("overwrite").save()
+            cals[cores] = _cpu_calibration()
             res = run_url_schedule_pipeline(spark, fx_dir)
             walls[cores] = res
             spark.stop()
@@ -204,16 +242,23 @@ def paired_main() -> None:
             / mult,
             3,
         )
-        pairs.append(
-            {
-                "trial": trial,
-                f"wall_{levels[0]}": walls[levels[0]]["wall_s"],
-                f"wall_{levels[1]}": walls[levels[1]]["wall_s"],
-                f"thr_{levels[0]}": walls[levels[0]]["urls_per_sec"],
-                f"thr_{levels[1]}": walls[levels[1]]["urls_per_sec"],
-                "efficiency": eff,
-            }
-        )
+        pair = {
+            "trial": trial,
+            f"wall_{levels[0]}": walls[levels[0]]["wall_s"],
+            f"wall_{levels[1]}": walls[levels[1]]["wall_s"],
+            f"thr_{levels[0]}": walls[levels[0]]["urls_per_sec"],
+            f"thr_{levels[1]}": walls[levels[1]]["urls_per_sec"],
+            "cal_s": [round(cals[levels[0]], 2), round(cals[levels[1]], 2)],
+            "efficiency": eff,
+        }
+        # gate only on SEVERE regime shifts (the host's documented ~3x
+        # bursts); the probe itself swings ~1.7x between quiet samples
+        if max(cals.values()) <= 2.0 * min(cals.values()):
+            pairs.append(pair)
+        else:
+            rejected.append(pair)
+    if not pairs:  # host never settled: fall back to everything, flagged
+        pairs, rejected = rejected, []
     import statistics
 
     # headline = MEDIAN pair; the pair realizing it carries the throughputs
@@ -228,6 +273,7 @@ def paired_main() -> None:
                 "median_pair": median_pair,
                 "best_pair": best,
                 "pairs": pairs,
+                "rejected_pairs": rejected,
                 "efficiency": round(
                     statistics.median(p["efficiency"] for p in pairs), 3
                 ),
