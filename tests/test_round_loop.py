@@ -211,3 +211,43 @@ def test_guarded_sweep(spark):
     kept = guarded_sweep(df, "epoch", 90, force=True)
     assert kept.count() == 10
     assert guarded_sweep(df, "epoch", 10).count() == 90  # 10% -> no guard
+
+
+def test_size_based_switches(spark, tmp_path):
+    """The scale switches decide from size, not constants: bloom broadcast
+    flips to the cogrouped probe when the filter's total bytes outgrow the
+    budget (pure config arithmetic — no job), and the robots join switch
+    probes the rules table with a bounded limit-count."""
+    from metadata_crawler_spark.plans.round_loop import (
+        BLOOM_BROADCAST_MAX_BYTES,
+        CrawlConfig,
+        Crawler,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.com", ["/x"], 0)],
+        "host string, disallow array<string>, crawl_delay_ms long",
+    )
+    hosts = spark.createDataFrame([("a.com", 8)], "host string, budget int")
+
+    def mk(cfg):
+        return Crawler(
+            spark=spark, pages_path="unused", robots=robots, hosts=hosts,
+            checkpoint_dir=str(tmp_path / "ck"), config=cfg,
+        )
+
+    small = mk(CrawlConfig(n_shards=32, bloom_expected_per_shard=50_000))
+    assert small.bloom_broadcast() is True
+    # ~10^10 keys over 32 shards: bitmaps alone are gigabytes -> cogrouped
+    big = mk(CrawlConfig(n_shards=32, bloom_expected_per_shard=300_000_000))
+    assert big.bloom_broadcast() is False
+    forced = mk(CrawlConfig(broadcast_bloom=True,
+                            bloom_expected_per_shard=300_000_000))
+    assert forced.bloom_broadcast() is True
+    # sanity on the threshold arithmetic itself
+    from metadata_crawler_spark.operators.seen import bloom_params
+
+    m, _ = bloom_params(300_000_000, 0.01)
+    assert (m // 8) * 32 > BLOOM_BROADCAST_MAX_BYTES
+    # robots switch: tiny table -> broadcast
+    assert small.robots_broadcast() is True
