@@ -242,9 +242,13 @@ class Crawler:
 
         frontier = frontier.persist()
         frontier_in = frontier.count()
+        # the deduped count rides an Observation on the gated pipeline —
+        # new_urls has exactly one consumer (gate_frontier), so it needs
+        # neither its own persist nor a separate count job
+        obs_dedup = Observation(f"dedup_{round_no}")
         new_urls = dedup_against_seen(
             frontier, seen, bloom, cfg.n_shards, self.bloom_broadcast()
-        ).persist()
+        ).observe(obs_dedup, F.count(F.lit(1)).alias("n"))
         # gates split from top-k so the carryover can be computed from the
         # ELIGIBLE set: URLs dropped by validity/robots are permanently
         # blocked and must not ride the frontier forever (they would never
@@ -372,14 +376,13 @@ class Crawler:
         counts = {
             "round": round_no,
             "frontier_in": frontier_in,
-            "deduped": new_urls.count(),
+            "deduped": int(obs_dedup.get["n"]),
             "scheduled": scheduled_n,
             "fetched": fetched_n,
             "frontier_next": frontier_next_n,
             "wall_s": round(time.time() - t0, 3),
         }
         frontier.unpersist()
-        new_urls.unpersist()
         gated.unpersist()
         # THE commit point: manifest flip makes the round visible atomically;
         # prior rounds' counts are carried forward (lineage accumulates)
