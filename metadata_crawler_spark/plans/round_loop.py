@@ -210,7 +210,12 @@ class Crawler:
 
     # -- state -------------------------------------------------------------
     def _load_state(self, upto: int):
-        seen = read_rounds(self.spark, self.checkpoint_dir, "seen_delta", upto)
+        # the seen set IS the union of scheduled sets (attempted = seen):
+        # no separate seen_delta table — parquet column pruning makes this
+        # a 2-column read of the per-round scheduled tables
+        seen = read_rounds(self.spark, self.checkpoint_dir, "scheduled", upto)
+        if seen is not None:
+            seen = seen.select("url_hash_hi", "url_hash_lo")
         bloom_path = os.path.join(self.checkpoint_dir, f"round={upto:05d}", "bloom")
         bloom = (
             self.spark.read.parquet(bloom_path)
@@ -319,15 +324,12 @@ class Crawler:
             os.path.join(self.checkpoint_dir, f"round={round_no:05d}", "fetched")
         )
 
-        # seen delta: everything scheduled this round (attempted = seen)
-        seen_delta = scheduled.select("url_hash_hi", "url_hash_lo", "url").withColumn(
-            "seen_round", F.lit(round_no)
-        )
-        write_round_table(seen_delta, self.checkpoint_dir, round_no, "seen_delta")
+        # seen delta == this round's scheduled set (attempted = seen); it
+        # lives in the already-written scheduled table — no extra write
 
         # bloom evolution: OR-in this round's keys (append, never rebuild)
         delta_bloom = bloom_build(
-            seen_delta,
+            scheduled.select("url_hash_hi", "url_hash_lo"),
             cfg.n_shards,
             cfg.bloom_fpr,
             cfg.bloom_expected_per_shard,

@@ -147,7 +147,7 @@ def test_seen_set_matches_reference(spark, sim_and_engine):
     eng_seen = {
         r.url
         for r in spark.read.parquet(
-            *[os.path.join(ck, f"round={i:05d}", "seen_delta") for i in range(ROUNDS)]
+            *[os.path.join(ck, f"round={i:05d}", "scheduled") for i in range(ROUNDS)]
         ).collect()
     }
     assert eng_seen == sim_seen

@@ -107,10 +107,10 @@ def test_resume_equals_straight_run(spark, fixture_dir, tables, tmp_path_factory
     res_b = b2.run(seeds, rounds=4)
     assert [r["round"] for r in res_b] == [2, 3]
     seen_a = spark.read.parquet(*[
-        os.path.join(ck_a, f"round={r:05d}", "seen_delta") for r in range(4)
+        os.path.join(ck_a, f"round={r:05d}", "scheduled") for r in range(4)
     ]).select("url")
     seen_b = spark.read.parquet(*[
-        os.path.join(ck_b, f"round={r:05d}", "seen_delta") for r in range(4)
+        os.path.join(ck_b, f"round={r:05d}", "scheduled") for r in range(4)
     ]).select("url")
     assert seen_a.exceptAll(seen_b).count() == 0
     assert seen_b.exceptAll(seen_a).count() == 0
