@@ -70,6 +70,66 @@ def stream_frontier_rounds(
     )
 
 
+def stream_crawl_rounds(
+    spark: SparkSession,
+    input_dir: str,
+    robots: DataFrame,
+    hosts: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "crawl_rounds",
+):
+    """stream_frontier_rounds + a CROSS-BATCH seen set: each micro-batch
+    anti-joins the union of every PRIOR epoch's scheduled set before
+    scheduling (the reference's whole-crawl unique-index semantics,
+    api/stores/mongodb.py:135-166 — a URL attempted in any earlier batch
+    is never re-scheduled). Exactly-once: the epoch output path is scoped
+    by epoch_id and only epochs < current are read back, so replaying a
+    failed batch reads the same seen set and overwrites the same path.
+    """
+    import os
+
+    from ..functions.urls import canonicalize_udf, with_url_hash
+    from ..operators.frontier import schedule_round, valid_urls
+    from ..operators.seen import dedup_against_seen
+    from ..plans.round_loop import _combine_frontier
+
+    stream = spark.readStream.schema(FRONTIER_SCHEMA).parquet(input_dir)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        f = batch_df.select(
+            canonicalize_udf("url").alias("url"), "depth", "score"
+        )
+        f = _combine_frontier(with_url_hash(valid_urls(f)), 9)
+        prior = sorted(
+            d for d in (os.listdir(out_dir) if os.path.isdir(out_dir) else [])
+            if d.startswith("epoch=") and int(d.split("=")[1]) < epoch_id
+        )
+        seen = (
+            spark.read.parquet(*[os.path.join(out_dir, d) for d in prior])
+            .select("url_hash_hi", "url_hash_lo")
+            if prior
+            else None
+        )
+        new = dedup_against_seen(f, seen)
+        sched = schedule_round(new, hosts, robots, salt_parts=4)
+        (
+            sched.select(
+                "url", "host", "depth", "rank", "fetch_offset_ms",
+                "url_hash_hi", "url_hash_lo",
+            )
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/epoch={epoch_id:05d}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+
+
 def stream_hourly_rollup(
     spark: SparkSession,
     input_dir: str,

@@ -135,3 +135,43 @@ def test_stream_is_incremental_not_restart(spark, tables, tmp_path):
         time.sleep(0.2)
     epochs = [e for e in os.listdir(out) if e.startswith("epoch=")]
     assert len(epochs) == 1
+
+
+def test_stream_crawl_rounds_cross_batch_seen(spark, tmp_path):
+    """A URL scheduled in epoch 0 must NOT be re-scheduled in epoch 1 even
+    when it is re-discovered (the reference's whole-crawl unique-index
+    semantics); genuinely-new URLs in epoch 1 still schedule."""
+    from metadata_crawler_spark.streaming.micro_batch import stream_crawl_rounds
+
+    src = str(tmp_path / "frontier_in")
+    out = str(tmp_path / "sched_out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    robots = spark.createDataFrame(
+        [("a.com", [], 0)], "host string, disallow array<string>, crawl_delay_ms long"
+    )
+    hosts = spark.createDataFrame([("a.com", 100)], "host string, budget int")
+
+    batch0 = spark.createDataFrame(
+        [(f"https://a.com/p{i}", 0, 1.0) for i in range(10)],
+        "url string, depth int, score double",
+    )
+    batch0.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b0"))
+    q = stream_crawl_rounds(spark, src + "/*", robots, hosts, out, ck)
+    try:
+        q.processAllAvailable()
+        # epoch 1: re-discover p0-p9 plus 5 new urls
+        batch1 = spark.createDataFrame(
+            [(f"https://a.com/p{i}", 1, 0.5) for i in range(15)],
+            "url string, depth int, score double",
+        )
+        batch1.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    epochs = sorted(d for d in os.listdir(out) if d.startswith("epoch="))
+    assert len(epochs) == 2
+    e0 = {r.url for r in spark.read.parquet(os.path.join(out, epochs[0])).collect()}
+    e1 = {r.url for r in spark.read.parquet(os.path.join(out, epochs[1])).collect()}
+    assert e0 == {f"https://a.com/p{i}" for i in range(10)}
+    assert e1 == {f"https://a.com/p{i}" for i in range(10, 15)}  # only the new
