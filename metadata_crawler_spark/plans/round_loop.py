@@ -85,6 +85,12 @@ class CrawlConfig:
     #: cogrouped (nothing-broadcast) path when the filter's total bytes —
     #: known from config arithmetic, no job — exceed the broadcast budget.
     broadcast_bloom: bool | None = None
+    #: scheduled sets larger than this are NOT broadcast into the fetch
+    #: join (the observed count is known before the join is built); the
+    #: join falls back to a shuffle join — at cluster scale the right
+    #: answer is the bucketed/storage-partitioned pages table
+    #: (sources/tables.write_bucketed), which needs no broadcast either.
+    scheduled_broadcast_max_rows: int = 5_000_000
 
 
 #: auto-flip threshold for broadcasting the sharded bloom filter: above this
@@ -289,15 +295,22 @@ class Crawler:
         # 100 TB table) — a plain left join makes pages the build side
         # (non-preserved). Instead: inner join with the small scheduled
         # set broadcast (pages is streamed once), then anti-union the
-        # misses (dead URLs) computed against the small hit set.
+        # misses (dead URLs) computed against the small hit set. The
+        # broadcast is size-gated on the OBSERVED scheduled count — an
+        # over-budget round falls back to a shuffle join (AQE plans it).
+        bcast_sched = scheduled_n <= cfg.scheduled_broadcast_max_rows
         pages = self.pages_snapshot()
+        sched_side = F.broadcast(scheduled) if bcast_sched else scheduled
         hits = pages.join(
-            F.broadcast(scheduled), pages["page_url"] == scheduled["url"], "inner"
+            sched_side, pages["page_url"] == scheduled["url"], "inner"
         ).drop("page_url")
         fetched_hits = hits.mapInPandas(_fetch_batches, FETCH_SCHEMA).persist()
+        hit_urls = fetched_hits.select("url")
         misses = (
             scheduled.join(
-                F.broadcast(fetched_hits.select("url")), "url", "left_anti"
+                F.broadcast(hit_urls) if bcast_sched else hit_urls,
+                "url",
+                "left_anti",
             )
             .withColumn("fetched", F.lit(False))
             .withColumn("warc_ts", F.lit(None).cast("timestamp_ntz"))

@@ -251,3 +251,29 @@ def test_size_based_switches(spark, tmp_path):
     assert (m // 8) * 32 > BLOOM_BROADCAST_MAX_BYTES
     # robots switch: tiny table -> broadcast
     assert small.robots_broadcast() is True
+
+
+def test_fetch_join_broadcast_gate(spark, fixture_dir, tables, tmp_path_factory):
+    """The scheduled set only broadcasts into the fetch join while it is
+    provably small (the observed count gates it); a tiny forced threshold
+    must still produce identical round results via the shuffle join."""
+    from metadata_crawler_spark.plans.round_loop import CrawlConfig, Crawler
+
+    def run(cfg, ck):
+        c = Crawler(
+            spark=spark, pages_path=os.path.join(fixture_dir, "pages.parquet"),
+            robots=tables["robots"], hosts=tables["hosts"],
+            checkpoint_dir=ck, config=cfg,
+        )
+        return c.run(tables["seeds"], rounds=2)
+
+    ck_a = str(tmp_path_factory.mktemp("ck_bcast"))
+    ck_b = str(tmp_path_factory.mktemp("ck_shuffle"))
+    a = run(CrawlConfig(), ck_a)
+    b = run(CrawlConfig(scheduled_broadcast_max_rows=0), ck_b)
+    assert [(r["scheduled"], r["fetched"], r["frontier_next"]) for r in a] == [
+        (r["scheduled"], r["fetched"], r["frontier_next"]) for r in b
+    ]
+    sa = spark.read.parquet(os.path.join(ck_a, "round=00001", "fetched"))
+    sb = spark.read.parquet(os.path.join(ck_b, "round=00001", "fetched"))
+    assert sa.exceptAll(sb).count() == 0 and sb.exceptAll(sa).count() == 0
