@@ -1869,6 +1869,48 @@ FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
 """
 
 
+def q50_stats_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats rules (SURVEY §2.5 P8, reference _apply_stats_rules
+    api/config.py:405-458): per data object (user here) the 'bbox' rule
+    [lon_min, lon_max, lat_min, lat_max], the 'minmax' rule over a value
+    variable, and the 'range' rule over the time coordinate. Coordinates
+    are synthesized deterministically (exact 2-decimal doubles) so min/max
+    are bit-identical across engines."""
+    _prep(spark)
+    e = _t(spark, sf_dir, "events")
+    lat = (F.col("event_id") % 18000) / 100.0 - 90.0
+    lon = (F.col("event_id") % 36000) / 100.0 - 180.0
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    return (
+        e.withColumn("lat", lat).withColumn("lon", lon).withColumn("ms", ms)
+        .groupBy("user_id")
+        .agg(
+            F.min("lon").alias("lon_min"),
+            F.max("lon").alias("lon_max"),
+            F.min("lat").alias("lat_min"),
+            F.max("lat").alias("lat_max"),
+            F.min("value").alias("val_min"),
+            F.max("value").alias("val_max"),
+            F.min("ms").alias("ts_min_ms"),
+            F.max("ms").alias("ts_max_ms"),
+        )
+    )
+
+
+_Q50_SQL = """
+SELECT user_id,
+       MIN((event_id % 36000) / 100.0 - 180.0) AS lon_min,
+       MAX((event_id % 36000) / 100.0 - 180.0) AS lon_max,
+       MIN((event_id % 18000) / 100.0 - 90.0) AS lat_min,
+       MAX((event_id % 18000) / 100.0 - 90.0) AS lat_max,
+       MIN(value) AS val_min,
+       MAX(value) AS val_max,
+       MIN(epoch_ms(ts)) AS ts_min_ms,
+       MAX(epoch_ms(ts)) AS ts_max_ms
+FROM events GROUP BY user_id
+"""
+
+
 _Q46_SQL = """
 SELECT 'h' || doc_id || '.example.com' AS host,
        CAST(CASE WHEN doc_id % 5 = 0 THEN 0
@@ -1933,6 +1975,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_timestamp_ladder": q47_timestamp_ladder,
     "q48_vocab_topk": q48_vocab_topk,
     "q49_contamination": q49_contamination,
+    "q50_stats_rules": q50_stats_rules,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1982,6 +2025,7 @@ _ORACLES: dict[str, str] = {
     "q47_timestamp_ladder": _Q47_SQL,
     "q48_vocab_topk": _Q48_SQL,
     "q49_contamination": _Q49_SQL,
+    "q50_stats_rules": _Q50_SQL,
 }
 
 
