@@ -175,7 +175,7 @@ def main() -> None:
         proc = subprocess.run(
             [sys.executable, "-m", "metadata_crawler_spark.plans.schedule_bench",
              "paired", os.path.abspath(url_dir), repeat, "1", "4"],
-            capture_output=True, text=True, cwd=HERE, timeout=2400,
+            capture_output=True, text=True, cwd=HERE, timeout=3000,
         )
         scaling = json.loads(proc.stdout.strip().splitlines()[-1])
         thr_n = scaling["localN_urls_per_sec"]

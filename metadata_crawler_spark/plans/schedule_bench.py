@@ -227,7 +227,7 @@ def paired_main() -> None:
     levels = (n, n * mult)
     all_pairs: list[dict] = []
     attempts = 0
-    max_attempts = max(n_pairs + 3, 6)
+    max_attempts = n_pairs + 2
 
     def consistent(p: dict) -> bool:
         a, b = p["cal_s"]
@@ -239,19 +239,30 @@ def paired_main() -> None:
     while attempts < max_attempts:
         trial = attempts
         attempts += 1
-        walls = {}
-        cals = {}
-        for cores in levels:
-            spark = get_spark(
-                f"paired{cores}-{trial}", cores=cores, shuffle_partitions=cores
-            )
-            spark.range(0, 1000).select(
-                canonicalize_udf(F.concat(F.lit("https://w.com/"), "id")).alias("u")
-            ).write.format("noop").mode("overwrite").save()
-            cals[cores] = _cpu_calibration()
-            res = run_url_schedule_pipeline(spark, fx_dir)
-            walls[cores] = res
-            spark.stop()
+        walls: dict = {}
+        cals: dict = {}
+        # each level measured TWICE per pair (min wall), interleaved
+        # [N, 4N, N, 4N] so both levels sample the same window: min-of-N
+        # steady-state practice applied symmetrically inside the pair —
+        # single-shot halves are burst-sensitive even in quiet windows
+        for rep in range(2):
+            for cores in levels:
+                spark = get_spark(
+                    f"paired{cores}-{trial}-{rep}",
+                    cores=cores,
+                    shuffle_partitions=cores,
+                )
+                spark.range(0, 1000).select(
+                    canonicalize_udf(
+                        F.concat(F.lit("https://w.com/"), "id")
+                    ).alias("u")
+                ).write.format("noop").mode("overwrite").save()
+                cal = _cpu_calibration()
+                res = run_url_schedule_pipeline(spark, fx_dir)
+                spark.stop()
+                if cores not in walls or res["wall_s"] < walls[cores]["wall_s"]:
+                    walls[cores] = res
+                cals[cores] = min(cals.get(cores, float("inf")), cal)
         eff = round(
             (walls[levels[1]]["urls_per_sec"] / walls[levels[0]]["urls_per_sec"])
             / mult,
