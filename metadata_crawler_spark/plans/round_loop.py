@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import _decode, _extract_text_batch, _HREF_RE, _META_LANG_RE
-from ..functions.urls import canonicalize_udf, with_url_hash
+from ..functions.urls import with_canonical, with_url_hash
 from ..operators.frontier import (
     ROBOTS_BROADCAST_MAX_ROWS,
     expand_outlinks,
@@ -195,7 +195,7 @@ class Crawler:
         Derived once per run; on a real cluster this is an Iceberg snapshot."""
         if self._pages_snapshot is None:
             raw = self.spark.read.parquet(self.pages_path)
-            canon = raw.withColumn("url_canon", canonicalize_udf("url"))
+            canon = with_canonical(raw, "url", "url_canon")
             latest = latest_per_key(canon, "url_canon", "warc_ts", tiebreak="url")
             # persisted: every round joins against this snapshot; at cluster
             # scale this is the Iceberg table itself (bucketed by url hash),
@@ -206,8 +206,8 @@ class Crawler:
         return self._pages_snapshot
 
     def _seed_frontier(self, seeds: DataFrame) -> DataFrame:
-        f = seeds.select(
-            canonicalize_udf("url").alias("url"),
+        f = with_canonical(seeds, "url").select(
+            "url",
             F.col("depth").cast("int").alias("depth"),
             F.col("priority").cast("double").alias("score"),
         )
@@ -366,7 +366,7 @@ class Crawler:
             fetched.filter(F.col("fetched")), "links", "score", "depth"
         )
         children = with_url_hash(
-            valid_urls(children.withColumn("url", canonicalize_udf("url")))
+            valid_urls(with_canonical(children, "url"))
         ).select("url", "depth", "score", "url_hash_hi", "url_hash_lo")
         nxt = _combine_frontier(
             carryover.unionByName(children), cfg.score_decimals

@@ -23,7 +23,7 @@ import time
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.urls import canonicalize_udf, with_url_hash
+from ..functions.urls import canonicalize_udf, with_canonical, with_url_hash
 from ..operators.frontier import schedule_round, valid_urls
 from ..operators.seen import bloom_build, dedup_against_seen
 from .round_loop import FETCH_SCHEMA, _combine_frontier, _fetch_batches
@@ -44,10 +44,8 @@ def run_schedule_pipeline(
     n_urls = pages.count()  # warm: parquet footers + page cache
 
     t0 = time.time()
-    frontier = pages.select(
-        canonicalize_udf("url").alias("url"),
-        F.lit(0).alias("depth"),
-        F.lit(1.0).alias("score"),
+    frontier = with_canonical(pages.select("url"), "url").select(
+        "url", F.lit(0).alias("depth"), F.lit(1.0).alias("score")
     )
     # persist: downstream branches (seen filter, bloom build, anti-join
     # broadcast, top-k) would otherwise EACH recompute the pandas-UDF chain
@@ -69,9 +67,9 @@ def run_schedule_pipeline(
         "fetch_offset_ms", "url_hash_hi", "url_hash_lo",
     )
 
-    snapshot = pages.select(
-        canonicalize_udf("url").alias("page_url"), "warc_ts", "html"
-    )
+    snapshot = with_canonical(
+        pages.select("url", "warc_ts", "html"), "url", "page_url"
+    ).drop("url")
     # broadcast the small scheduled side; stream the pages scan (the
     # pages table is the 100 TB side — never the build side)
     fetchable = snapshot.join(
@@ -127,10 +125,8 @@ def run_url_schedule_pipeline(
     n_urls = urls.count()
 
     t0 = time.time()
-    frontier = urls.select(
-        canonicalize_udf("url").alias("url"),
-        F.lit(0).alias("depth"),
-        F.lit(1.0).alias("score"),
+    frontier = with_canonical(urls.select("url"), "url").select(
+        "url", F.lit(0).alias("depth"), F.lit(1.0).alias("score")
     )
     frontier = _combine_frontier(with_url_hash(valid_urls(frontier)), 9).persist()
     seen = frontier.filter(F.pmod(F.col("url_hash_hi"), F.lit(2)) == 0).select(

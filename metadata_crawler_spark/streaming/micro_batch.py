@@ -42,7 +42,7 @@ def stream_frontier_rounds(
     """Each parquet file landing in ``input_dir`` is a frontier delta; each
     micro-batch runs one scheduling round and appends the scheduled set.
     foreachBatch + (batch-scoped output paths) = exactly-once."""
-    from ..functions.urls import canonicalize_udf, with_url_hash
+    from ..functions.urls import with_canonical, with_url_hash
     from ..operators.frontier import schedule_round, valid_urls
     from ..plans.round_loop import _combine_frontier
 
@@ -51,9 +51,7 @@ def stream_frontier_rounds(
     )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        f = batch_df.select(
-            canonicalize_udf("url").alias("url"), "depth", "score"
-        )
+        f = with_canonical(batch_df, "url").select("url", "depth", "score")
         f = _combine_frontier(with_url_hash(valid_urls(f)), 9)
         sched = schedule_round(f, hosts, robots, salt_parts=4)
         (
@@ -89,7 +87,7 @@ def stream_crawl_rounds(
     """
     import os
 
-    from ..functions.urls import canonicalize_udf, with_url_hash
+    from ..functions.urls import with_canonical, with_url_hash
     from ..operators.frontier import schedule_round, valid_urls
     from ..operators.seen import dedup_against_seen
     from ..plans.round_loop import _combine_frontier
@@ -97,9 +95,7 @@ def stream_crawl_rounds(
     stream = spark.readStream.schema(FRONTIER_SCHEMA).parquet(input_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        f = batch_df.select(
-            canonicalize_udf("url").alias("url"), "depth", "score"
-        )
+        f = with_canonical(batch_df, "url").select("url", "depth", "score")
         f = _combine_frontier(with_url_hash(valid_urls(f)), 9)
         prior = sorted(
             d for d in (os.listdir(out_dir) if os.path.isdir(out_dir) else [])

@@ -118,3 +118,50 @@ def test_url_hash_128bit_and_shard(spark):
     assert rows[0].url_hash_hi != rows[0].url_hash_lo
     shards = df.select(shard_expr(F.col("url_hash_hi"), 16).alias("s")).collect()
     assert all(0 <= r.s < 16 for r in shards)
+
+
+def test_with_canonical_equals_udf_on_corpus(spark):
+    """The plan-level split (JVM fast path UNION pandas slow path) must
+    produce exactly the UDF's output as a multiset, for the messy fixture
+    corpus AND adversarial edge cases."""
+    from metadata_crawler_spark.functions.urls import (
+        canonicalize_udf,
+        with_canonical,
+    )
+    from metadata_crawler_spark.sources.fixtures import write_fixtures
+
+    fx = write_fixtures("/tmp/fx_canon_eq", 4000)
+    pages = spark.read.parquet(fx["pages"]).select("url")
+    edge = spark.createDataFrame(
+        [(u,) for u in [
+            None, "", "   ", "not a url", "HTTP://A.com:80/x?b=2&a=1#f",
+            "https://a.com", "https://a.com/", "https://a.com/a/../b",
+            "https://a.com/a/./b", "https://a.com/%7Euser/%2Fx",
+            "https://user:pw@a.com:8443/x", "ftp://a.com/x",
+            "https://a.com/UPPER/path", "https://a.com/ok?z=1&a=2",
+            "https://a.com/trailing/", "http://b.org:8080/keep-port",
+        ]],
+        "url string",
+    )
+    df = pages.unionByName(edge)
+    got = sorted(
+        r.url or "" for r in with_canonical(df, "url").collect()
+    )
+    want = sorted(
+        r.c or "" for r in df.select(canonicalize_udf("url").alias("c")).collect()
+    )
+    assert got == want
+
+
+def test_with_canonical_fast_path_avoids_python(spark):
+    """Rows matching the fast regex must take the expression branch: the
+    fast branch's plan contains no ArrowEvalPython node."""
+    from metadata_crawler_spark.functions.urls import with_canonical
+
+    df = spark.createDataFrame(
+        [("https://a.com/x/y",), ("https://b.org/z",)], "url string"
+    )
+    out = with_canonical(df, "url")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the union has exactly ONE python-eval subtree (the slow branch)
+    assert plan.count("ArrowEvalPython") == 1
