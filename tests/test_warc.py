@@ -1,0 +1,82 @@
+"""WARC segment source: render/parse round-trip + crawl integration."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+from metadata_crawler_spark.sources.warc import (
+    parse_warc_bytes,
+    read_warc_segments,
+    render_warc,
+)
+
+RECS = [
+    ("https://a.com/x", datetime(2026, 1, 1, 12, 0), b"<html><body>alpha bravo</body></html>"),
+    ("https://b.org/y", datetime(2026, 2, 2, 3, 4), b"<html><body>charlie</body></html>"),
+    # payload containing the magic bytes must not break framing
+    ("https://c.net/z", datetime(2026, 3, 3, 0, 0), b"<html>WARC/1.0 inside body \r\n\r\n tricky</html>"),
+]
+
+
+def test_warc_roundtrip_bytes():
+    blob = render_warc(RECS)
+    got = list(parse_warc_bytes(blob, "seg0"))
+    assert [(u, t, h) for u, t, h, _ in got] == RECS
+    assert all(s == "seg0" for *_, s in got)
+
+
+def test_warc_skips_non_response_records():
+    blob = (
+        b"WARC/1.0\r\nWARC-Type: request\r\n"
+        b"WARC-Target-URI: https://a.com/x\r\n"
+        b"WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: 3\r\n\r\nGET\r\n\r\n"
+    ) + render_warc(RECS[:1])
+    got = list(parse_warc_bytes(blob))
+    assert len(got) == 1 and got[0][0] == "https://a.com/x"
+
+
+def test_read_warc_segments_spark(spark, tmp_path):
+    seg_dir = tmp_path / "segments"
+    seg_dir.mkdir()
+    (seg_dir / "part0.warc").write_bytes(render_warc(RECS[:2]))
+    (seg_dir / "part1.warc").write_bytes(render_warc(RECS[2:]))
+    (seg_dir / "ignored.txt").write_bytes(b"not a warc")
+    df = read_warc_segments(spark, str(seg_dir))
+    rows = {r.url: (r.warc_ts, bytes(r.html)) for r in df.collect()}
+    assert rows == {u: (t, h) for u, t, h in RECS}
+    segs = {r.segment.rsplit("/", 1)[-1] for r in df.collect()}
+    assert segs == {"part0.warc", "part1.warc"}
+
+
+def test_crawl_round_over_warc_corpus(spark, tmp_path):
+    """End to end: WARC segments -> pages parquet -> one crawl round."""
+    import pyspark.sql.functions as F
+
+    from metadata_crawler_spark.plans.round_loop import Crawler
+
+    seg_dir = tmp_path / "segments"
+    seg_dir.mkdir()
+    (seg_dir / "s.warc").write_bytes(render_warc(RECS))
+    pages = read_warc_segments(spark, str(seg_dir)).withColumn(
+        "text", F.lit(None).cast("string")
+    )
+    pages_path = str(tmp_path / "pages.parquet")
+    pages.select("url", "warc_ts", "html").write.parquet(pages_path)
+
+    robots = spark.createDataFrame(
+        [("a.com", [], 0)], "host string, disallow array<string>, crawl_delay_ms long"
+    )
+    hosts = spark.createDataFrame([("a.com", 8)], "host string, budget int")
+    seeds = spark.createDataFrame(
+        [(u, 0, 1.0) for u, _, _ in RECS], "url string, depth int, priority double"
+    )
+    c = Crawler(
+        spark=spark, pages_path=pages_path, robots=robots, hosts=hosts,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    res = c.run(seeds, rounds=1)
+    assert res[0]["scheduled"] == 3 and res[0]["fetched"] == 3
+    fetched = spark.read.parquet(str(tmp_path / "ck" / "round=00000" / "fetched"))
+    texts = {r.url: r.text for r in fetched.collect()}
+    assert texts["https://a.com/x"] == "alpha bravo"
