@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import _decode, _extract_text_batch, _HREF_RE, _META_LANG_RE
-from ..functions.urls import with_canonical, with_url_hash
+from ..functions.urls import canonicalize_udf, with_canonical, with_url_hash
 from ..operators.frontier import (
     ROBOTS_BROADCAST_MAX_ROWS,
     expand_outlinks,
@@ -195,7 +195,12 @@ class Crawler:
         Derived once per run; on a real cluster this is an Iceberg snapshot."""
         if self._pages_snapshot is None:
             raw = self.spark.read.parquet(self.pages_path)
-            canon = with_canonical(raw, "url", "url_canon")
+            # NOT with_canonical here: the split-union scans its input
+            # twice, and THIS input is the 100 TB pages table (html bytes
+            # included) — one scan + url-only Arrow transfer is strictly
+            # cheaper. At cluster scale the canonical url is computed once
+            # at ingest and stored (see sources/warc.py), not per run.
+            canon = raw.withColumn("url_canon", canonicalize_udf("url"))
             latest = latest_per_key(canon, "url_canon", "warc_ts", tiebreak="url")
             # persisted: every round joins against this snapshot; at cluster
             # scale this is the Iceberg table itself (bucketed by url hash),

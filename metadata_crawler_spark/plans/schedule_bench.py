@@ -67,9 +67,11 @@ def run_schedule_pipeline(
         "fetch_offset_ms", "url_hash_hi", "url_hash_lo",
     )
 
-    snapshot = with_canonical(
-        pages.select("url", "warc_ts", "html"), "url", "page_url"
-    ).drop("url")
+    # url-only UDF, NOT the split-union: the snapshot side carries html
+    # bytes, so a second scan costs more than the Python it saves
+    snapshot = pages.select(
+        canonicalize_udf("url").alias("page_url"), "warc_ts", "html"
+    )
     # broadcast the small scheduled side; stream the pages scan (the
     # pages table is the 100 TB side — never the build side)
     fetchable = snapshot.join(
