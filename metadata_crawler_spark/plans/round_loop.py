@@ -16,8 +16,9 @@ One round here is ONE declarative DataFrame DAG:
       inside the batch: rank*crawl_delay offsets)-->    fetched
     --explode outlinks + OPIC split-->                  next frontier delta
 
-and the commit is: write round-scoped parquet for {scheduled, fetched,
-seen-delta, frontier-delta, bloom, metrics}, then atomically flip the
+and the commit is: write round-scoped parquet for {scheduled (which IS
+the seen-delta: attempted = seen), fetched, frontier-delta, bloom,
+metrics}, then atomically flip the
 manifest pointer (sources/tables.ManifestLog). Kill the process anywhere
 before the flip and the round never happened; re-running overwrites the
 same round-scoped paths — idempotent replay (SURVEY §7 hard part d).
