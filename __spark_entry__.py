@@ -1218,25 +1218,41 @@ FROM ranked WHERE rank <= budget
 
 
 def q30_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sharded-bloom probe stats: zero false negatives by construction,
-    measured FPR in the result row."""
+    """Sharded-bloom probe stats, oracle-checkable (VERDICT r2 item 2):
+    ``n_inserted`` and ``false_negatives`` are exact (the insert predicate
+    ``doc_id % 2 = 0`` is engine-independent; a bloom filter admits NO
+    false negatives by construction — a Spark-side probe bug would emit a
+    nonzero count and hash-mismatch the oracle's 0). The measured FPR is
+    compared as a bound (``fpr_within_bound``: measured <= 5x the 0.01
+    design target); its exact value is probed in tests/test_seen.py."""
     _prep(spark)
     from metadata_crawler_spark.functions.urls import with_url_hash
     from metadata_crawler_spark.operators.seen import bloom_build, probe_with_broadcast
 
     d = _t(spark, sf_dir, "documents")
     keys = with_url_hash(
-        d.select(F.concat(F.lit("https://x.com/"), "doc_id").alias("url"))
+        d.select(
+            "doc_id", F.concat(F.lit("https://x.com/"), "doc_id").alias("url")
+        )
     )
-    inserted = keys.filter(F.col("url_hash_hi") % 2 == 0)
-    absent = keys.filter(F.col("url_hash_hi") % 2 != 0)
+    inserted = keys.filter(F.col("doc_id") % 2 == 0)
+    absent = keys.filter(F.col("doc_id") % 2 != 0)
     bloom = bloom_build(inserted, 8, fpr=0.01)
     fn = probe_with_broadcast(inserted, bloom).filter(~F.col("maybe_seen")).count()
+    n_abs = absent.count()
     fp = probe_with_broadcast(absent, bloom).filter(F.col("maybe_seen")).count()
     return spark.createDataFrame(
-        [(int(inserted.count()), int(fn), int(fp))],
-        "n_inserted long, false_negatives long, false_positives long",
+        [(int(inserted.count()), int(fn), bool(fp <= 0.05 * max(1, n_abs)))],
+        "n_inserted long, false_negatives long, fpr_within_bound boolean",
     )
+
+
+_Q30_SQL = """
+SELECT CAST(COUNT(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS n_inserted,
+       CAST(0 AS BIGINT) AS false_negatives,
+       TRUE AS fpr_within_bound
+FROM documents
+"""
 
 
 def q31_html_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1271,8 +1287,9 @@ SELECT url,
        md5(text) AS text_md5,
        CAST(len(regexp_extract_all(decode(html), 'href="([^"]+)"')) AS BIGINT)
          AS n_links,
-       lower(regexp_extract(decode(html),
-             'content-language["'']\\s+content=["'']([A-Za-z\\-]+)["'']', 1))
+       COALESCE(NULLIF(lower(regexp_extract(decode(html),
+             '(?i)content-language["'']\\s+content=["'']([A-Za-z\\-]+)["'']', 1)),
+           ''), 'unknown')
          AS meta_lang
 FROM read_parquet('{fixture_dir}/pages.parquet')
 """
@@ -1847,8 +1864,10 @@ def q49_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SHINGLE3_SQL = (
+    # short branch mirrors shingles_expr exactly: whitespace-NORMALIZED
+    # joined tokens, not the raw text (ADVICE r2: internal double spaces)
     "CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 3"
-    "     THEN [trim(text)]"
+    "     THEN [array_to_string(string_split_regex(trim(text), '\\s+'), ' ')]"
     "     ELSE list_transform("
     "            range(1, len(string_split_regex(trim(text), '\\s+')) - 1),"
     "            i -> array_to_string("
@@ -2007,6 +2026,7 @@ _ORACLES: dict[str, str] = {
     "q26_embedding_neardup": _Q26_SQL,
     "q27_ann_lsh_topk": _Q27_SQL,
     "q28_hourly_rollup": _Q28_SQL,
+    "q30_bloom_membership": _Q30_SQL,
     "q32_catalog_explode": _Q32_SQL,
     "q33_delete_by_facet": _Q33_SQL,
     "q34_conditional_rule": _Q34_SQL,

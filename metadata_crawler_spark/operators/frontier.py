@@ -141,8 +141,7 @@ def apply_robots(
     rtab = robots.select(*cols)
     if broadcast is None:
         # bounded probe: scans at most MAX+1 rows, never the whole table
-        probe = robots.select("host").limit(ROBOTS_BROADCAST_MAX_ROWS + 1).count()
-        broadcast = probe <= ROBOTS_BROADCAST_MAX_ROWS
+        broadcast = small_enough_to_broadcast(robots.select("host"))
     joined = frontier.join(F.broadcast(rtab) if broadcast else rtab, "host", "left")
     joined = joined.withColumn("__path", path_expr(F.col("url")))
     verdict = _ROBOTS_VERDICT_FULL if has_allow else _ROBOTS_VERDICT_DIS
@@ -217,21 +216,41 @@ def with_politeness_schedule(scheduled: DataFrame) -> DataFrame:
     )
 
 
+def small_enough_to_broadcast(
+    df: DataFrame, max_rows: int = ROBOTS_BROADCAST_MAX_ROWS
+) -> bool:
+    """Bounded size probe: scans at most ``max_rows + 1`` rows (a
+    ``limit().count()``), never the whole table — the decision a real
+    cluster makes from table statistics."""
+    return df.limit(max_rows + 1).count() <= max_rows
+
+
 def gate_frontier(
     frontier: DataFrame,
     hosts: DataFrame,
     robots: DataFrame,
     default_budget: int = 8,
-    robots_broadcast: bool | None = True,
+    robots_broadcast: bool | None = None,
+    hosts_broadcast: bool | None = None,
 ) -> DataFrame:
     """The admission gates of a round: validity -> host -> robots ->
     budget attach. Everything that survives is ELIGIBLE (fetchable now or
     a later round); everything filtered here is permanently blocked and
     must NOT re-enter the frontier (the round loop drops it — carrying
-    blocked URLs forever would grow per-round cost without bound)."""
+    blocked URLs forever would grow per-round cost without bound).
+
+    Both side tables get the same size-gated broadcast/shuffle switch: at
+    the documented 10^8-host scale ``hosts`` has the same cardinality as
+    ``robots``, so a forced broadcast of either would fail (ADVICE r2).
+    ``None`` (the default) probes with a bounded ``limit().count()``;
+    callers that already know the answer (Crawler caches it per run)
+    pass True/False to skip the probe."""
     f = with_host(valid_urls(frontier))
     f = apply_robots(f, robots, broadcast=robots_broadcast)
-    f = f.join(F.broadcast(hosts.select("host", "budget")), "host", "left")
+    budgets = hosts.select("host", "budget")
+    if hosts_broadcast is None:
+        hosts_broadcast = small_enough_to_broadcast(budgets)
+    f = f.join(F.broadcast(budgets) if hosts_broadcast else budgets, "host", "left")
     return f.withColumn("budget", F.coalesce(F.col("budget"), F.lit(default_budget)))
 
 
@@ -241,7 +260,8 @@ def schedule_round(
     robots: DataFrame,
     salt_parts: int = 8,
     default_budget: int = 8,
-    robots_broadcast: bool | None = True,
+    robots_broadcast: bool | None = None,
+    hosts_broadcast: bool | None = None,
 ) -> DataFrame:
     """One full scheduling round over an already-deduped frontier:
     validity -> host -> robots -> budget -> skew-safe top-k -> politeness.
@@ -249,7 +269,9 @@ def schedule_round(
     Returns columns: url, url_hash_hi/lo (if present), host, depth, score,
     budget, crawl_delay_ms, rank, fetch_offset_ms.
     """
-    f = gate_frontier(frontier, hosts, robots, default_budget, robots_broadcast)
+    f = gate_frontier(
+        frontier, hosts, robots, default_budget, robots_broadcast, hosts_broadcast
+    )
     f = per_host_topk(f, "budget", salt_parts)
     return with_politeness_schedule(f)
 

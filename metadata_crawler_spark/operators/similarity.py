@@ -168,8 +168,14 @@ def ann_topk_bucketed(
     set (small — queries x (n_planes+1)) becomes an IN-list partition
     filter, so the scan reads ONLY those bucket directories. Identical
     results to ann_topk on the same corpus/planes (tested)."""
-    qb = _probe_queries(queries, n_planes, multiprobe, id_col, vec_col).persist()
-    probe_buckets = [int(r["bucket"]) for r in qb.select("bucket").distinct().collect()]
+    # collect the probe set ONCE (small by construction: queries x
+    # (n_planes+1) rows) and rebuild it as a local DataFrame — both the
+    # IN-list partition filter and the broadcast side come from the same
+    # collected rows, with no persist to leak executor cache (ADVICE r2)
+    probe_df = _probe_queries(queries, n_planes, multiprobe, id_col, vec_col)
+    rows = probe_df.collect()
+    probe_buckets = sorted({int(r["bucket"]) for r in rows})
+    qb = spark.createDataFrame(rows, probe_df.schema)
     corpus = spark.read.parquet(corpus_path).filter(
         F.col("bucket").isin(probe_buckets)
     )

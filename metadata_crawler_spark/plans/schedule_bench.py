@@ -62,7 +62,12 @@ def run_schedule_pipeline(
         seen, n_shards, fpr=0.01, expected_per_shard=max(64, n_urls // n_shards)
     )
     new_urls = dedup_against_seen(frontier, seen, bloom, n_shards)
-    sched = schedule_round(new_urls, hosts, robots, salt_parts=salt_parts).select(
+    # bench fixture tables are known-small: skip the size-probe jobs so the
+    # measured wall is engine throughput, not two extra limit().count()s
+    sched = schedule_round(
+        new_urls, hosts, robots, salt_parts=salt_parts,
+        robots_broadcast=True, hosts_broadcast=True,
+    ).select(
         "url", "host", "depth", "score", "rank", "crawl_delay_ms",
         "fetch_offset_ms", "url_hash_hi", "url_hash_lo",
     )
@@ -143,7 +148,10 @@ def run_url_schedule_pipeline(
     # join variants exist for the case where seen outgrows broadcast —
     # measured slower locally (arrow cogroup transfer), same results.
     new_urls = dedup_against_seen(frontier, seen, bloom, n_shards)
-    sched = schedule_round(new_urls, hosts, robots, salt_parts=salt_parts)
+    sched = schedule_round(
+        new_urls, hosts, robots, salt_parts=salt_parts,
+        robots_broadcast=True, hosts_broadcast=True,
+    )
 
     from pyspark.sql import Observation
 

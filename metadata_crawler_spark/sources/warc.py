@@ -2,16 +2,28 @@
 
 Reference parity: the reference's storage backends open discovered objects
 and pull typed metadata out of their contents (storage_backend.py:102-149
-``open_dataset`` dispatch). Our corpus objects are WARC segments — the
-archival format Common Crawl ships — so this module turns a directory of
-``*.warc`` files into the engine's pages table shape
+``open_dataset`` dispatch); its stage-2 catalogue read streams records in
+bounded batches (api/stores/jsonlines.py:154-196). Our corpus objects are
+WARC segments — the archival format Common Crawl ships — so this module
+turns a directory of ``*.warc`` files into the engine's pages table shape
 ``(url, warc_ts, html, segment)``.
 
-Spark shape: ``binaryFile`` scan (one task per segment — segments are the
-natural parallel unit, ~1 GB each at Common Crawl scale) ->
-``mapInPandas`` record splitter. Parsing is per-segment byte scanning
-(find/slice over ``bytes`` — no regex backtracking, no external libs);
-record payloads that are HTTP responses are unwrapped to their bodies.
+Spark shape (sized for REAL ~1 GB segments, VERDICT r2 item 3):
+
+- the binaryFile scan reads ONLY the ``path`` column — column pruning
+  means segment bytes never ride an Arrow batch, so the 2 GB Arrow
+  record-batch limits are out of the picture entirely;
+- each task opens its segment inside the UDF (``pyarrow.fs`` for object
+  stores, plain ``open`` for file://) and parses it INCREMENTALLY: a
+  bounded read buffer (default 4 MB) holding at most one in-flight record,
+  never the whole segment;
+- parsed records are yielded in bounded chunks (default 10k rows), so
+  peak memory per task is O(read_size + chunk_rows x record_size)
+  regardless of segment size (asserted in tests/test_warc.py).
+
+Record framing follows Content-Length exactly (the only correct way —
+payloads may contain anything, including ``WARC/1.0``); HTTP response
+payloads are unwrapped to their bodies.
 
 The writer (``render_warc``) exists for fixtures/tests: deterministic
 WARC/1.0 bytes that the reader must round-trip exactly.
@@ -19,8 +31,9 @@ WARC/1.0 bytes that the reader must round-trip exactly.
 
 from __future__ import annotations
 
-from datetime import datetime, timezone
-from typing import Iterable, Iterator
+import io
+from datetime import datetime
+from typing import IO, Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -31,6 +44,11 @@ WARC_PAGES_SCHEMA = (
 
 _CRLF = b"\r\n"
 _HDR_END = b"\r\n\r\n"
+
+#: incremental-parse read granularity (one buffered read per this many bytes)
+READ_SIZE = 4 * 1024 * 1024
+#: rows per yielded Arrow batch from the segment splitter
+CHUNK_ROWS = 10_000
 
 
 def render_warc(records: Iterable[tuple[str, datetime, bytes]]) -> bytes:
@@ -55,27 +73,67 @@ def render_warc(records: Iterable[tuple[str, datetime, bytes]]) -> bytes:
     return bytes(out)
 
 
-def parse_warc_bytes(
-    blob: bytes, segment: str = ""
-) -> Iterator[tuple[str, datetime, bytes, str]]:
-    """Yield (url, warc_ts, html, segment) for every response record.
+def _record_from(
+    headers: dict[str, str], payload: bytes, segment: str
+) -> tuple[str, datetime, bytes, str] | None:
+    """Interpret one framed record; None for non-response/URI-less records
+    (request/metadata records are skipped, matching pipeline practice)."""
+    if headers.get("warc-type") != "response":
+        return None
+    url = headers.get("warc-target-uri")
+    if not url:
+        return None
+    raw_date = headers.get("warc-date", "1970-01-01T00:00:00Z")
+    try:
+        ts = datetime.strptime(raw_date, "%Y-%m-%dT%H:%M:%SZ")
+    except ValueError:
+        ts = datetime(1970, 1, 1)
+    # unwrap an HTTP response payload to its body
+    if payload.startswith(b"HTTP/"):
+        body_at = payload.find(_HDR_END)
+        html = payload[body_at + 4 :] if body_at >= 0 else payload
+    else:
+        html = payload
+    return url, ts, html, segment
 
-    Record framing follows Content-Length exactly (the only correct way —
-    payloads may contain anything, including 'WARC/1.0'). Non-response
-    records and records without a target URI are skipped, matching how a
-    pipeline treats request/metadata records.
-    """
-    pos = 0
-    n = len(blob)
-    while pos < n:
-        start = blob.find(b"WARC/", pos)
-        if start < 0:
-            return
-        hdr_end = blob.find(_HDR_END, start)
-        if hdr_end < 0:
-            return
+
+def parse_warc_stream(
+    fh: IO[bytes], segment: str = "", read_size: int = READ_SIZE
+) -> Iterator[tuple[str, datetime, bytes, str]]:
+    """Incrementally parse a WARC byte stream: yields (url, warc_ts, html,
+    segment) per response record while holding at most ONE record (plus one
+    ``read_size`` read) in memory — a 1 GB segment never materializes."""
+    buf = bytearray()
+    eof = False
+
+    def more() -> bool:
+        nonlocal eof
+        if eof:
+            return False
+        chunk = fh.read(read_size)
+        if not chunk:
+            eof = True
+            return False
+        buf.extend(chunk)
+        return True
+
+    while True:
+        start = buf.find(b"WARC/")
+        while start < 0:
+            # keep only a 4-byte tail: a partial 'WARC/' may straddle reads
+            if len(buf) > 4:
+                del buf[:-4]
+            if not more():
+                return
+            start = buf.find(b"WARC/")
+        del buf[:start]
+        hdr_end = buf.find(_HDR_END)
+        while hdr_end < 0:
+            if not more():
+                return  # truncated header at EOF
+            hdr_end = buf.find(_HDR_END)
         headers: dict[str, str] = {}
-        for line in blob[start:hdr_end].split(_CRLF)[1:]:
+        for line in bytes(buf[:hdr_end]).split(_CRLF)[1:]:
             k, _, v = line.partition(b":")
             headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
                 "latin-1"
@@ -84,49 +142,82 @@ def parse_warc_bytes(
             length = int(headers.get("content-length", "0"))
         except ValueError:
             length = 0
-        payload = blob[hdr_end + 4 : hdr_end + 4 + length]
-        pos = hdr_end + 4 + length
-        if headers.get("warc-type") != "response":
-            continue
-        url = headers.get("warc-target-uri")
-        if not url:
-            continue
-        raw_date = headers.get("warc-date", "1970-01-01T00:00:00Z")
-        try:
-            ts = datetime.strptime(raw_date, "%Y-%m-%dT%H:%M:%SZ")
-        except ValueError:
-            ts = datetime(1970, 1, 1)
-        # unwrap an HTTP response payload to its body
-        if payload.startswith(b"HTTP/"):
-            body_at = payload.find(_HDR_END)
-            html = payload[body_at + 4 :] if body_at >= 0 else payload
-        else:
-            html = payload
-        yield url, ts, html, segment
+        need = hdr_end + 4 + length
+        while len(buf) < need and more():
+            pass
+        if len(buf) < need:
+            return  # truncated record at EOF: drop it, never emit short bytes
+        payload = bytes(buf[hdr_end + 4 : need])
+        del buf[:need]
+        rec = _record_from(headers, payload, segment)
+        if rec is not None:
+            yield rec
 
 
-def read_warc_segments(spark: SparkSession, path: str) -> DataFrame:
+def parse_warc_bytes(
+    blob: bytes, segment: str = ""
+) -> Iterator[tuple[str, datetime, bytes, str]]:
+    """In-memory convenience wrapper: same single code path as the stream
+    parser (fixtures/tests hand blobs around)."""
+    return parse_warc_stream(io.BytesIO(blob), segment)
+
+
+def _open_uri(uri: str) -> IO[bytes]:
+    """Open a Spark file URI for reading: file:// via the builtin ``open``;
+    any object-store scheme (s3://, hdfs://, gs://...) via ``pyarrow.fs``,
+    so the splitter reads from the same filesystems the scan lists."""
+    from urllib.parse import unquote, urlparse
+
+    if "://" not in uri and not uri.startswith("file:"):
+        return open(uri, "rb")
+    p = urlparse(uri)
+    if p.scheme in ("", "file"):
+        return open(unquote(p.path), "rb")
+    from pyarrow import fs as pafs
+
+    filesystem, path = pafs.FileSystem.from_uri(uri)
+    return filesystem.open_input_stream(path)
+
+
+def read_warc_segments(
+    spark: SparkSession, path: str, chunk_rows: int = CHUNK_ROWS
+) -> DataFrame:
     """Directory/glob of ``*.warc`` files -> pages-shaped DataFrame.
 
-    One binaryFile task per segment; the splitter is a mapInPandas
-    generator so a 1 GB segment never materializes more than one Arrow
-    batch of parsed records at a time.
-    """
+    The scan lists segments (binaryFile, ``path`` column ONLY — content is
+    pruned and never enters Arrow); each task opens and incrementally
+    parses its segments, yielding ``chunk_rows``-row batches. binaryFile
+    weighs partitions by file size, so ~1 GB segments get one task each —
+    the natural Common-Crawl parallel unit."""
 
     def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for _, row in pdf.iterrows():  # rows = whole segments (few)
-                recs = list(parse_warc_bytes(bytes(row["content"]), row["path"]))
-                if recs:
-                    yield pd.DataFrame(
-                        recs, columns=["url", "warc_ts", "html", "segment"]
-                    )
+        rows: list[tuple] = []
 
-    raw = (
+        def flush() -> pd.DataFrame:
+            out = pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "segment"]
+            )
+            rows.clear()
+            return out
+
+        for pdf in batches:
+            for seg_path in pdf["path"]:
+                fh = _open_uri(seg_path)
+                try:
+                    for rec in parse_warc_stream(fh, seg_path):
+                        rows.append(rec)
+                        if len(rows) >= chunk_rows:
+                            yield flush()
+                finally:
+                    fh.close()
+        if rows:
+            yield flush()
+
+    files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc")
         .option("recursiveFileLookup", "true")
         .load(path)
-        .select("path", "content")
+        .select("path")
     )
-    return raw.mapInPandas(split, WARC_PAGES_SCHEMA)
+    return files.mapInPandas(split, WARC_PAGES_SCHEMA)
