@@ -1930,6 +1930,70 @@ FROM events GROUP BY user_id
 """
 
 
+def q51_catalog_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive catalogue-of-catalogues walk (S7 FULL parity, VERDICT r2
+    item 5; reference _walk_yaml_catalogue backends/intake.py:45-110):
+    catalog JSON docs declare child-catalog refs and leaf urls; BFS from
+    root 0 (sources/catalog.walk_catalog) emits (cat_id, first-visit
+    depth, name, leaf url). The synthesized ref graph has branching
+    (2c+1, 3c+2), back-edges/cycles (c%10==9 -> c%7) and dangling refs;
+    the oracle is a DuckDB recursive CTE with min-depth semantics."""
+    _prep(spark)
+    from metadata_crawler_spark.sources.catalog import walk_catalog
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    cid = F.col("doc_id").cast("long")
+    kids = F.filter(
+        F.array(cid * 2 + 1, cid * 3 + 2), lambda x: x < F.lit(200)
+    )
+    kids = F.when(cid % 10 == 9, F.concat(kids, F.array(cid % 7))).otherwise(kids)
+    urls = F.transform(
+        F.sequence(F.lit(1).cast("int"), (cid % 3 + 1).cast("int")),
+        lambda i: F.concat(
+            F.lit("https://cat.example.com/"), cid.cast("string"),
+            F.lit("/p"), i.cast("string"),
+        ),
+    )
+    cats = d.select(
+        cid.alias("cat_id"),
+        F.to_json(
+            F.struct(
+                F.concat(F.lit("cat_"), cid.cast("string")).alias("name"),
+                kids.alias("children"),
+                urls.alias("urls"),
+            )
+        ).alias("catalog_json"),
+    )
+    return walk_catalog(spark, cats, roots=[0])
+
+
+_Q51_SQL = """
+WITH RECURSIVE cats AS (
+  SELECT CAST(doc_id AS BIGINT) AS cat_id FROM documents WHERE doc_id < 200
+),
+edges AS (
+  SELECT cat_id AS parent, 2 * cat_id + 1 AS child FROM cats
+  WHERE 2 * cat_id + 1 < 200
+  UNION ALL
+  SELECT cat_id, 3 * cat_id + 2 FROM cats WHERE 3 * cat_id + 2 < 200
+  UNION ALL
+  SELECT cat_id, cat_id % 7 FROM cats WHERE cat_id % 10 = 9
+),
+reach(cat_id, depth) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.child, r.depth + 1
+  FROM reach r JOIN edges e ON e.parent = r.cat_id
+  WHERE r.depth < 40
+),
+fv AS (SELECT cat_id, MIN(depth) AS depth FROM reach GROUP BY cat_id)
+SELECT c.cat_id, fv.depth, 'cat_' || c.cat_id AS cat_name,
+       unnest(list_transform(range(1, (c.cat_id % 3 + 1)::INT + 1),
+              i -> 'https://cat.example.com/' || c.cat_id || '/p' || i)) AS url
+FROM cats c JOIN fv ON c.cat_id = fv.cat_id
+"""
+
+
 _Q46_SQL = """
 SELECT 'h' || doc_id || '.example.com' AS host,
        CAST(CASE WHEN doc_id % 5 = 0 THEN 0
@@ -1995,6 +2059,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_vocab_topk": q48_vocab_topk,
     "q49_contamination": q49_contamination,
     "q50_stats_rules": q50_stats_rules,
+    "q51_catalog_walk": q51_catalog_walk,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2046,6 +2111,7 @@ _ORACLES: dict[str, str] = {
     "q48_vocab_topk": _Q48_SQL,
     "q49_contamination": _Q49_SQL,
     "q50_stats_rules": _Q50_SQL,
+    "q51_catalog_walk": _Q51_SQL,
 }
 
 

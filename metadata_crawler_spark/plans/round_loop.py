@@ -92,6 +92,21 @@ class CrawlConfig:
     #: answer is the bucketed/storage-partitioned pages table
     #: (sources/tables.write_bucketed), which needs no broadcast either.
     scheduled_broadcast_max_rows: int = 5_000_000
+    #: name of a pre-ingested bucketed pages table — columns
+    #: (page_url, warc_ts, html), bucketed+sorted BY page_url, already
+    #: canonical+latest (see ingest_bucketed_pages). When set it replaces
+    #: the parquet snapshot, so the over-broadcast fetch-join fallback is a
+    #: co-located join with NO Exchange on the 100 TB pages side (the
+    #: Iceberg storage-partitioned-join analog).
+    bucketed_pages_table: str | None = None
+    #: per-round shuffle-width adaptation (session.py contract): the round's
+    #: shuffle.partitions ~= frontier rows / this, floored at the session's
+    #: core count for rounds big enough to use every core. Small rounds stop
+    #: fanning into near-empty partitions; 10^10-row rounds fan past the
+    #: session constant.
+    rows_per_shuffle_partition: int = 50_000
+    max_shuffle_partitions: int = 32_768
+    adapt_shuffle_partitions: bool = True
 
 
 #: auto-flip threshold for broadcasting the sharded bloom filter: above this
@@ -143,6 +158,29 @@ def _fetch_batches(it):
             planned_ms=planned,
         )
         yield out
+
+
+def ingest_bucketed_pages(
+    spark: SparkSession,
+    pages_path: str,
+    table_name: str,
+    n_buckets: int = 64,
+) -> None:
+    """One-time ingest of a raw pages corpus into the bucketed fetch-join
+    layout: canonicalize urls, keep latest-per-url, bucket+sort by
+    ``page_url`` (sources/tables.write_bucketed). Pay the shuffle ONCE at
+    ingest; every crawl round's fetch join then co-locates for free —
+    the Iceberg ``PARTITIONED BY bucket(n, url)`` analog for the 100 TB
+    pages table."""
+    from ..sources.tables import write_bucketed
+
+    raw = spark.read.parquet(pages_path)
+    canon = raw.withColumn("url_canon", canonicalize_udf("url"))
+    latest = latest_per_key(canon, "url_canon", "warc_ts", tiebreak="url")
+    snap = latest.select(
+        F.col("url_canon").alias("page_url"), "warc_ts", "html"
+    )
+    write_bucketed(snap, table_name, "page_url", n_buckets=n_buckets)
 
 
 def _combine_frontier(df: DataFrame, decimals: int) -> DataFrame:
@@ -205,7 +243,16 @@ class Crawler:
     def pages_snapshot(self) -> DataFrame:
         """Canonicalized, latest-per-url view of the pages table (the
         reference's rank-0/latest semantics, data_collector.py:156-169).
-        Derived once per run; on a real cluster this is an Iceberg snapshot."""
+        Derived once per run; on a real cluster this is an Iceberg snapshot.
+
+        With ``config.bucketed_pages_table`` set, the snapshot IS that
+        table (canonical url + latest computed once at ingest,
+        ingest_bucketed_pages): scans prune to the join's buckets and the
+        fetch join needs no Exchange on this side — no persist either."""
+        if self.config.bucketed_pages_table:
+            return self.spark.table(self.config.bucketed_pages_table).select(
+                "page_url", "warc_ts", "html"
+            )
         if self._pages_snapshot is None:
             raw = self.spark.read.parquet(self.pages_path)
             # NOT with_canonical here: the split-union scans its input
@@ -271,6 +318,23 @@ class Crawler:
 
         frontier = frontier.persist()
         frontier_in = frontier.count()
+        # per-round shuffle width from the OBSERVED frontier size
+        # (session.py contract): ~rows_per_shuffle_partition rows per
+        # partition, floored at the core count once a round can use every
+        # core. Small rounds stop fanning to near-empty partitions; huge
+        # rounds fan past the session constant. AQE still coalesces below.
+        if cfg.adapt_shuffle_partitions:
+            import math
+
+            width = max(
+                1, math.ceil(frontier_in / cfg.rows_per_shuffle_partition)
+            )
+            if frontier_in >= cfg.rows_per_shuffle_partition:
+                width = max(width, self.spark.sparkContext.defaultParallelism)
+            width = min(width, cfg.max_shuffle_partitions)
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(width))
+        else:
+            width = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         # the deduped count rides an Observation on the gated pipeline —
         # new_urls has exactly one consumer (gate_frontier), so it needs
         # neither its own persist nor a separate count job
@@ -411,6 +475,7 @@ class Crawler:
             "scheduled": scheduled_n,
             "fetched": fetched_n,
             "frontier_next": frontier_next_n,
+            "shuffle_partitions": width,
             "wall_s": round(time.time() - t0, 3),
         }
         frontier.unpersist()
@@ -452,24 +517,31 @@ class Crawler:
         state = self.log.read()
         start = (state["last_round"] + 1) if state else 0
         results: list[dict] = []
-        if start == 0:
-            frontier = self._seed_frontier(seeds)
-            seen, bloom = None, None
-        else:
-            # frontier exhaustion is read from the committed counts — no
-            # isEmpty() action (it would re-run the whole frontier chain)
-            if state.get(f"r{start - 1}", {}).get("frontier_next") == 0:
-                self._check_fail_under()
-                return results
-            seen, bloom, frontier = self._load_state(start - 1)
-            if frontier is None:
-                self._check_fail_under()
-                return results
-        for r in range(start, rounds):
-            counts = self.run_round(r, frontier, seen, bloom)
-            results.append(counts)
-            if counts["frontier_next"] == 0:
-                break
-            seen, bloom, frontier = self._load_state(r)
+        # run_round adapts shuffle width per round; restore the session's
+        # setting afterwards so co-tenants of the session are unaffected
+        orig_width = self.spark.conf.get("spark.sql.shuffle.partitions", None)
+        try:
+            if start == 0:
+                frontier = self._seed_frontier(seeds)
+                seen, bloom = None, None
+            else:
+                # frontier exhaustion is read from the committed counts — no
+                # isEmpty() action (it would re-run the whole frontier chain)
+                if state.get(f"r{start - 1}", {}).get("frontier_next") == 0:
+                    self._check_fail_under()
+                    return results
+                seen, bloom, frontier = self._load_state(start - 1)
+                if frontier is None:
+                    self._check_fail_under()
+                    return results
+            for r in range(start, rounds):
+                counts = self.run_round(r, frontier, seen, bloom)
+                results.append(counts)
+                if counts["frontier_next"] == 0:
+                    break
+                seen, bloom, frontier = self._load_state(r)
+        finally:
+            if orig_width is not None:
+                self.spark.conf.set("spark.sql.shuffle.partitions", orig_width)
         self._check_fail_under()
         return results

@@ -122,12 +122,19 @@ def test_order_independent_of_parallelism(spark, fixture_dir, tables, tmp_path_f
     crawl at shuffle.partitions=3 vs 8 yields identical scheduled sets."""
     seeds = tables["seeds"]
     outs = []
+    # adaptation OFF so the two runs really do shuffle at different widths
+    noadapt = CrawlConfig(
+        n_shards=8, bloom_expected_per_shard=4096, salt_parts=4,
+        adapt_shuffle_partitions=False,
+    )
     for parts in ("3", "8"):
         ck = str(tmp_path_factory.mktemp(f"ckpt_p{parts}"))
         old = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         try:
-            _mk(spark, fixture_dir, tables, ck).run(seeds, rounds=2)
+            c = _mk(spark, fixture_dir, tables, ck)
+            c.config = noadapt
+            c.run(seeds, rounds=2)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
         outs.append(
@@ -277,3 +284,145 @@ def test_fetch_join_broadcast_gate(spark, fixture_dir, tables, tmp_path_factory)
     sa = spark.read.parquet(os.path.join(ck_a, "round=00001", "fetched"))
     sb = spark.read.parquet(os.path.join(ck_b, "round=00001", "fetched"))
     assert sa.exceptAll(sb).count() == 0 and sb.exceptAll(sa).count() == 0
+
+
+def test_resume_at_exact_commit_boundary(spark, fixture_dir, tables, tmp_path_factory):
+    """Crash AFTER all of round 1's tables are written but BEFORE the
+    manifest flip (the single commit point, sources/tables.ManifestLog):
+    the uncommitted round must be invisible, resume must replay it
+    idempotently, and the final state must equal an uninterrupted run
+    (SURVEY §7 hard part d; reference two-crawl equality,
+    tests/test_crawl_local.py)."""
+    import json
+
+    from metadata_crawler_spark.sources.tables import ManifestLog
+
+    ck_a = str(tmp_path_factory.mktemp("ckpt_boundary_a"))
+    ck_b = str(tmp_path_factory.mktemp("ckpt_boundary_b"))
+    seeds = tables["seeds"]
+    res_a = _mk(spark, fixture_dir, tables, ck_a).run(seeds, rounds=2)
+
+    crashing = _mk(spark, fixture_dir, tables, ck_b)
+
+    class _CrashAtFlip(RuntimeError):
+        pass
+
+    real_commit = ManifestLog.commit
+
+    def commit_round0_then_crash(self, state):
+        if state.get("last_round", 0) >= 1:
+            raise _CrashAtFlip()  # all round-1 tables are on disk already
+        real_commit(self, state)
+
+    ManifestLog.commit = commit_round0_then_crash
+    try:
+        with pytest.raises(_CrashAtFlip):
+            crashing.run(seeds, rounds=2)
+    finally:
+        ManifestLog.commit = real_commit
+    # the torn round never happened: manifest still points at round 0,
+    # though round-1 data files exist on disk
+    state = json.load(open(os.path.join(ck_b, "manifest.json")))
+    assert state["last_round"] == 0
+    assert os.path.exists(os.path.join(ck_b, "round=00001", "scheduled"))
+
+    res_resumed = _mk(spark, fixture_dir, tables, ck_b).run(seeds, rounds=2)
+    assert [r["round"] for r in res_resumed] == [1]
+    for tbl in ("scheduled", "fetched"):
+        for rnd in (0, 1):
+            pa = spark.read.parquet(os.path.join(ck_a, f"round={rnd:05d}", tbl))
+            pb = spark.read.parquet(os.path.join(ck_b, f"round={rnd:05d}", tbl))
+            assert pa.exceptAll(pb).count() == 0 and pb.exceptAll(pa).count() == 0
+    sa = json.load(open(os.path.join(ck_a, "manifest.json")))
+    sb = json.load(open(os.path.join(ck_b, "manifest.json")))
+    for k in ("r0", "r1"):
+        for field in ("frontier_in", "scheduled", "fetched", "frontier_next"):
+            assert sa[k][field] == sb[k][field], (k, field)
+    assert [r["scheduled"] for r in res_a[1:]] == [r["scheduled"] for r in res_resumed]
+
+
+def test_shuffle_width_adapts_per_round(spark, fixture_dir, tables, tmp_path_factory):
+    """Small rounds must not fan into near-empty session-width partitions;
+    rounds larger than rows_per_shuffle_partition keep at least the core
+    count; the session conf is restored after run()."""
+    ck = str(tmp_path_factory.mktemp("ckpt_width"))
+    cfg = CrawlConfig(
+        n_shards=8, bloom_expected_per_shard=4096, salt_parts=4,
+        rows_per_shuffle_partition=50_000,
+    )
+    c = Crawler(
+        spark=spark, pages_path=os.path.join(fixture_dir, "pages.parquet"),
+        robots=tables["robots"], hosts=tables["hosts"],
+        checkpoint_dir=ck, config=cfg,
+    )
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    results = c.run(tables["seeds"], rounds=2)
+    # fixture frontier is ~1.2k rows << 50k -> exactly one shuffle partition
+    assert all(r["shuffle_partitions"] == 1 for r in results)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # a tiny round's output is not sprayed across the session width
+    parts = [
+        f for f in os.listdir(os.path.join(ck, "round=00000", "scheduled"))
+        if f.startswith("part-")
+    ]
+    assert len(parts) <= 4, parts
+    # big-round arithmetic (no crawl needed): >=cores once data can use them
+    import math
+
+    cores = spark.sparkContext.defaultParallelism
+    n = 10_000_000
+    width = max(1, math.ceil(n / cfg.rows_per_shuffle_partition))
+    assert width == 200 and max(width, cores) == width
+
+
+def test_bucketed_pages_fetch_join(spark, fixture_dir, tables, tmp_path_factory):
+    """CrawlConfig.bucketed_pages_table: the over-broadcast fallback joins
+    against the bucketed pages table with NO Exchange on the pages side
+    (VERDICT r2 item 6), and the crawl result is identical to the
+    parquet-snapshot path."""
+    from metadata_crawler_spark.plans.round_loop import ingest_bucketed_pages
+
+    ck_b = str(tmp_path_factory.mktemp("ckpt_bucketed"))
+    ck_p = str(tmp_path_factory.mktemp("ckpt_plain"))
+    seeds = tables["seeds"]
+    ingest_bucketed_pages(
+        spark, os.path.join(fixture_dir, "pages.parquet"),
+        "pages_bucketed_rl", n_buckets=8,
+    )
+    try:
+        cfg = CrawlConfig(
+            n_shards=8, bloom_expected_per_shard=4096, salt_parts=4,
+            bucketed_pages_table="pages_bucketed_rl",
+            scheduled_broadcast_max_rows=0,  # force the fallback join
+        )
+        cb = Crawler(
+            spark=spark, pages_path=os.path.join(fixture_dir, "pages.parquet"),
+            robots=tables["robots"], hosts=tables["hosts"],
+            checkpoint_dir=ck_b, config=cfg,
+        )
+        res_b = cb.run(seeds, rounds=2)
+        res_p = _mk(spark, fixture_dir, tables, ck_p).run(seeds, rounds=2)
+        for rb, rp in zip(res_b, res_p):
+            for field in ("frontier_in", "scheduled", "fetched", "frontier_next"):
+                assert rb[field] == rp[field], field
+        fb = spark.read.parquet(os.path.join(ck_b, "round=00000", "fetched"))
+        fp = spark.read.parquet(os.path.join(ck_p, "round=00000", "fetched"))
+        cols = ["url", "fetched", "text", "rank"]
+        assert fb.select(cols).exceptAll(fp.select(cols)).count() == 0
+        assert fp.select(cols).exceptAll(fb.select(cols)).count() == 0
+
+        # plan shape: bucketed pages side reads WITHOUT an Exchange
+        sched = spark.read.parquet(os.path.join(ck_b, "round=00000", "scheduled"))
+        pages = cb.pages_snapshot()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = pages.join(sched, pages["page_url"] == sched["url"], "inner")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pages_bucketed_rl")
