@@ -200,21 +200,27 @@ def paired_main() -> None:
     each pair shares the host's noise window (this VM's CPU delivery
     swings ~3x in bursts of tens of seconds — sequential per-level
     sampling can land the two levels in different regimes and report
-    nonsense in either direction). Two acceptance criteria, BOTH external
-    to the measured job (variance control, not selection on the result):
+    nonsense in either direction). Three acceptance criteria, ALL external
+    to the efficiency ratio (variance control, not selection on the
+    result; thresholds tightened per VERDICT r2 item 1):
 
     - pair-consistent: the fixed CPU-calibration probe (min-of-3) before
-      each half agrees within 2x — the halves saw the same regime;
-    - full-delivery: both halves' calibrations are within 2x of the
+      each half agrees within 1.5x — the halves saw the same regime;
+    - full-delivery: both halves' calibrations are within 1.5x of the
       BEST calibration this run observed — the host was actually able to
       deliver the cores. A 1->4-core scaling number taken while the host
       delivers a fraction of its CPUs is invalid by construction: the
       "4x resources" denominator is false.
+    - wall-sane: each half's wall is within 1.25x of the BEST wall seen
+      for its level across all trials. The job is deterministic fixed
+      work — the host can only ever make it SLOWER — so a half far off
+      the best observed wall for the same level rode a burst the
+      calibration probes missed (r2's trial-1 failure mode: clean cals,
+      degraded measurement). Per-level absolute walls, never the ratio.
 
-    The HEADLINE efficiency is the MEDIAN over full-delivery pairs
-    (>=3 sought; round-1 review: best-of-pairs was too thin). If the host
-    never settles, the headline falls back to the median over
-    pair-consistent pairs and says so (basis field).
+    The HEADLINE efficiency is the MEDIAN over accepted pairs (>=3
+    sought). If the host never settles, the headline falls back to the
+    median over pair-consistent pairs and says so (basis field).
 
     usage: ... schedule_bench paired <fx_dir> [n_pairs] [N [mult]]
     """
@@ -233,23 +239,34 @@ def paired_main() -> None:
     levels = (n, n * mult)
     all_pairs: list[dict] = []
     attempts = 0
-    max_attempts = n_pairs + 2
+    max_attempts = n_pairs + 3
 
     def consistent(p: dict) -> bool:
         a, b = p["cal_s"]
-        return max(a, b) <= 2.0 * min(a, b)
+        return max(a, b) <= 1.5 * min(a, b)
+
+    def wall_sane(p: dict) -> bool:
+        # per-level best wall across every trial = capacity proxy (a
+        # deterministic job is only ever slowed by the host)
+        for lv in levels:
+            best_w = min(q[f"wall_{lv}"] for q in all_pairs)
+            if p[f"wall_{lv}"] > 1.25 * best_w:
+                return False
+        return True
 
     def full_delivery(p: dict, best_cal: float) -> bool:
-        # 2.0x: with min-of-2 halves the measurement itself already rides
-        # out bursts — a tighter gate was measured rejecting pairs whose
-        # efficiencies agreed with accepted ones to within 2%
-        return consistent(p) and max(p["cal_s"]) <= 2.0 * best_cal
+        return (
+            consistent(p)
+            and max(p["cal_s"]) <= 1.5 * best_cal
+            and wall_sane(p)
+        )
 
     while attempts < max_attempts:
         trial = attempts
         attempts += 1
         walls: dict = {}
         cals: dict = {}
+        rep_walls: dict = {}
         # each level measured TWICE per pair (min wall), interleaved
         # [N, 4N, N, 4N] so both levels sample the same window: min-of-N
         # steady-state practice applied symmetrically inside the pair —
@@ -272,6 +289,7 @@ def paired_main() -> None:
                 if cores not in walls or res["wall_s"] < walls[cores]["wall_s"]:
                     walls[cores] = res
                 cals[cores] = min(cals.get(cores, float("inf")), cal)
+                rep_walls.setdefault(cores, []).append(res["wall_s"])
         eff = round(
             (walls[levels[1]]["urls_per_sec"] / walls[levels[0]]["urls_per_sec"])
             / mult,
@@ -284,6 +302,7 @@ def paired_main() -> None:
             f"thr_{levels[0]}": walls[levels[0]]["urls_per_sec"],
             f"thr_{levels[1]}": walls[levels[1]]["urls_per_sec"],
             "cal_s": [round(cals[levels[0]], 2), round(cals[levels[1]], 2)],
+            "rep_walls": {str(lv): rep_walls[lv] for lv in levels},
             "efficiency": eff,
         }
         all_pairs.append(pair)
@@ -326,11 +345,25 @@ def paired_main() -> None:
     )
 
 
-def skew_win(spark: SparkSession, fx_dir: str, repeats: int = 2) -> dict:
+def skew_win(
+    spark: SparkSession,
+    fx_dir: str,
+    n_pairs: int = 2,
+    max_attempts: int = 5,
+) -> dict:
     """Hot-host skew demonstration (the reference serializes one hot
     directory on one worker, SURVEY §4): per-host top-k with and without
     the two-stage salt on the Zipf corpus (rank-1 host owns ~15%%).
-    Measured on this VM: 8.8s unsalted vs 3.2s salted at local[16]/8M."""
+
+    Protocol (VERDICT r2 item 1 — r2's min-of-2-sequential reported an
+    INVERTED 0.81x during a host burst; the controlled re-run measured
+    2.9x): salted/unsalted halves run INTERLEAVED [1,8,1,8] with the same
+    min-of-3 CPU-calibration probes as paired_main, a pair is accepted
+    only when its halves' calibrations agree within 1.5x AND each half's
+    wall is within 1.25x of the best wall seen for that variant (a
+    deterministic job can only be slowed by the host — a half far off the
+    best observed wall rode a burst). Headline speedup = the median
+    accepted pair."""
     from ..operators.frontier import per_host_topk, with_host
 
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
@@ -345,19 +378,60 @@ def skew_win(spark: SparkSession, fx_dir: str, repeats: int = 2) -> dict:
         .persist()
     )
     f.count()
-    out = {}
-    for salt in (1, 8):
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.time()
-            per_host_topk(f, "budget", salt_parts=salt).write.format(
-                "noop"
-            ).mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        out[f"salt_{salt}_wall_s"] = round(best, 2)
+
+    def run_one(salt: int) -> float:
+        t0 = time.time()
+        per_host_topk(f, "budget", salt_parts=salt).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.time() - t0
+
+    pairs: list[dict] = []
+    for trial in range(max_attempts):
+        walls: dict[int, float] = {}
+        cals: dict[int, float] = {}
+        for _rep in range(2):
+            for salt in (1, 8):
+                cal = _cpu_calibration()
+                w = run_one(salt)
+                walls[salt] = min(walls.get(salt, float("inf")), w)
+                cals[salt] = min(cals.get(salt, float("inf")), cal)
+        pairs.append(
+            {
+                "trial": trial,
+                "salt_1_wall_s": round(walls[1], 2),
+                "salt_8_wall_s": round(walls[8], 2),
+                "cal_s": [round(cals[1], 2), round(cals[8], 2)],
+                "speedup": round(walls[1] / walls[8], 2),
+            }
+        )
+        best = {
+            s: min(p[f"salt_{s}_wall_s"] for p in pairs) for s in (1, 8)
+        }
+
+        def ok(p: dict) -> bool:
+            a, b = p["cal_s"]
+            return (
+                max(a, b) <= 1.5 * min(a, b)
+                and p["salt_1_wall_s"] <= 1.25 * best[1]
+                and p["salt_8_wall_s"] <= 1.25 * best[8]
+            )
+
+        accepted = [p for p in pairs if ok(p)]
+        if len(accepted) >= n_pairs:
+            break
     f.unpersist()
-    out["speedup"] = round(out["salt_1_wall_s"] / out["salt_8_wall_s"], 2)
-    return out
+    accepted = accepted or pairs
+    by_speedup = sorted(accepted, key=lambda p: p["speedup"])
+    med = by_speedup[(len(by_speedup) - 1) // 2]
+    return {
+        "salt_1_wall_s": med["salt_1_wall_s"],
+        "salt_8_wall_s": med["salt_8_wall_s"],
+        "speedup": med["speedup"],
+        "basis": "median of calibration-gated interleaved pairs",
+        "pairs": pairs,
+        "accepted_trials": [p["trial"] for p in accepted],
+    }
 
 
 def main() -> None:
