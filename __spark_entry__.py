@@ -2008,6 +2008,175 @@ FROM documents WHERE doc_id < 500
 """
 
 
+# ---------------------------------------------------------------------------
+# q52 — CCNet-style corpus-wide paragraph dedup (Wenzek et al. 2020):
+# drop every repeated paragraph except its first (id, pos) occurrence,
+# recompose documents (operators/dedup.paragraph_dedup). Pseudo-paragraphs
+# are 10-token windows (the fixture corpus has no newlines).
+# ---------------------------------------------------------------------------
+
+def q52_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line/paragraph-level corpus dedup — the training-pipeline step
+    between exact (q03) and near-dup (q21-q24) document dedup."""
+    _prep(spark)
+    from metadata_crawler_spark.operators.dedup import paragraph_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    out = paragraph_dedup(d, "text", "doc_id", chunk_words=10)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_chunks",
+        "n_kept",
+        "kept_frac",
+        "dedup_text",
+    )
+
+
+_Q52_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+),
+ch AS (
+  SELECT doc_id, r.i AS pos,
+         array_to_string(ts[(r.i * 10 + 1):(r.i * 10 + 10)], ' ') AS chunk
+  FROM t, unnest(range((len(ts) + 9) // 10)) AS r(i)
+),
+k AS (
+  SELECT doc_id, pos, chunk,
+         ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) = 1
+           AS kept
+  FROM ch
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(SUM(CASE WHEN kept THEN 1 ELSE 0 END) / COUNT(*), 6)
+         AS kept_frac,
+       COALESCE(string_agg(CASE WHEN kept THEN chunk END, ' '
+                           ORDER BY pos), '') AS dedup_text
+FROM k GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q53 — Gopher repetition filters (Rae et al. 2021 §A1.1): mean word
+# length, distinct-word fraction, top-2-gram char coverage, flag
+# (functions/quality.gopher_repetition).
+# ---------------------------------------------------------------------------
+
+def q53_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from metadata_crawler_spark.functions.quality import gopher_repetition
+
+    d = _t(spark, sf_dir, "documents")
+    out = gopher_repetition(d, "text", "doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len",
+        "distinct_frac",
+        "top2gram_char_frac",
+        "flagged",
+    )
+
+
+_Q53_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_words,
+         list_sum(list_transform(ts, x -> len(x))) AS n_chars,
+         CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
+         list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])
+           AS bg
+  FROM t
+),
+cnt AS (
+  SELECT doc_id, b.bigram, COUNT(*) AS cnt
+  FROM base, unnest(bg) AS b(bigram)
+  GROUP BY doc_id, b.bigram
+),
+top2 AS (
+  SELECT doc_id, MAX(cnt * (len(bigram) - 1)) AS top2_chars
+  FROM cnt GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_words,
+       ROUND(b.n_chars / b.n_words, 6) AS mean_word_len,
+       ROUND(b.n_distinct / b.n_words, 6) AS distinct_frac,
+       ROUND(COALESCE(t2.top2_chars, 0) / b.n_chars, 6)
+         AS top2gram_char_frac,
+       (ROUND(b.n_distinct / b.n_words, 6) < 0.3
+        OR ROUND(COALESCE(t2.top2_chars, 0) / b.n_chars, 6) > 0.20)
+         AS flagged
+FROM base b LEFT JOIN top2 t2 ON b.doc_id = t2.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q54 — PII redaction (C4/RefinedWeb scrub): count + redact emails and
+# NANP phones (functions/quality.redact_pii). PII is woven in
+# deterministically (doc_id arithmetic) by BOTH sides — the fixture
+# corpus itself is PII-free, so this exercises the redactor, not the data.
+# ---------------------------------------------------------------------------
+
+def q54_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from metadata_crawler_spark.functions.quality import (
+        pii_counts,
+        redact_pii,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pii = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@mail.example.com now"),
+            ),
+        )
+        .when(did % 11 == 3, F.lit(" call +1-555-000-1234 today"))
+        .otherwise(F.lit("")),
+    )
+    n_emails, n_phones = pii_counts(pii)
+    return d.select(
+        did.alias("doc_id"),
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        F.md5(redact_pii(pii)).alias("redacted_md5"),
+    )
+
+
+_Q54_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 7 = 0
+             THEN ' contact user' || doc_id || '@mail.example.com now'
+           WHEN doc_id % 11 = 3 THEN ' call +1-555-000-1234 today'
+           ELSE '' END AS pii
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(pii,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(pii,
+         '\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(pii,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'))
+         AS redacted_md5
+FROM p
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_frontier_schedule": q01_frontier_schedule,
     "q02_url_canonicalize": q02_url_canonicalize,
@@ -2060,6 +2229,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_contamination": q49_contamination,
     "q50_stats_rules": q50_stats_rules,
     "q51_catalog_walk": q51_catalog_walk,
+    "q52_paragraph_dedup": q52_paragraph_dedup,
+    "q53_gopher_repetition": q53_gopher_repetition,
+    "q54_pii_redaction": q54_pii_redaction,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2112,6 +2284,9 @@ _ORACLES: dict[str, str] = {
     "q49_contamination": _Q49_SQL,
     "q50_stats_rules": _Q50_SQL,
     "q51_catalog_walk": _Q51_SQL,
+    "q52_paragraph_dedup": _Q52_SQL,
+    "q53_gopher_repetition": _Q53_SQL,
+    "q54_pii_redaction": _Q54_SQL,
 }
 
 

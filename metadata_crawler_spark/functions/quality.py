@@ -1,0 +1,136 @@
+"""Corpus quality filters a training-data pipeline runs before training.
+
+Complements functions/text.py's per-document scores with the two
+remaining standard families:
+
+- :func:`gopher_repetition` — Gopher-style (Rae et al. 2021, §A1.1)
+  within-document repetition metrics: mean word length, distinct-word
+  fraction, and the fraction of characters covered by the most frequent
+  word 2-gram; documents breaching the thresholds are flagged, not
+  dropped (the caller decides).
+- :func:`redact_pii` / :func:`pii_counts` — regex redaction of emails
+  and NANP-style phone numbers (the C4/RefinedWeb scrub step), as pure
+  ``regexp_replace``/``regexp_count`` column expressions.
+
+Everything is JVM-side; the only shuffle in the module is
+``gopher_repetition``'s bigram count, keyed (id, bigram) with a map-side
+combine, then (id) — both keys are high-cardinality and skew-free by
+construction (a single document contributes at most its own length).
+
+Reference parity: the reference has no corpus-quality stage (its objects
+are NetCDF files); these are the web-corpus analogs of its per-object
+DataSpecs stats rules (/root/reference/src/metadata_crawler/api/
+config.py:405-458) — derived per-object columns a sink filters on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# email + NANP phone, deliberately simple and RE2-compatible so the same
+# pattern string runs unchanged in Spark and the DuckDB oracle
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) match counts, pre-redaction."""
+    return (
+        F.regexp_count(text, F.lit(EMAIL_RE)),
+        F.regexp_count(text, F.lit(PHONE_RE)),
+    )
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every email with <EMAIL> and phone with <PHONE>."""
+    return F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_distinct_frac: float = 0.3,
+    max_top2gram_frac: float = 0.20,
+) -> DataFrame:
+    """Per-document repetition metrics + flag.
+
+    Returns (id, n_words, mean_word_len, distinct_frac,
+    top2gram_char_frac, flagged) where top2gram_char_frac is the Gopher
+    "fraction of characters contained in the most frequent word 2-gram":
+    occurrences-of-top-bigram x its non-space char length, over the
+    document's total non-space chars.
+
+    Plan: scalar metrics are pure array expressions on the unexploded
+    row; only the bigram mode needs an explode -> count -> per-doc max
+    (two keyed shuffles, partial aggregation on both). A zero-shuffle
+    variant exists (array_max over transform(array_distinct(bg), d ->
+    size(filter(bg, = d)))) but is O(n^2) per document — wrong at
+    web-document lengths, so not used.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("toks"),
+        F.size(toks).alias("n_words"),
+        F.aggregate(
+            F.transform(toks, F.length),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_chars"),
+    )
+
+    bigrams = base.select(
+        "id",
+        "n_words",
+        F.explode(
+            F.when(
+                F.col("n_words") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_words") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("toks"), i, 2)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ).alias("bigram"),
+    )
+    # chars covered by one bigram occurrence = its two words' lengths
+    top2 = (
+        bigrams.groupBy("id", "bigram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("id")
+        .agg(
+            F.max(
+                F.col("cnt") * (F.length("bigram") - 1)
+            ).alias("top2_chars")
+        )
+    )
+
+    out = (
+        base.join(top2, "id", "left")
+        .select(
+            "id",
+            "n_words",
+            F.round(F.col("n_chars") / F.col("n_words"), 6).alias(
+                "mean_word_len"
+            ),
+            F.round(
+                F.size(F.array_distinct("toks")) / F.col("n_words"), 6
+            ).alias("distinct_frac"),
+            F.round(
+                F.coalesce(F.col("top2_chars"), F.lit(0))
+                / F.col("n_chars"),
+                6,
+            ).alias("top2gram_char_frac"),
+        )
+        .withColumn(
+            "flagged",
+            (F.col("distinct_frac") < min_distinct_frac)
+            | (F.col("top2gram_char_frac") > max_top2gram_frac),
+        )
+    )
+    return out

@@ -314,3 +314,74 @@ def embedding_neardup_pairs(
                     F.round(_pair_cosine(), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def paragraph_chunks_expr(text: Column, chunk_words: int = 10) -> Column:
+    """Deterministic pseudo-paragraphs: consecutive ``chunk_words``-token
+    windows of the whitespace-tokenized text (the fixture corpus carries
+    no newlines, so fixed-width windows stand in for CCNet's newline
+    paragraphs; with real web text pass ``F.split(text, '\\n')`` rows
+    straight into :func:`paragraph_dedup` instead)."""
+    toks = F.split(F.trim(text), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_words)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * chunk_words + 1, chunk_words)
+        ),
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_words: int = 10,
+) -> DataFrame:
+    """CCNet-style corpus-wide paragraph dedup (Wenzek et al. 2020):
+    drop every repeated paragraph except its first occurrence (global
+    order = (id, position) ascending — deterministic, not shard order),
+    then recompose each document from its surviving paragraphs.
+
+    Returns (id, n_chunks, n_kept, kept_frac, dedup_text).
+
+    Scale shape: the explode is map-side; the keep-decision is a window
+    over the paragraph hash — partitions average ~1 row (paragraph hashes
+    are near-unique), so the per-partition sort is O(dup-count), not
+    O(corpus), unlike the frontier's hot-host top-k; recompose shuffles
+    once on id with groups bounded by document length. Text rides the
+    shuffle twice — at 100 TB you'd dedup on xxhash64 only and re-join
+    the kept (id, pos) set against the corpus, trading a third shuffle
+    for 8-byte rows; here paragraphs are short so we keep the simple
+    plan. No Python anywhere.
+    """
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(paragraph_chunks_expr(F.col(text_col), chunk_words)).alias(
+            "pos", "chunk"
+        ),
+    )
+    w = Window.partitionBy(F.xxhash64("chunk")).orderBy("id", "pos")
+    kept = ex.withColumn("rn", F.row_number().over(w)).withColumn(
+        "kept", F.col("rn") == 1
+    )
+    return kept.groupBy("id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.round(
+            F.sum(F.col("kept").cast("long")) / F.count("*"), 6
+        ).alias("kept_frac"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("kept"), F.struct("pos", "chunk"))
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+        ).alias("dedup_text"),
+    )

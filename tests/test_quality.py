@@ -1,0 +1,103 @@
+"""Corpus-quality operator tests: paragraph dedup must drop exactly the
+planted repeats (first occurrence survives, order-deterministic), Gopher
+metrics must match hand-computed values, PII redaction must hit every
+planted pattern and nothing else."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from metadata_crawler_spark.functions.quality import (
+    gopher_repetition,
+    pii_counts,
+    redact_pii,
+)
+from metadata_crawler_spark.operators.dedup import paragraph_dedup
+
+# ten-word chunks by construction: each letter block is exactly 10 words
+A = " ".join(f"a{i}" for i in range(10))
+B = " ".join(f"b{i}" for i in range(10))
+C = " ".join(f"c{i}" for i in range(10))
+
+
+@pytest.fixture(scope="module")
+def pdocs(spark):
+    rows = [
+        (0, f"{A} {B}"),        # doc 0: A,B both first occurrences
+        (1, f"{B} {C}"),        # doc 1: B is a repeat, C first
+        (2, f"{A} {A}"),        # doc 2: both chunks repeats (A@0 too)
+        (3, C),                 # doc 3: repeat of doc 1's C
+        (4, "short tail"),      # doc 4: sub-width single chunk
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_paragraph_dedup_keeps_first_occurrence(pdocs):
+    out = {
+        r["id"]: r
+        for r in paragraph_dedup(pdocs, "text", "doc_id").collect()
+    }
+    assert out[0]["n_chunks"] == 2 and out[0]["n_kept"] == 2
+    assert out[0]["dedup_text"] == f"{A} {B}"
+    # doc 1: B already seen in doc 0
+    assert out[1]["n_kept"] == 1 and out[1]["dedup_text"] == C
+    # doc 2: A seen in doc 0, and its own second A is a within-doc repeat
+    assert out[2]["n_kept"] == 0 and out[2]["dedup_text"] == ""
+    assert out[2]["kept_frac"] == 0.0
+    # doc 3: C seen in doc 1
+    assert out[3]["n_kept"] == 0
+    # doc 4: unique sub-width chunk survives whole
+    assert out[4]["n_chunks"] == 1 and out[4]["dedup_text"] == "short tail"
+
+
+def test_paragraph_dedup_order_determinism(spark, pdocs):
+    """First occurrence = min (id, pos), not partition order: reversing
+    the input rows must give the identical result."""
+    rev = pdocs.orderBy(F.desc("doc_id")).repartition(7)
+    a = sorted(paragraph_dedup(pdocs, "text", "doc_id").collect())
+    b = sorted(paragraph_dedup(rev, "text", "doc_id").collect())
+    assert a == b
+
+
+def test_gopher_metrics_hand_computed(spark):
+    # "x y x y x" : n=5, chars=5, distinct 2/5, top bigram "x y" count 2
+    # covering 2*2=4 chars of 5
+    df = spark.createDataFrame([(1, "x y x y x")], "doc_id long, text string")
+    r = gopher_repetition(df, "text", "doc_id").collect()[0]
+    assert r["n_words"] == 5
+    assert r["mean_word_len"] == 1.0
+    assert r["distinct_frac"] == 0.4
+    assert r["top2gram_char_frac"] == 0.8
+    assert bool(r["flagged"]) is True  # 0.8 > 0.20
+
+
+def test_gopher_single_word_doc(spark):
+    df = spark.createDataFrame([(1, "lonely")], "doc_id long, text string")
+    r = gopher_repetition(df, "text", "doc_id").collect()[0]
+    assert r["n_words"] == 1 and r["top2gram_char_frac"] == 0.0
+    assert bool(r["flagged"]) is False
+
+
+def test_pii_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.co.uk or x@y.io and call +1-555-000-1234"),
+            (2, "no pii here, not even at-signs @ alone or +1-555-123"),
+        ],
+        "doc_id long, text string",
+    )
+    ne, np_ = pii_counts(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            ne.alias("e"),
+            np_.alias("p"),
+            redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert out[1]["e"] == 2 and out[1]["p"] == 1
+    assert out[1]["red"] == "mail <EMAIL> or <EMAIL> and call <PHONE>"
+    assert out[2]["e"] == 0 and out[2]["p"] == 0
+    assert out[2]["red"] == "no pii here, not even at-signs @ alone or +1-555-123"
