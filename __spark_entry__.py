@@ -2177,6 +2177,40 @@ FROM p
 """
 
 
+# ---------------------------------------------------------------------------
+# q55 — unigram cross-entropy (CCNet perplexity-bucket analog): per-doc
+# mean -log2 p(token) under the corpus's own unigram distribution
+# (functions/quality.unigram_crossentropy).
+# ---------------------------------------------------------------------------
+
+def q55_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from metadata_crawler_spark.functions.quality import unigram_crossentropy
+
+    d = _t(spark, sf_dir, "documents")
+    out = unigram_crossentropy(d, "text", "doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "xent",
+    )
+
+
+_Q55_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+v AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM v)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(-log2(v.cnt / tot.total)), 6) AS xent
+FROM t JOIN v USING (tok), tot
+GROUP BY t.doc_id
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_frontier_schedule": q01_frontier_schedule,
     "q02_url_canonicalize": q02_url_canonicalize,
@@ -2232,6 +2266,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_paragraph_dedup": q52_paragraph_dedup,
     "q53_gopher_repetition": q53_gopher_repetition,
     "q54_pii_redaction": q54_pii_redaction,
+    "q55_unigram_xent": q55_unigram_xent,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2287,6 +2322,7 @@ _ORACLES: dict[str, str] = {
     "q52_paragraph_dedup": _Q52_SQL,
     "q53_gopher_repetition": _Q53_SQL,
     "q54_pii_redaction": _Q54_SQL,
+    "q55_unigram_xent": _Q55_SQL,
 }
 
 

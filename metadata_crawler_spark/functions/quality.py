@@ -1,6 +1,6 @@
 """Corpus quality filters a training-data pipeline runs before training.
 
-Complements functions/text.py's per-document scores with the two
+Complements functions/text.py's per-document scores with the
 remaining standard families:
 
 - :func:`gopher_repetition` — Gopher-style (Rae et al. 2021, §A1.1)
@@ -11,6 +11,9 @@ remaining standard families:
 - :func:`redact_pii` / :func:`pii_counts` — regex redaction of emails
   and NANP-style phone numbers (the C4/RefinedWeb scrub step), as pure
   ``regexp_replace``/``regexp_count`` column expressions.
+- :func:`unigram_crossentropy` — the CCNet perplexity-bucket analog:
+  per-document mean -log2 p(token) under the corpus's own unigram
+  distribution.
 
 Everything is JVM-side; the only shuffle in the module is
 ``gopher_repetition``'s bigram count, keyed (id, bigram) with a map-side
@@ -134,3 +137,46 @@ def gopher_repetition(
         )
     )
     return out
+
+
+def unigram_crossentropy(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab_broadcast: bool | None = None,
+) -> DataFrame:
+    """CCNet-style LM quality proxy (Wenzek et al. 2020 use KenLM
+    perplexity buckets; the self-corpus unigram model is the cheap,
+    dependency-free stand-in): per-document mean -log2 p(token) under the
+    corpus's own unigram distribution. Low = boilerplate-heavy common
+    vocabulary, high = rare/surprising vocabulary; pipelines keep the
+    middle buckets.
+
+    Returns (id, n_tokens, xent).
+
+    Plan: one (token) shuffle builds the vocabulary with map-side
+    combine; the corpus total rides a 1-row broadcast (crossJoin of an
+    agg, never a collect); the token->count join broadcasts the vocab
+    when a bounded limit+count probe says it fits (web-corpus vocabs
+    are Zipf — tens of millions of rows at 100 TB, so the probe flips
+    to a shuffle join keyed on the token, which AQE skew-splits for
+    stop-word keys); final per-doc mean is one keyed shuffle.
+    """
+    from ..operators.frontier import small_enough_to_broadcast
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    if vocab_broadcast is None:
+        vocab_broadcast = small_enough_to_broadcast(vocab)
+    v = F.broadcast(vocab) if vocab_broadcast else vocab
+    joined = toks.join(v, "tok").crossJoin(F.broadcast(total))
+    return joined.groupBy("id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            F.avg(-F.log2(F.col("cnt") / F.col("total"))), 6
+        ).alias("xent"),
+    )

@@ -101,3 +101,39 @@ def test_pii_redaction(spark):
     assert out[1]["red"] == "mail <EMAIL> or <EMAIL> and call <PHONE>"
     assert out[2]["e"] == 0 and out[2]["p"] == 0
     assert out[2]["red"] == "no pii here, not even at-signs @ alone or +1-555-123"
+
+
+def test_unigram_crossentropy_hand_computed(spark):
+    """Corpus: doc1 'a a b', doc2 'a'. p(a)=3/4, p(b)=1/4.
+    doc1 xent = (2*2-log2(3) + 2) / 3 ... computed exactly below."""
+    import math
+
+    from metadata_crawler_spark.functions.quality import unigram_crossentropy
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a")], "doc_id long, text string"
+    )
+    out = {
+        r["id"]: r
+        for r in unigram_crossentropy(df, "text", "doc_id").collect()
+    }
+    la = -math.log2(3 / 4)
+    lb = -math.log2(1 / 4)
+    assert out[1]["n_tokens"] == 3
+    assert abs(out[1]["xent"] - round((2 * la + lb) / 3, 6)) < 1e-9
+    assert out[2]["n_tokens"] == 1
+    assert abs(out[2]["xent"] - round(la, 6)) < 1e-9
+
+
+def test_unigram_crossentropy_shuffle_join_path(spark):
+    """vocab_broadcast=False (the 100 TB vocab path) must agree with the
+    broadcast path exactly."""
+    from metadata_crawler_spark.functions.quality import unigram_crossentropy
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 5} w{i % 3} common") for i in range(30)],
+        "doc_id long, text string",
+    )
+    a = sorted(unigram_crossentropy(df, "text", "doc_id", True).collect())
+    b = sorted(unigram_crossentropy(df, "text", "doc_id", False).collect())
+    assert a == b
