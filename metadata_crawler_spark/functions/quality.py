@@ -169,7 +169,14 @@ def unigram_crossentropy(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     )
     vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    # total tokens == sum of vocab counts, but computed as a shuffle-free
+    # partial-agg scan over the SOURCE (plan audit: deriving it from
+    # `vocab` re-ran the whole explode+tok-shuffle a second time)
+    total = df.agg(
+        F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        .cast("double")
+        .alias("total")
+    )
     if vocab_broadcast is None:
         vocab_broadcast = small_enough_to_broadcast(vocab)
     v = F.broadcast(vocab) if vocab_broadcast else vocab

@@ -239,7 +239,10 @@ def paired_main() -> None:
     levels = (n, n * mult)
     all_pairs: list[dict] = []
     attempts = 0
-    max_attempts = n_pairs + 3
+    # +2 bounds the worst-case bench wall at the 12M corpus (~9.3 min per
+    # attempt); the wall-sanity gate makes accepted-pair quality come from
+    # rejection, not from more attempts
+    max_attempts = n_pairs + 2
 
     def consistent(p: dict) -> bool:
         a, b = p["cal_s"]
