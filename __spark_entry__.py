@@ -2211,6 +2211,145 @@ GROUP BY t.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q56 — the COMPOSED corpus-cleaning pipeline (plans/corpus_pipeline):
+# Gopher gate -> PII scrub -> exact dedup -> MinHash/LSH+Jaccard fuzzy
+# dedup -> paragraph dedup, end-to-end against a single DuckDB oracle.
+# Corpus plants one victim per dedup stage: +1M near-dup copies (%5, one
+# word appended) die at the fuzzy stage, +2M exact copies (%9) die at
+# exact dedup, flagged docs (and their copies) die at the quality gate.
+# Portable md5 hasher so the oracle recomputes identical band keys.
+# ---------------------------------------------------------------------------
+
+def q56_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from metadata_crawler_spark.plans.corpus_pipeline import clean_corpus
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = (
+        d.unionByName(
+            d.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.concat("text", F.lit(" extraword")).alias("text"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 9 == 0).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    out = clean_corpus(
+        corpus, "text", "doc_id",
+        hasher="md5", max_bucket=1_000_000,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), F.md5("text").alias("text_md5")
+    )
+
+
+_Q56_SQL = """
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' extraword' FROM documents
+  WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 9 = 0
+),
+t AS (SELECT id, string_split_regex(trim(text), '\\s+') AS ts FROM corpus),
+gbase AS (
+  SELECT id, len(ts) AS n_words,
+         list_sum(list_transform(ts, x -> len(x))) AS n_chars,
+         len(list_distinct(ts)) AS n_distinct,
+         list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])
+           AS bg
+  FROM t
+),
+bcnt AS (
+  SELECT id, b.bigram, COUNT(*) AS c
+  FROM gbase, unnest(bg) AS b(bigram) GROUP BY id, b.bigram
+),
+top2 AS (SELECT id, MAX(c * (len(bigram) - 1)) AS tc FROM bcnt GROUP BY id),
+s1 AS (
+  SELECT c.id, c.text FROM corpus c
+  JOIN gbase g ON c.id = g.id LEFT JOIN top2 t2 ON c.id = t2.id
+  WHERE NOT (ROUND(g.n_distinct / g.n_words, 6) < 0.3
+             OR ROUND(COALESCE(t2.tc, 0) / g.n_chars, 6) > 0.20)
+),
+s2 AS (
+  SELECT id,
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+           '\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS text
+  FROM s1
+),
+s3 AS (
+  SELECT id, text FROM s2
+  QUALIFY id = MIN(id) OVER (PARTITION BY md5(text))
+),
+shg AS (
+  SELECT id, text,
+    list_distinct(
+      CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 3
+           THEN [array_to_string(string_split_regex(trim(text), '\\s+'), ' ')]
+           ELSE list_transform(
+                  range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+                  i -> array_to_string(
+                         list_slice(string_split_regex(trim(text), '\\s+'),
+                                    i, i + 2), ' '))
+      END) AS sh
+  FROM s3
+),
+sigs AS (
+  SELECT id,
+    md5(list_min(list_transform(sh, s -> md5('0|' || s)))
+        || list_min(list_transform(sh, s -> md5('1|' || s)))) AS b0,
+    md5(list_min(list_transform(sh, s -> md5('2|' || s)))
+        || list_min(list_transform(sh, s -> md5('3|' || s)))) AS b1,
+    md5(list_min(list_transform(sh, s -> md5('4|' || s)))
+        || list_min(list_transform(sh, s -> md5('5|' || s)))) AS b2,
+    md5(list_min(list_transform(sh, s -> md5('6|' || s)))
+        || list_min(list_transform(sh, s -> md5('7|' || s)))) AS b3
+  FROM shg
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sigs a JOIN sigs b
+    ON (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+  WHERE a.id < b.id
+),
+ver AS (
+  SELECT p.id_b FROM pairs p
+  JOIN shg x ON p.id_a = x.id JOIN shg y ON p.id_b = y.id
+  WHERE ROUND(len(list_intersect(x.sh, y.sh)) * 1.0
+              / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.8
+),
+s4 AS (SELECT id, text FROM s3 WHERE id NOT IN (SELECT id_b FROM ver)),
+pts AS (SELECT id, string_split_regex(trim(text), '\\s+') AS ts FROM s4),
+ch AS (
+  SELECT id, r.i AS pos,
+         array_to_string(ts[(r.i * 10 + 1):(r.i * 10 + 10)], ' ') AS chunk
+  FROM pts, unnest(range((len(ts) + 9) // 10)) AS r(i)
+),
+kp AS (
+  SELECT id, pos, chunk,
+         ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY id, pos) = 1 AS kept
+  FROM ch
+),
+s5 AS (
+  SELECT id,
+         COALESCE(string_agg(CASE WHEN kept THEN chunk END, ' '
+                             ORDER BY pos), '') AS text,
+         ROUND(SUM(CASE WHEN kept THEN 1 ELSE 0 END) / COUNT(*), 6) AS kf
+  FROM kp GROUP BY id
+)
+SELECT id AS doc_id, md5(text) AS text_md5 FROM s5 WHERE kf >= 0.1
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_frontier_schedule": q01_frontier_schedule,
     "q02_url_canonicalize": q02_url_canonicalize,
@@ -2267,6 +2406,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q53_gopher_repetition": q53_gopher_repetition,
     "q54_pii_redaction": q54_pii_redaction,
     "q55_unigram_xent": q55_unigram_xent,
+    "q56_clean_corpus": q56_clean_corpus,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2323,6 +2463,7 @@ _ORACLES: dict[str, str] = {
     "q53_gopher_repetition": _Q53_SQL,
     "q54_pii_redaction": _Q54_SQL,
     "q55_unigram_xent": _Q55_SQL,
+    "q56_clean_corpus": _Q56_SQL,
 }
 
 

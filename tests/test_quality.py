@@ -137,3 +137,43 @@ def test_unigram_crossentropy_shuffle_join_path(spark):
     a = sorted(unigram_crossentropy(df, "text", "doc_id", True).collect())
     b = sorted(unigram_crossentropy(df, "text", "doc_id", False).collect())
     assert a == b
+
+
+def test_clean_corpus_stage_attribution(spark):
+    """Each planted victim dies at its intended stage (engine hasher):
+    low-distinct doc at the quality gate, exact copy at exact dedup,
+    one-word-changed copy at fuzzy dedup, chunk-subset doc hollowed out
+    by paragraph dedup; survivors carry redacted, recomposed text."""
+    from metadata_crawler_spark.plans.corpus_pipeline import clean_corpus
+
+    base_words = [f"tok{i}word" for i in range(40)]
+    base = " ".join(base_words)
+    near = " ".join(
+        w if i != 20 else "CHANGED" for i, w in enumerate(base_words)
+    )
+    rows = [
+        (0, base),
+        (1, base),                          # exact copy -> exact dedup
+        (2, near),                          # near copy -> fuzzy dedup
+        (3, " ".join(["spam"] * 30)),       # low distinct -> quality gate
+        # long enough that the single email bigram stays under the 0.20
+        # top-2-gram char threshold (Gopher flags short docs aggressively)
+        (4, "write to someone@example.org about "
+            + " ".join(f"u{i}q" for i in range(40))),
+        (5, " ".join(base_words[:20])),     # chunk subset -> hollowed
+        (6, " ".join(f"z{i}x" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r["text"] for r in
+           clean_corpus(df, "text", "doc_id").collect()}
+    assert set(out) == {0, 4, 6}
+    assert out[0] == base
+    assert "<EMAIL>" in out[4] and "someone@example.org" not in out[4]
+
+    # decontamination: a benchmark sharing doc 6's 8-grams removes doc 6
+    bench = spark.createDataFrame(
+        [(" ".join(f"z{i}x" for i in range(30)),)], "text string"
+    )
+    out2 = {r["id"] for r in
+            clean_corpus(df, "text", "doc_id", benchmark=bench).collect()}
+    assert out2 == {0, 4}
