@@ -2075,6 +2075,7 @@ def q53_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_words").cast("long").alias("n_words"),
         "mean_word_len",
         "distinct_frac",
+        "dup_chunk_frac",
         "top2gram_char_frac",
         "flagged",
     )
@@ -2088,6 +2089,9 @@ base AS (
   SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_words,
          list_sum(list_transform(ts, x -> len(x))) AS n_chars,
          CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
+         list_transform(range((len(ts) + 9) // 10),
+                        i -> array_to_string(ts[(i * 10 + 1):(i * 10 + 10)],
+                                             ' ')) AS chunks,
          list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])
            AS bg
   FROM t
@@ -2104,6 +2108,8 @@ top2 AS (
 SELECT b.doc_id, b.n_words,
        ROUND(b.n_chars / b.n_words, 6) AS mean_word_len,
        ROUND(b.n_distinct / b.n_words, 6) AS distinct_frac,
+       ROUND((len(b.chunks) - len(list_distinct(b.chunks)))
+             / len(b.chunks), 6) AS dup_chunk_frac,
        ROUND(COALESCE(t2.top2_chars, 0) / b.n_chars, 6)
          AS top2gram_char_frac,
        (ROUND(b.n_distinct / b.n_words, 6) < 0.3

@@ -48,9 +48,11 @@ def _n_scaling_urls(sf: float) -> int:
     dominates the fixed per-job serial floor (broadcast builds + AQE
     re-planning + job scheduling; measured C ~8s, W ~14us/url at r3), so
     N->4N efficiency reflects the engine, not the floor. At 6M urls a
-    PERFECT engine measures only ~0.79 (93s vs 4x29.5s); 12M lifts the
-    perfect-engine ceiling to ~0.88, clear of the 0.8 bar."""
-    return max(2_000_000, int(120_000_000 * sf))
+    PERFECT engine measures only ~0.79 (93s vs 4x29.5s); 10M lifts the
+    perfect-engine ceiling to ~0.87, clear of the 0.8 bar, while keeping
+    the worst-case gated scaling phase (5 attempts x ~9.5 min) inside
+    the subprocess timeout — 12M was measured overrunning it."""
+    return max(2_000_000, int(100_000_000 * sf))
 
 
 def _mk_spark(cores: int):
@@ -178,7 +180,7 @@ def main() -> None:
         proc = subprocess.run(
             [sys.executable, "-m", "metadata_crawler_spark.plans.schedule_bench",
              "paired", os.path.abspath(url_dir), repeat, "1", "4"],
-            capture_output=True, text=True, cwd=HERE, timeout=3000,
+            capture_output=True, text=True, cwd=HERE, timeout=4200,
         )
         scaling = json.loads(proc.stdout.strip().splitlines()[-1])
         thr_n = scaling["localN_urls_per_sec"]

@@ -58,14 +58,20 @@ def gopher_repetition(
     id_col: str,
     min_distinct_frac: float = 0.3,
     max_top2gram_frac: float = 0.20,
+    chunk_words: int = 10,
 ) -> DataFrame:
     """Per-document repetition metrics + flag.
 
-    Returns (id, n_words, mean_word_len, distinct_frac,
+    Returns (id, n_words, mean_word_len, distinct_frac, dup_chunk_frac,
     top2gram_char_frac, flagged) where top2gram_char_frac is the Gopher
     "fraction of characters contained in the most frequent word 2-gram":
     occurrences-of-top-bigram x its non-space char length, over the
-    document's total non-space chars.
+    document's total non-space chars (overlapping repeats can push it
+    past 1.0 — still a repetition signal), and dup_chunk_frac is the
+    Gopher duplicate-line fraction over ``chunk_words``-token pseudo-
+    paragraphs (fraction of within-document chunks that repeat an
+    earlier chunk). dup_chunk_frac is reported, not folded into the
+    flag — Gopher's dup-line threshold (0.30) is a caller-side filter.
 
     Plan: scalar metrics are pure array expressions on the unexploded
     row; only the bigram mode needs an explode -> count -> per-doc max
@@ -74,10 +80,13 @@ def gopher_repetition(
     size(filter(bg, = d)))) but is O(n^2) per document — wrong at
     web-document lengths, so not used.
     """
+    from ..operators.dedup import paragraph_chunks_expr
+
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     base = df.select(
         F.col(id_col).alias("id"),
         toks.alias("toks"),
+        paragraph_chunks_expr(F.col(text_col), chunk_words).alias("chunks"),
         F.size(toks).alias("n_words"),
         F.aggregate(
             F.transform(toks, F.length),
@@ -124,6 +133,11 @@ def gopher_repetition(
             F.round(
                 F.size(F.array_distinct("toks")) / F.col("n_words"), 6
             ).alias("distinct_frac"),
+            F.round(
+                (F.size("chunks") - F.size(F.array_distinct("chunks")))
+                / F.size("chunks"),
+                6,
+            ).alias("dup_chunk_frac"),
             F.round(
                 F.coalesce(F.col("top2_chars"), F.lit(0))
                 / F.col("n_chars"),

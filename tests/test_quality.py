@@ -68,8 +68,18 @@ def test_gopher_metrics_hand_computed(spark):
     assert r["n_words"] == 5
     assert r["mean_word_len"] == 1.0
     assert r["distinct_frac"] == 0.4
+    assert r["dup_chunk_frac"] == 0.0  # 5 tokens -> one chunk
     assert r["top2gram_char_frac"] == 0.8
     assert bool(r["flagged"]) is True  # 0.8 > 0.20
+
+
+def test_gopher_dup_chunk_frac(spark):
+    """Doc of two identical 10-token chunks -> half its chunks repeat."""
+    df = spark.createDataFrame(
+        [(1, f"{A} {A}")], "doc_id long, text string"
+    )
+    r = gopher_repetition(df, "text", "doc_id").collect()[0]
+    assert r["dup_chunk_frac"] == 0.5
 
 
 def test_gopher_single_word_doc(spark):
