@@ -187,3 +187,25 @@ def test_clean_corpus_stage_attribution(spark):
     out2 = {r["id"] for r in
             clean_corpus(df, "text", "doc_id", benchmark=bench).collect()}
     assert out2 == {0, 4}
+
+
+def test_clean_corpus_plan_no_cartesian(spark):
+    """The composed pipeline must stay equi-join only — candidate
+    generation is banded buckets, never an all-pairs product (both
+    hasher paths)."""
+    from metadata_crawler_spark.plans.corpus_pipeline import clean_corpus
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}t{j}" for j in range(25))) for i in range(50)],
+        "doc_id long, text string",
+    )
+    for hasher in ("xxhash64", "md5"):
+        plan = clean_corpus(
+            df, "text", "doc_id", hasher=hasher
+        )._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "CartesianProduct" not in plan, hasher
+        assert "BroadcastNestedLoopJoin" not in plan, hasher
