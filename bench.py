@@ -133,7 +133,9 @@ def main() -> None:
 
     spark = _mk_spark(CPUS)
     # headline oracle queries (timed to a noop sink: full execution, no
-    # driver collect cost)
+    # driver collect cost), min-of-QREPEAT — single-shot walls on this
+    # host swing with CPU-delivery bursts (see BASELINE.md methodology)
+    qrepeat = int(os.environ.get("MCS_BENCH_QREPEAT", "2"))
     for name in (
         "q01_frontier_schedule",
         "q06_lookup_join",
@@ -144,14 +146,23 @@ def main() -> None:
         "q38_sessionize",
     ):
         fn = entry_mod.queries()[name]
-        t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        queries[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(qrepeat):
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        queries[name] = round(best, 3)
 
-    # north-rule crawl rounds at full parallelism
-    t0 = time.time()
-    crawl_full = _crawl_throughput(spark, fx_paths)
-    queries["crawl_rounds"] = round(time.time() - t0, 3)
+    # north-rule crawl rounds at full parallelism, best-of-QREPEAT
+    # (fresh checkpoint dir per run — each is a from-scratch crawl)
+    crawl_full = None
+    for _ in range(qrepeat):
+        t0 = time.time()
+        c = _crawl_throughput(spark, fx_paths)
+        c["wall_incl_setup_s"] = round(time.time() - t0, 3)
+        if crawl_full is None or c["urls_per_sec"] > crawl_full["urls_per_sec"]:
+            crawl_full = c
+    queries["crawl_rounds"] = crawl_full["wall_incl_setup_s"]
 
     # hot-host skew handling win (salted two-stage top-k vs naive window)
     try:
