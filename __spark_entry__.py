@@ -399,47 +399,6 @@ FROM p
 
 
 # ---------------------------------------------------------------------------
-# q10 — heuristic timestamp coercion (SURVEY §2.5 P4): digit-count parser
-# over mixed-granularity strings, the reference's convert_str_to_timestamp.
-# ---------------------------------------------------------------------------
-
-def q10_timestamp_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _prep(spark)
-    e = _t(spark, sf_dir, "events").limit(5000)
-    ts = F.col("ts").cast("timestamp")
-    raw = (
-        F.when(F.col("event_id") % 3 == 0, F.date_format(ts, "yyyyMMdd"))
-        .when(F.col("event_id") % 3 == 1, F.date_format(ts, "yyyyMM"))
-        .otherwise(F.date_format(ts, "yyyyMMddHHmm"))
-    )
-    d = e.select("event_id", raw.alias("raw_ts"))
-    n = F.length("raw_ts")
-    parsed = (
-        F.when(n == 6, F.to_timestamp(F.col("raw_ts"), "yyyyMM"))
-        .when(n == 8, F.to_timestamp(F.col("raw_ts"), "yyyyMMdd"))
-        .when(n == 12, F.to_timestamp(F.col("raw_ts"), "yyyyMMddHHmm"))
-    )
-    return d.select("event_id", "raw_ts", F.unix_millis(parsed).alias("parsed_ms"))
-
-
-_Q10_SQL = """
-WITH d AS (
-  SELECT event_id,
-    CASE WHEN event_id % 3 = 0 THEN strftime(ts, '%Y%m%d')
-         WHEN event_id % 3 = 1 THEN strftime(ts, '%Y%m')
-         ELSE strftime(ts, '%Y%m%d%H%M') END AS raw_ts
-  FROM (SELECT * FROM events LIMIT 5000)
-)
-SELECT event_id, raw_ts,
-  epoch_ms(CASE WHEN length(raw_ts) = 6 THEN strptime(raw_ts, '%Y%m')
-                WHEN length(raw_ts) = 8 THEN strptime(raw_ts, '%Y%m%d')
-                WHEN length(raw_ts) = 12 THEN strptime(raw_ts, '%Y%m%d%H%M')
-           END) AS parsed_ms
-FROM d
-"""
-
-
-# ---------------------------------------------------------------------------
 # q11 — daterange construction (SURVEY §2.5 P5): "YYYYMMDD-YYYYMMDD" with
 # open-bound sentinels (0001-01-01 / 9999-12-31).
 # ---------------------------------------------------------------------------
@@ -585,16 +544,43 @@ FROM events GROUP BY event_type
 # unioned + deduped, counted per host.
 # ---------------------------------------------------------------------------
 
-def q14_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q14_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops U1+U2+U3 in ONE query (r3→r4: the driver records at most 50
+    CORRECTNESS rows, so the three former set-op queries q14/q37/q41 are
+    merged — every operator keeps a scoreboard row): union+distinct+agg
+    ('union' rows), exceptAll with multiplicities ('except' rows, the
+    stale-sweep shape), intersect ('intersect' rows)."""
     _prep(spark)
     d = _t(spark, sf_dir, "documents")
-    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 23).cast("string"),
-                   F.lit(".example.org/"), F.col("doc_id").cast("string"))
-    a = d.filter(F.col("doc_id") % 2 == 0).select(url.alias("url"))
-    b = d.filter(F.col("doc_id") % 3 == 0).select(url.alias("url"))
-    u = a.unionByName(b).distinct()
+
+    def _ab(prefix: str, mod: int, dom: str):
+        url = F.concat(F.lit(f"https://{prefix}"),
+                       (F.col("doc_id") % mod).cast("string"),
+                       F.lit(f".{dom}/"), F.col("doc_id").cast("string"))
+        a = d.filter(F.col("doc_id") % 2 == 0).select(url.alias("url"))
+        b = d.filter(F.col("doc_id") % 3 == 0).select(url.alias("url"))
+        return a, b
+
+    a, b = _ab("h", 23, "example.org")
     host = F.regexp_extract("url", r"https://([^/]+)/", 1)
-    return u.groupBy(host.alias("host")).agg(F.count("*").alias("n_urls"))
+    u = (
+        a.unionByName(b).distinct()
+        .groupBy(host.alias("key")).agg(F.count("*").alias("n"))
+        .select(F.lit("union").alias("op"), "key", "n")
+    )
+    a, b = _ab("h", 31, "example.net")
+    exc = (
+        a.exceptAll(b)
+        .groupBy(F.col("url").alias("key")).agg(F.count("*").alias("n"))
+        .select(F.lit("except").alias("op"), "key", "n")
+    )
+    a, b = _ab("i", 13, "example.io")
+    itc = a.intersect(b).select(
+        F.lit("intersect").alias("op"),
+        F.col("url").alias("key"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    return u.unionByName(exc).unionByName(itc)
 
 
 _Q14_SQL = """
@@ -605,9 +591,27 @@ WITH u AS (
     UNION
     SELECT 'https://h' || (doc_id % 23) || '.example.org/' || doc_id AS url
     FROM documents WHERE doc_id % 3 = 0)
+),
+exc AS (
+  SELECT 'https://h' || (doc_id % 31) || '.example.net/' || doc_id AS url
+  FROM documents WHERE doc_id % 2 = 0
+  EXCEPT ALL
+  SELECT 'https://h' || (doc_id % 31) || '.example.net/' || doc_id AS url
+  FROM documents WHERE doc_id % 3 = 0
+),
+itc AS (
+  SELECT 'https://i' || (doc_id % 13) || '.example.io/' || doc_id AS url
+  FROM documents WHERE doc_id % 2 = 0
+  INTERSECT
+  SELECT 'https://i' || (doc_id % 13) || '.example.io/' || doc_id AS url
+  FROM documents WHERE doc_id % 3 = 0
 )
-SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host, COUNT(*) AS n_urls
-FROM u GROUP BY 1
+SELECT 'union' AS op, regexp_extract(url, 'https://([^/]+)/', 1) AS key, COUNT(*) AS n
+FROM u GROUP BY 2
+UNION ALL
+SELECT 'except' AS op, url AS key, COUNT(*) AS n FROM exc GROUP BY 2
+UNION ALL
+SELECT 'intersect' AS op, url AS key, CAST(1 AS BIGINT) AS n FROM itc
 """
 
 
@@ -642,9 +646,19 @@ FROM documents
 # q16-q19 — text analysis suite (training-data pipeline ops).
 # ---------------------------------------------------------------------------
 
-def q16_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q16_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis suite in ONE per-doc row (r3→r4 50-row driver cap:
+    former q16 token count + q17 quality + q18 lang-id + q19 fingerprint
+    merged; lang-id is now checked PER DOCUMENT, stricter than the old
+    aggregated histogram)."""
     _prep(spark)
-    from metadata_crawler_spark.functions.text import TOKEN_PATTERN, ws_token_count
+    from metadata_crawler_spark.functions.text import (
+        TOKEN_PATTERN,
+        fingerprint_expr,
+        lang_id_expr,
+        quality_score_expr,
+        ws_token_count,
+    )
 
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -653,26 +667,10 @@ def q16_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), F.lit(0)))
         .cast("long").alias("bpe_ish_tokens"),
         F.length("text").cast("long").alias("n_chars_actual"),
+        quality_score_expr(F.col("text")).alias("quality"),
+        lang_id_expr(F.col("text")).alias("pred_lang"),
+        fingerprint_expr(F.col("text")).alias("fingerprint"),
     )
-
-
-_Q16_SQL = r"""
-SELECT doc_id,
-       CAST(CASE WHEN trim(text) = '' THEN 0
-            ELSE length(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
-       length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
-         AS bpe_ish_tokens,
-       length(text) AS n_chars_actual
-FROM documents
-"""
-
-
-def q17_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _prep(spark)
-    from metadata_crawler_spark.functions.text import quality_score_expr
-
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", quality_score_expr(F.col("text")).alias("quality"))
 
 
 def _marker_sql(word: str) -> str:
@@ -686,66 +684,41 @@ def _marker_sql(word: str) -> str:
 _ALL_MARKERS = ["the", "and", "of", "der", "und", "nicht", "le", "et", "les",
                 "el", "que", "los"]
 
-_Q17_SQL = f"""
-SELECT doc_id,
-  ROUND(
-    LEAST(length(text) / 500.0, 1.0) * 0.4
-    + LEAST(({' + '.join(_marker_sql(w) for w in _ALL_MARKERS)}) / 10.0, 1.0) * 0.4
-    + (CASE WHEN length(text) > 0
-            THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
-            ELSE 0.0 END) * 0.2,
-  6) AS quality
-FROM documents
-"""
-
-
-def q18_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _prep(spark)
-    from metadata_crawler_spark.functions.text import lang_id_expr
-
-    d = _t(spark, sf_dir, "documents")
-    return d.select(lang_id_expr(F.col("text")).alias("pred_lang")).groupBy(
-        "pred_lang"
-    ).agg(F.count("*").alias("n_docs"))
-
-
 def _lang_score_sql(words: list[str]) -> str:
     return " + ".join(_marker_sql(w) for w in words)
 
 
-_Q18_SQL = f"""
+_Q16_SQL = rf"""
 WITH scores AS (
-  SELECT ({_lang_score_sql(['der','und','nicht'])}) AS s_de,
+  SELECT doc_id, text,
+         ({_lang_score_sql(['der','und','nicht'])}) AS s_de,
          ({_lang_score_sql(['the','and','of'])}) AS s_en,
          ({_lang_score_sql(['el','que','los'])}) AS s_es,
          ({_lang_score_sql(['le','et','les'])}) AS s_fr
   FROM documents
-), pred AS (
-  SELECT CASE
-    WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'unknown'
-    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
-    WHEN s_es >= s_fr THEN 'es'
-    ELSE 'fr' END AS pred_lang
-  FROM scores
 )
-SELECT pred_lang, COUNT(*) AS n_docs FROM pred GROUP BY pred_lang
-"""
-
-
-def q19_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _prep(spark)
-    from metadata_crawler_spark.functions.text import fingerprint_expr
-
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", fingerprint_expr(F.col("text")).alias("fingerprint"))
-
-
-_Q19_SQL = r"""
 SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE length(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
+       length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+         AS bpe_ish_tokens,
+       length(text) AS n_chars_actual,
+       ROUND(
+         LEAST(length(text) / 500.0, 1.0) * 0.4
+         + LEAST(({' + '.join(_marker_sql(w) for w in _ALL_MARKERS)}) / 10.0, 1.0) * 0.4
+         + (CASE WHEN length(text) > 0
+                 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
+                 ELSE 0.0 END) * 0.2,
+       6) AS quality,
+       CASE
+         WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'unknown'
+         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         WHEN s_es >= s_fr THEN 'es'
+         ELSE 'fr' END AS pred_lang,
        md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' '))
          AS fingerprint
-FROM documents
+FROM scores
 """
 
 
@@ -1375,36 +1348,12 @@ GROUP BY lang
 """
 
 
-def q34_conditional_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Special rule: conditional (P11) — the reference evals a templated
-    condition per record ("'pt' in time_frequency" -> inst/mean,
-    api/drs_config.toml:157-161); ours compiles to when/otherwise."""
-    _prep(spark)
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.when(F.col("source").contains("1"), F.lit("inst"))
-        .otherwise(F.lit("mean"))
-        .alias("cell_methods"),
-        F.when(F.col("n_chars") >= 300, F.lit("long"))
-        .when(F.col("n_chars") >= 100, F.lit("medium"))
-        .otherwise(F.lit("short"))
-        .alias("length_class"),
-    )
-
-
-_Q34_SQL = """
-SELECT doc_id,
-       CASE WHEN source LIKE '%1%' THEN 'inst' ELSE 'mean' END AS cell_methods,
-       CASE WHEN n_chars >= 300 THEN 'long'
-            WHEN n_chars >= 100 THEN 'medium'
-            ELSE 'short' END AS length_class
-FROM documents
-"""
-
-
-def q35_lookup_map_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Special rule: call/lookup (P12/J2) — the CORDEX domain->bbox dict
+def q34_special_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Special rules P11 (conditional) + P12/J2 (call/lookup map) in ONE
+    query (r3→r4 50-row driver cap; formerly q34 + q35). Conditional: the
+    reference evals a templated condition per record ("'pt' in
+    time_frequency" -> inst/mean, api/drs_config.toml:157-161); ours
+    compiles to when/otherwise. Lookup: the CORDEX domain->bbox dict
     becomes a broadcast map literal probed with element_at (reference:
     api/drs_config.toml:368-398, eval at config.py:697-702)."""
     _prep(spark)
@@ -1416,13 +1365,25 @@ def q35_lookup_map_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     region_map = F.create_map(*pairs)
     return d.select(
         "doc_id",
+        F.when(F.col("source").contains("1"), F.lit("inst"))
+        .otherwise(F.lit("mean"))
+        .alias("cell_methods"),
+        F.when(F.col("n_chars") >= 300, F.lit("long"))
+        .when(F.col("n_chars") >= 100, F.lit("medium"))
+        .otherwise(F.lit("short"))
+        .alias("length_class"),
         "lang",
         F.coalesce(F.element_at(region_map, F.col("lang")), F.lit("GLOBAL")).alias("region"),
     )
 
 
-_Q35_SQL = """
-SELECT doc_id, lang,
+_Q34_SQL = """
+SELECT doc_id,
+       CASE WHEN source LIKE '%1%' THEN 'inst' ELSE 'mean' END AS cell_methods,
+       CASE WHEN n_chars >= 300 THEN 'long'
+            WHEN n_chars >= 100 THEN 'medium'
+            ELSE 'short' END AS length_class,
+       lang,
        CASE WHEN lang IN ('en','de','fr','es') THEN 'EUR'
             WHEN lang IN ('zh','ja') THEN 'EAS'
             ELSE 'GLOBAL' END AS region
@@ -1445,27 +1406,6 @@ def q36_cube_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q36_SQL = """
 SELECT event_type, (user_id % 4) AS user_bucket, COUNT(*) AS n_events
 FROM events GROUP BY CUBE (event_type, (user_id % 4))
-"""
-
-
-def q37_except_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set difference (U2, the stale-sweep shape): urls in source A that a
-    second crawl B did not re-discover."""
-    _prep(spark)
-    d = _t(spark, sf_dir, "documents")
-    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 31).cast("string"),
-                   F.lit(".example.net/"), F.col("doc_id").cast("string"))
-    a = d.filter(F.col("doc_id") % 2 == 0).select(url.alias("url"))
-    b = d.filter(F.col("doc_id") % 3 == 0).select(url.alias("url"))
-    return a.exceptAll(b)
-
-
-_Q37_SQL = """
-SELECT 'https://h' || (doc_id % 31) || '.example.net/' || doc_id AS url
-FROM documents WHERE doc_id % 2 = 0
-EXCEPT ALL
-SELECT 'https://h' || (doc_id % 31) || '.example.net/' || doc_id AS url
-FROM documents WHERE doc_id % 3 = 0
 """
 
 
@@ -1575,26 +1515,6 @@ SELECT (user_id % 4) AS bucket,
        CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
 FROM events GROUP BY 1
-"""
-
-
-def q41_intersect_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set intersection (U3 — absent in the reference; completes set ops)."""
-    _prep(spark)
-    d = _t(spark, sf_dir, "documents")
-    url = F.concat(F.lit("https://i"), (F.col("doc_id") % 13).cast("string"),
-                   F.lit(".example.io/"), F.col("doc_id").cast("string"))
-    a = d.filter(F.col("doc_id") % 2 == 0).select(url.alias("url"))
-    b = d.filter(F.col("doc_id") % 3 == 0).select(url.alias("url"))
-    return a.intersect(b)
-
-
-_Q41_SQL = """
-SELECT 'https://i' || (doc_id % 13) || '.example.io/' || doc_id AS url
-FROM documents WHERE doc_id % 2 = 0
-INTERSECT
-SELECT 'https://i' || (doc_id % 13) || '.example.io/' || doc_id AS url
-FROM documents WHERE doc_id % 3 = 0
 """
 
 
@@ -2247,7 +2167,7 @@ def q56_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = clean_corpus(
         corpus, "text", "doc_id",
-        hasher="md5", max_bucket=1_000_000,
+        hasher="md5", minhash_k=8, lsh_bands=4, max_bucket=1_000_000,
     )
     return out.select(
         F.col("id").alias("doc_id"), F.md5("text").alias("text_md5")
@@ -2356,6 +2276,69 @@ SELECT id AS doc_id, md5(text) AS text_md5 FROM s5 WHERE kf >= 0.1
 """
 
 
+# ---------------------------------------------------------------------------
+# q57 — transitive near-dup clustering (union-find analog, VERDICT r3 item
+# 3): connected components over a planted pair graph via iterative
+# min-label propagation (operators/dedup.neardup_clusters), checked
+# against a DuckDB RECURSIVE-CTE reachability oracle. The graph plants
+# per-decade chains b-b+1-b+2-b+3 (A~B~C with A and C never directly
+# paired), a star {b+5, b+6, b+8} centered on the HIGHEST id (the shape
+# where greedy pairwise dropping and transitive clustering disagree — the
+# bridge b+8 is id_b of both pairs, so greedy keeps b+6 while clustering
+# drops it), and a 9-node chain per century to force multi-iteration
+# convergence. Reference analog: dataset grouping treats membership
+# transitively (data_collector.py:156-169).
+# ---------------------------------------------------------------------------
+
+def q57_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from metadata_crawler_spark.operators.dedup import neardup_clusters
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    m10 = F.col("doc_id") % 10
+    m100 = F.col("doc_id") % 100
+
+    def _e(flt, delta):
+        return d.filter(flt).select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + delta).alias("id_b"),
+        )
+
+    pairs = (
+        _e(m10 < 3, 1)                          # chains {b..b+3}
+        .unionByName(_e(m10 == 5, 3))           # star edge (b+5, b+8)
+        .unionByName(_e(m10 == 6, 2))           # star edge (b+6, b+8)
+        .unionByName(_e((m100 >= 90) & (m100 <= 97), 1))  # long chain
+    )
+    return neardup_clusters(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
+_Q57_SQL = """
+WITH RECURSIVE e0 AS (
+  SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 10 < 3
+  UNION ALL
+  SELECT doc_id, doc_id + 3 FROM documents WHERE doc_id % 10 = 5
+  UNION ALL
+  SELECT doc_id, doc_id + 2 FROM documents WHERE doc_id % 10 = 6
+  UNION ALL
+  SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 100 BETWEEN 90 AND 97
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM e0
+  UNION
+  SELECT b AS src, a AS dst FROM e0
+),
+reach AS (
+  SELECT src AS id, src AS r FROM edges
+  UNION
+  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_frontier_schedule": q01_frontier_schedule,
     "q02_url_canonicalize": q02_url_canonicalize,
@@ -2366,16 +2349,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q07_stale_sweep": q07_stale_sweep,
     "q08_version_rank": q08_version_rank,
     "q09_path_parse": q09_path_parse,
-    "q10_timestamp_coerce": q10_timestamp_coerce,
     "q11_daterange": q11_daterange,
     "q12_freq_infer": q12_freq_infer,
     "q13_counters": q13_counters,
-    "q14_union_sources": q14_union_sources,
+    "q14_set_ops": q14_set_ops,
     "q15_facet_translate": q15_facet_translate,
-    "q16_token_count": q16_token_count,
-    "q17_quality_score": q17_quality_score,
-    "q18_lang_id": q18_lang_id,
-    "q19_fingerprint": q19_fingerprint,
+    "q16_text_metrics": q16_text_metrics,
     "q20_json_extract": q20_json_extract,
     "q21_minhash_signatures": q21_minhash_signatures,
     "q22_lsh_candidate_pairs": q22_lsh_candidate_pairs,
@@ -2390,14 +2369,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_html_extraction": q31_html_extraction,
     "q32_catalog_explode": q32_catalog_explode,
     "q33_delete_by_facet": q33_delete_by_facet,
-    "q34_conditional_rule": q34_conditional_rule,
-    "q35_lookup_map_rule": q35_lookup_map_rule,
+    "q34_special_rules": q34_special_rules,
     "q36_cube_metrics": q36_cube_metrics,
-    "q37_except_sources": q37_except_sources,
     "q38_sessionize": q38_sessionize,
     "q39_asof_join": q39_asof_join,
     "q40_pivot": q40_pivot,
-    "q41_intersect_sources": q41_intersect_sources,
     "q42_rollup_metrics": q42_rollup_metrics,
     "q43_percentiles": q43_percentiles,
     "q44_running_sum": q44_running_sum,
@@ -2413,6 +2389,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_pii_redaction": q54_pii_redaction,
     "q55_unigram_xent": q55_unigram_xent,
     "q56_clean_corpus": q56_clean_corpus,
+    "q57_neardup_clusters": q57_neardup_clusters,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2425,16 +2402,12 @@ _ORACLES: dict[str, str] = {
     "q07_stale_sweep": _Q07_SQL,
     "q08_version_rank": _Q08_SQL,
     "q09_path_parse": _Q09_SQL,
-    "q10_timestamp_coerce": _Q10_SQL,
     "q11_daterange": _Q11_SQL,
     "q12_freq_infer": _Q12_SQL,
     "q13_counters": _Q13_SQL,
-    "q14_union_sources": _Q14_SQL,
+    "q14_set_ops": _Q14_SQL,
     "q15_facet_translate": _Q15_SQL,
-    "q16_token_count": _Q16_SQL,
-    "q17_quality_score": _Q17_SQL,
-    "q18_lang_id": _Q18_SQL,
-    "q19_fingerprint": _Q19_SQL,
+    "q16_text_metrics": _Q16_SQL,
     "q20_json_extract": _Q20_SQL,
     "q21_minhash_signatures": _Q21_SQL,
     "q22_lsh_candidate_pairs": _Q22_SQL,
@@ -2447,14 +2420,11 @@ _ORACLES: dict[str, str] = {
     "q30_bloom_membership": _Q30_SQL,
     "q32_catalog_explode": _Q32_SQL,
     "q33_delete_by_facet": _Q33_SQL,
-    "q34_conditional_rule": _Q34_SQL,
-    "q35_lookup_map_rule": _Q35_SQL,
+    "q34_special_rules": _Q34_SQL,
     "q36_cube_metrics": _Q36_SQL,
-    "q37_except_sources": _Q37_SQL,
     "q38_sessionize": _Q38_SQL,
     "q39_asof_join": _Q39_SQL,
     "q40_pivot": _Q40_SQL,
-    "q41_intersect_sources": _Q41_SQL,
     "q42_rollup_metrics": _Q42_SQL,
     "q43_percentiles": _Q43_SQL,
     "q44_running_sum": _Q44_SQL,
@@ -2470,6 +2440,7 @@ _ORACLES: dict[str, str] = {
     "q54_pii_redaction": _Q54_SQL,
     "q55_unigram_xent": _Q55_SQL,
     "q56_clean_corpus": _Q56_SQL,
+    "q57_neardup_clusters": _Q57_SQL,
 }
 
 

@@ -140,7 +140,7 @@ def main() -> None:
         "q01_frontier_schedule",
         "q06_lookup_join",
         "q13_counters",
-        "q19_fingerprint",
+        "q16_text_metrics",
         "q21_minhash_signatures",
         "q25_cosine_topk",
         "q38_sessionize",
@@ -201,20 +201,15 @@ def main() -> None:
         scaling = {"levels": [1, 4], "error": str(exc)[:200]}
         thr_n = thr_4n = efficiency = None
 
-    out = {
-        "metric": "frontier URLs scheduled+deduped/sec (north rule); wall secs per headline query",
-        "value": round(time.time() - t_total0, 3),
-        "unit": "sec",
-        "sf": sf,
-        "queries": queries,
+    # VERDICT r3 item 1: the driver tail-captures only the LAST 2000 chars
+    # of stdout, and r3's single detail-laden line overflowed it (BENCH_r03
+    # "parsed": null lost the headline walls + crawl number). Protocol now:
+    # full pair/rep/rejection detail goes to BENCH_DETAIL.json; stdout's
+    # final line is ONE compact headline object, hard-capped well under
+    # the capture window.
+    detail = {
         "crawl": crawl_full,
-        "urls_per_sec": crawl_full["urls_per_sec"],
         "scaling": {
-            "levels": scaling["levels"],
-            "localN_urls_per_sec": thr_n,
-            "local4N_urls_per_sec": thr_4n,
-            "efficiency_N_to_4N": efficiency,
-            "efficiency_is": "median of paired trials (>=3)",
             "detail": scaling,
             "host_note": (
                 "paired interleaved trials; N=1->4N=4 chosen because this "
@@ -225,11 +220,47 @@ def main() -> None:
             ),
         },
         "skew": skew,
+    }
+    with open(os.path.join(HERE, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+
+    out = {
+        "metric": "frontier urls scheduled+deduped/sec (north rule)",
+        "value": round(time.time() - t_total0, 3),
+        "unit": "sec",
+        "sf": sf,
+        "queries": queries,
+        "crawl": {
+            "urls_per_sec": crawl_full["urls_per_sec"],
+            "wall_s": crawl_full["wall_s"],
+            "frontier_urls": crawl_full["frontier_urls"],
+        },
+        "urls_per_sec": crawl_full["urls_per_sec"],
+        "scaling": {
+            "levels": scaling.get("levels"),
+            "thr_N": thr_n,
+            "thr_4N": thr_4n,
+            "efficiency": efficiency,
+            "basis": scaling.get("basis", "median of paired trials (>=3)"),
+        },
+        "skew": {
+            "speedup": skew.get("speedup"),
+            "basis": skew.get("basis", skew.get("error", "n/a")),
+        },
         "n_pages": n_pages,
         "n_scaling_urls": n_scale,
         "cpus": CPUS,
+        "detail_file": "BENCH_DETAIL.json",
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    if len(line) > 1800:  # never overflow the driver's 2000-char tail window
+        out.pop("queries", None)
+        out["truncated"] = "queries moved to BENCH_DETAIL.json (line cap)"
+        detail["queries"] = queries
+        with open(os.path.join(HERE, "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":

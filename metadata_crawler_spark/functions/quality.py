@@ -138,16 +138,26 @@ def gopher_repetition(
                 / F.size("chunks"),
                 6,
             ).alias("dup_chunk_frac"),
+            # ADVICE r3: n_chars=0 (empty/whitespace-only doc) made this
+            # 0/0 -> NULL and `flagged` NULL, so filter(~flagged) silently
+            # dropped such docs; guard the division so the fraction (and
+            # therefore the flag) is always a concrete value.
             F.round(
-                F.coalesce(F.col("top2_chars"), F.lit(0))
-                / F.col("n_chars"),
+                F.when(
+                    F.col("n_chars") > 0,
+                    F.coalesce(F.col("top2_chars"), F.lit(0))
+                    / F.col("n_chars"),
+                ).otherwise(F.lit(0.0)),
                 6,
             ).alias("top2gram_char_frac"),
         )
         .withColumn(
             "flagged",
-            (F.col("distinct_frac") < min_distinct_frac)
-            | (F.col("top2gram_char_frac") > max_top2gram_frac),
+            F.coalesce(
+                (F.col("distinct_frac") < min_distinct_frac)
+                | (F.col("top2gram_char_frac") > max_top2gram_frac),
+                F.lit(False),
+            ),
         )
     )
     return out

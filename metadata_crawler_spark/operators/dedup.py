@@ -50,17 +50,26 @@ def minhash_signatures(
     id_col: str,
     k: int = 32,
     ngram: int = 3,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
-    """(id, sig array<long>): sig_i = min over shingles of xxhash64(s, i).
+    """(id, sig): sig_i = min over shingles of hash(s, i).
 
-    The k "permutations" are xxhash64 with k different fold-in seeds —
-    each array_min(transform(...)) is whole-stage-codegen'd JVM work.
+    ``hasher`` (VERDICT r3 item 7 — ONE banded-LSH builder for both the
+    production and the oracle plan, so they cannot drift):
+      - ``xxhash64`` (default): sig array<long>, xxhash64 with k fold-in
+        seeds — each array_min(transform(...)) is whole-stage-codegen'd
+        JVM work. Spark-only hash (engine default).
+      - ``md5``: sig array<string>, min md5(f"{i}|{shingle}") — hex
+        strings order lexicographically in both engines, so DuckDB can
+        recompute the identical signature for the q56 end-to-end oracle.
     """
     sh = shingles_expr(F.col(text_col), ngram)
 
     def _perm(i: int):
         # NB: must be a 1-arg lambda — a second parameter would make
         # pyspark pass the ARRAY INDEX as the seed instead of i
+        if hasher == "md5":
+            return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
         return lambda s: F.xxhash64(s, F.lit(i))
 
     sig = F.array(*[F.array_min(F.transform(sh, _perm(i))) for i in range(k)])
@@ -72,28 +81,30 @@ def lsh_candidate_pairs(
     bands: int = 8,
     rows_per_band: int = 4,
     max_bucket: int = 64,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Banded LSH: ids sharing any band key become a candidate pair.
 
     Buckets larger than ``max_bucket`` are dropped (boilerplate shingle
     storms — the dedup analog of the hot host; unbounded buckets turn the
     self-join quadratic). Output: (id_a, id_b) with id_a < id_b, distinct.
+
+    ``hasher`` must match the one used for the signatures: band keys are
+    xxhash64(concat_ws(rows), band) for the engine default, or
+    md5(concat(rows)) for the DuckDB-recomputable oracle path (band index
+    rides separately as a join key in both).
     """
-    band_keys = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.element_at("sig", b * rows_per_band + r + 1)
-                        for r in range(rows_per_band)
-                    ],
-                ),
-                F.lit(b),
-            )
-            for b in range(bands)
+
+    def _band_key(b: int):
+        rows = [
+            F.element_at("sig", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
         ]
-    )
+        if hasher == "md5":
+            return F.md5(F.concat(*rows))
+        return F.xxhash64(F.concat_ws(",", *rows), F.lit(b))
+
+    band_keys = F.array(*[_band_key(b) for b in range(bands)])
     buckets = sigs.select(
         "id", F.posexplode(band_keys).alias("band", "bucket")
     )
@@ -385,3 +396,59 @@ def paragraph_dedup(
             ),
         ).alias("dedup_text"),
     )
+
+
+def neardup_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Transitive near-dup clustering: connected components over verified
+    pairs via iterative min-label propagation (the reference's dataset
+    grouping treats membership transitively — data_collector.py:156-169;
+    greedy pairwise drops do not).
+
+    Input (id_a, id_b); output (id, cluster_id) for every id appearing in
+    a pair, cluster_id = MIN id of its component. Per iteration: push each
+    node's current label to its neighbors (one keyed shuffle) and take the
+    elementwise min (one partial-agg groupBy); ``localCheckpoint`` per
+    iteration keeps lineage bounded (the walk_catalog pattern). Converges
+    in O(component diameter) rounds — near-dup chains are shallow; web
+    boilerplate stars converge in 2. At extreme diameters large-star/
+    small-star halves the rounds, but the simple propagation is one
+    shuffle fewer per round and wins at realistic dedup shapes.
+    """
+    edges = pairs.select(
+        F.col("id_a").cast("long").alias("src"),
+        F.col("id_b").cast("long").alias("dst"),
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("cluster_id")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        pushed = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), "cluster_id")
+        )
+        new_labels = (
+            labels.unionByName(pushed)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

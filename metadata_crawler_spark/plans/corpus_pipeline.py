@@ -38,62 +38,7 @@ from ..operators.dedup import (
     jaccard_verify,
     lsh_candidate_pairs,
     minhash_signatures,
-    shingles_expr,
 )
-
-
-def _md5_candidate_pairs(
-    docs: DataFrame,
-    text_col: str,
-    k: int,
-    bands: int,
-    max_bucket: int,
-) -> DataFrame:
-    """Portable MinHash+LSH: sig_i = min md5(f"{i}|{shingle}") (hex
-    strings order lexicographically in both engines), band key =
-    md5(concat of the band's rows). Same banded plan as
-    lsh_candidate_pairs, different hash."""
-    rows_per_band = k // bands
-    sh = F.array_distinct(shingles_expr(F.col(text_col), 3))
-    sigs = docs.select(
-        F.col("id"),
-        *[
-            F.array_min(
-                F.transform(
-                    sh,
-                    (lambda i: lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))(i),
-                )
-            ).alias(f"sig_{i}")
-            for i in range(k)
-        ],
-    )
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat(
-                    *[
-                        F.col(f"sig_{b * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ]
-                )
-            )
-            for b in range(bands)
-        ]
-    )
-    buckets = sigs.select("id", F.posexplode(band_keys).alias("band", "bucket"))
-    small = (
-        buckets.groupBy("band", "bucket")
-        .agg(F.collect_list("id").alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
-    )
-    a = small.select("band", "bucket", F.explode("ids").alias("id_a"))
-    b = small.select("band", "bucket", F.explode("ids").alias("id_b"))
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
 
 
 def clean_corpus(
@@ -110,12 +55,21 @@ def clean_corpus(
     min_kept_frac: float = 0.1,
     max_bucket: int = 64,
     hasher: str = "xxhash64",
+    transitive: bool = False,
 ) -> DataFrame:
     """Returns the surviving documents as (id, text) where ``text`` is
-    redacted + paragraph-deduplicated. Near-dup pairs keep the LOWER id
-    (greedy pairwise drop — the standard approximation; a transitive
-    union-find pass is a driver-side refinement the fixture-scale
-    clusters don't need).
+    redacted + paragraph-deduplicated.
+
+    Near-dup handling (``transitive``, VERDICT r3 item 3):
+      - False (default): greedy pairwise drop — the higher id of each
+        verified pair dies. A bridge doc B that links A and C without
+        appearing as any pair's id_b survives even though its whole
+        cluster does not.
+      - True: connected components over the verified pairs
+        (``neardup_clusters`` min-label propagation); exactly the MIN id
+        of each cluster survives — membership is transitive, matching
+        the reference's dataset-grouping semantics
+        (data_collector.py:156-169).
     """
     from ..operators.dedup import paragraph_dedup
 
@@ -136,21 +90,27 @@ def clean_corpus(
     keep = red.groupBy(F.md5("text").alias("h")).agg(F.min("id").alias("id"))
     red = red.join(keep.select("id"), "id", "left_semi")
 
-    # 4. fuzzy dedup
-    if hasher == "md5":
-        pairs = _md5_candidate_pairs(red, "text", 8, 4, max_bucket)
-    else:
-        sigs = minhash_signatures(red, "text", "id", k=minhash_k)
-        pairs = lsh_candidate_pairs(
-            sigs, bands=lsh_bands, rows_per_band=minhash_k // lsh_bands,
-            max_bucket=max_bucket,
-        )
-    dup_b = (
-        jaccard_verify(pairs, red, "text", "id", ngram=3,
-                       threshold=jaccard_threshold)
-        .select(F.col("id_b").alias("id"))
-        .distinct()
+    # 4. fuzzy dedup — ONE hasher-parameterized banded-LSH builder for
+    # both hashers (VERDICT r3 item 7), and the caller's minhash_k /
+    # lsh_bands are honored on BOTH paths (ADVICE r3: the md5 branch used
+    # to silently hardcode k=8/bands=4)
+    sigs = minhash_signatures(red, "text", "id", k=minhash_k, hasher=hasher)
+    pairs = lsh_candidate_pairs(
+        sigs, bands=lsh_bands, rows_per_band=minhash_k // lsh_bands,
+        max_bucket=max_bucket, hasher=hasher,
     )
+    verified = jaccard_verify(pairs, red, "text", "id", ngram=3,
+                              threshold=jaccard_threshold)
+    if transitive:
+        from ..operators.dedup import neardup_clusters
+
+        dup_b = (
+            neardup_clusters(verified)
+            .filter(F.col("id") != F.col("cluster_id"))
+            .select("id")
+        )
+    else:
+        dup_b = verified.select(F.col("id_b").alias("id")).distinct()
     red = red.join(dup_b, "id", "left_anti")
 
     # 5. corpus-wide paragraph dedup + recompose; drop hollowed-out docs

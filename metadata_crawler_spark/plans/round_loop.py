@@ -329,8 +329,17 @@ class Crawler:
             width = max(
                 1, math.ceil(frontier_in / cfg.rows_per_shuffle_partition)
             )
-            if frontier_in >= cfg.rows_per_shuffle_partition:
-                width = max(width, self.spark.sparkContext.defaultParallelism)
+            # ADVICE r3 dead-zone fix: a frontier just under
+            # rows_per_shuffle_partition used to get width=1 on a 32-core
+            # session, serializing every shuffle that round. Engage the
+            # core-count floor as soon as there is enough work to split
+            # (>= ~128 rows/core), not only at the full-partition mark;
+            # AQE still coalesces near-empty partitions afterwards.
+            cores = self.spark.sparkContext.defaultParallelism
+            if frontier_in >= 128 * cores:
+                width = max(width, cores)
+            elif frontier_in >= 256:
+                width = max(width, min(cores, math.ceil(frontier_in / 128)))
             width = min(width, cfg.max_shuffle_partitions)
             self.spark.conf.set("spark.sql.shuffle.partitions", str(width))
         else:

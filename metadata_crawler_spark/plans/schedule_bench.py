@@ -424,14 +424,21 @@ def skew_win(
         if len(accepted) >= n_pairs:
             break
     f.unpersist()
-    accepted = accepted or pairs
+    # ADVICE r3: if no pair cleared the acceptance gates, the fallback to
+    # ALL pairs must be labeled as such — claiming the gated basis for an
+    # ungated median would misreport the headline's provenance.
+    if accepted:
+        basis = "median of calibration-gated interleaved pairs"
+    else:
+        accepted = pairs
+        basis = "ungated_fallback (no pair passed acceptance gates)"
     by_speedup = sorted(accepted, key=lambda p: p["speedup"])
     med = by_speedup[(len(by_speedup) - 1) // 2]
     return {
         "salt_1_wall_s": med["salt_1_wall_s"],
         "salt_8_wall_s": med["salt_8_wall_s"],
         "speedup": med["speedup"],
-        "basis": "median of calibration-gated interleaved pairs",
+        "basis": basis,
         "pairs": pairs,
         "accepted_trials": [p["trial"] for p in accepted],
     }

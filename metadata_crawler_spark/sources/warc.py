@@ -49,6 +49,13 @@ _HDR_END = b"\r\n\r\n"
 READ_SIZE = 4 * 1024 * 1024
 #: rows per yielded Arrow batch from the segment splitter
 CHUNK_ROWS = 10_000
+#: corrupt-input bounds (ADVICE r3): a record header block larger than this,
+#: or a Content-Length implying a record larger than MAX_RECORD_SIZE, is
+#: treated as corruption and the parser resyncs at the next 'WARC/' marker
+#: instead of buffering toward EOF. Real WARC headers are <2 KB; Common
+#: Crawl truncates payloads at 1 MB, so 64 KB / 64 MB are generous.
+MAX_HEADER_SIZE = 64 * 1024
+MAX_RECORD_SIZE = 64 * 1024 * 1024
 
 
 def render_warc(records: Iterable[tuple[str, datetime, bytes]]) -> bytes:
@@ -128,10 +135,16 @@ def parse_warc_stream(
             start = buf.find(b"WARC/")
         del buf[:start]
         hdr_end = buf.find(_HDR_END)
-        while hdr_end < 0:
+        while hdr_end < 0 and len(buf) <= MAX_HEADER_SIZE:
             if not more():
                 return  # truncated header at EOF
             hdr_end = buf.find(_HDR_END)
+        if hdr_end < 0 or hdr_end > MAX_HEADER_SIZE:
+            # ADVICE r3: a segment missing the header terminator used to
+            # buffer to EOF (up to the whole ~1 GB segment). Corrupt header
+            # -> resync: skip this 'WARC/' marker and scan for the next.
+            del buf[:5]
+            continue
         headers: dict[str, str] = {}
         for line in bytes(buf[:hdr_end]).split(_CRLF)[1:]:
             k, _, v = line.partition(b":")
@@ -143,6 +156,12 @@ def parse_warc_stream(
         except ValueError:
             length = 0
         need = hdr_end + 4 + length
+        if length < 0 or need > MAX_RECORD_SIZE:
+            # ADVICE r3: a garbage/huge Content-Length used to make the
+            # buffer grow until EOF. Cap the record size; on breach skip
+            # past the corrupt header and resync at the next 'WARC/'.
+            del buf[: hdr_end + 4]
+            continue
         while len(buf) < need and more():
             pass
         if len(buf) < need:

@@ -89,6 +89,24 @@ def test_gopher_single_word_doc(spark):
     assert bool(r["flagged"]) is False
 
 
+def test_gopher_empty_doc_concrete_flag(spark):
+    """ADVICE r3: n_chars=0 docs used to get NULL top2gram_char_frac and
+    NULL flagged (silently dropped by filter(~flagged)); the flag must be
+    a concrete boolean for every row."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "ok text here")],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in gopher_repetition(df, "text", "doc_id").collect()}
+    for i in (1, 2):
+        assert rows[i]["top2gram_char_frac"] == 0.0
+        assert rows[i]["flagged"] is not None
+    # empty docs still flag on distinct_frac semantics of their own row;
+    # what matters is the flag is concrete so ~flagged keeps or drops
+    # deterministically on both engines
+    assert all(r["flagged"] is not None for r in rows.values())
+
+
 def test_pii_redaction(spark):
     df = spark.createDataFrame(
         [

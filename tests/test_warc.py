@@ -159,3 +159,63 @@ def test_read_warc_segments_chunked_spark(spark, tmp_path):
         "max(length(html)) AS hi"
     ).collect()[0]
     assert got.u == n and got.lo == got.hi == len(body)
+
+
+def test_parse_warc_stream_corrupt_content_length_resync():
+    """ADVICE r3: a record with a garbage/huge Content-Length must not
+    buffer toward EOF — the parser skips it and resyncs at the next
+    'WARC/' marker, still yielding every valid record after it."""
+    import io
+
+    from metadata_crawler_spark.sources.warc import parse_warc_stream
+
+    good_tail = render_warc(RECS)
+    corrupt = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: https://bad.com/huge\r\n"
+        b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        b"Content-Length: 99999999999\r\n"
+        b"\r\n"
+    )
+    blob = corrupt + good_tail
+    got = list(parse_warc_stream(io.BytesIO(blob), "s", read_size=64))
+    assert [u for u, *_ in got] == [u for u, _, _ in RECS]
+
+
+def test_parse_warc_stream_missing_header_terminator_bounded():
+    """ADVICE r3: a 'WARC/' marker whose header block never terminates
+    (no \\r\\n\\r\\n) must not buffer the rest of the segment; the parser
+    resyncs and memory stays O(MAX_HEADER_SIZE + read buffers)."""
+    import io
+    import tracemalloc
+
+    from metadata_crawler_spark.sources.warc import parse_warc_stream
+
+    # 5 MB of header-terminator-free garbage after a bare marker, then
+    # valid records
+    blob = b"WARC/1.0\r\nbroken-header " + b"a" * 5_000_000 + render_warc(RECS)
+    fh = io.BytesIO(blob)
+    tracemalloc.start()
+    base, _ = tracemalloc.get_traced_memory()
+    got = list(parse_warc_stream(fh, "s", read_size=64 * 1024))
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert [u for u, *_ in got] == [u for u, _, _ in RECS]
+    assert peak - base < 1_500_000, f"peak delta {peak - base}"
+
+
+def test_parse_warc_stream_negative_length_resync():
+    import io
+
+    from metadata_crawler_spark.sources.warc import parse_warc_stream
+
+    corrupt = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"Content-Length: -5\r\n"
+        b"\r\n"
+    )
+    blob = corrupt + render_warc(RECS[:1])
+    got = list(parse_warc_stream(io.BytesIO(blob), "s"))
+    assert [u for u, *_ in got] == [RECS[0][0]]
