@@ -107,6 +107,15 @@ class CrawlConfig:
     rows_per_shuffle_partition: int = 50_000
     max_shuffle_partitions: int = 32_768
     adapt_shuffle_partitions: bool = True
+    #: seen-set compaction cadence (Iceberg snapshot-expiry analog,
+    #: VERDICT r3 item 4): every k rounds the per-round scheduled deltas
+    #: are consolidated into ONE distinct (url_hash_hi, url_hash_lo)
+    #: parquet, and the manifest records seen_compacted_upto. Without it
+    #: the seen snapshot read unions EVERY prior round's scheduled dir —
+    #: at 10^3-10^4 rounds that is thousands of paths and a linearly
+    #: growing driver listing per round. With it the read touches
+    #: 1 + (rounds since last compaction) <= k+1 paths. None disables.
+    seen_compact_every: int | None = 64
 
 
 #: auto-flip threshold for broadcasting the sharded bloom filter: above this
@@ -280,13 +289,82 @@ class Crawler:
         return _combine_frontier(f, self.config.score_decimals)
 
     # -- state -------------------------------------------------------------
+    def seen_input_paths(self, upto: int) -> list[str]:
+        """The parquet paths the seen-snapshot read touches: consolidated
+        seen_compact (if the manifest records one at round c <= upto) plus
+        only the scheduled deltas AFTER it. Factored out so tests can
+        assert the O(seen_compact_every) path bound without instrumenting
+        the reader."""
+        from ..sources.tables import round_table_paths
+
+        state = self.log.read() or {}
+        c = state.get("seen_compacted_upto", -1)
+        paths: list[str] = []
+        lo = 0
+        if 0 <= c <= upto:
+            cp = os.path.join(
+                self.checkpoint_dir, f"round={c:05d}", "seen_compact"
+            )
+            if os.path.exists(cp):
+                paths.append(cp)
+                lo = c + 1
+        paths += round_table_paths(self.checkpoint_dir, "scheduled", upto, lo)
+        return paths
+
+    def _read_seen(self, upto: int) -> DataFrame | None:
+        """Seen snapshot as (url_hash_hi, url_hash_lo). The consolidated
+        table and the scheduled deltas have different schemas, so they are
+        read separately and unioned on the two hash columns (parquet
+        column pruning keeps the delta read 2-column either way)."""
+        state = self.log.read() or {}
+        c = state.get("seen_compacted_upto", -1)
+        parts: list[DataFrame] = []
+        lo = 0
+        if 0 <= c <= upto:
+            cp = os.path.join(
+                self.checkpoint_dir, f"round={c:05d}", "seen_compact"
+            )
+            if os.path.exists(cp):
+                parts.append(self.spark.read.parquet(cp))
+                lo = c + 1
+        tail = read_rounds(
+            self.spark, self.checkpoint_dir, "scheduled", upto, from_round=lo
+        )
+        if tail is not None:
+            parts.append(tail.select("url_hash_hi", "url_hash_lo"))
+        if not parts:
+            return None
+        seen = parts[0]
+        for p in parts[1:]:
+            seen = seen.unionByName(p)
+        return seen
+
+    def _maybe_compact_seen(self, round_no: int, state: dict) -> dict:
+        """Consolidate the seen set every ``seen_compact_every`` rounds
+        (called just before the manifest commit, so the pointer flip that
+        publishes the round also publishes the compaction — crash between
+        the parquet write and the commit leaves an invisible orphan dir
+        that the idempotent re-run overwrites)."""
+        k = self.config.seen_compact_every
+        if not k:
+            return state
+        c = state.get("seen_compacted_upto", -1)
+        if round_no - c < k:
+            return state
+        seen = self._read_seen(round_no)
+        if seen is None:
+            return state
+        write_round_table(
+            seen.distinct(), self.checkpoint_dir, round_no, "seen_compact"
+        )
+        state["seen_compacted_upto"] = round_no
+        return state
+
     def _load_state(self, upto: int):
         # the seen set IS the union of scheduled sets (attempted = seen):
         # no separate seen_delta table — parquet column pruning makes this
-        # a 2-column read of the per-round scheduled tables
-        seen = read_rounds(self.spark, self.checkpoint_dir, "scheduled", upto)
-        if seen is not None:
-            seen = seen.select("url_hash_hi", "url_hash_lo")
+        # a 2-column read, and compaction bounds it to O(k) paths
+        seen = self._read_seen(upto)
         bloom_path = os.path.join(self.checkpoint_dir, f"round={upto:05d}", "bloom")
         bloom = (
             self.spark.read.parquet(bloom_path)
@@ -495,6 +573,7 @@ class Crawler:
         state.pop("committed_at", None)
         state["last_round"] = round_no
         state[f"r{round_no}"] = counts
+        state = self._maybe_compact_seen(round_no, state)
         self.log.commit(state)
         return counts
 

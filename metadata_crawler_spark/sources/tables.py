@@ -59,15 +59,25 @@ def write_round_table(df: DataFrame, root: str, round_no: int, name: str) -> str
     return path
 
 
-def read_rounds(
-    spark: SparkSession, root: str, name: str, upto_round: int
-) -> DataFrame | None:
-    """Union of a table's committed per-round deltas (snapshot read)."""
-    paths = [
+def round_table_paths(
+    root: str, name: str, upto_round: int, from_round: int = 0
+) -> list[str]:
+    """Existing per-round paths of a table in [from_round, upto_round]."""
+    return [
         os.path.join(root, f"round={r:05d}", name)
-        for r in range(upto_round + 1)
+        for r in range(from_round, upto_round + 1)
         if os.path.exists(os.path.join(root, f"round={r:05d}", name))
     ]
+
+
+def read_rounds(
+    spark: SparkSession, root: str, name: str, upto_round: int,
+    from_round: int = 0,
+) -> DataFrame | None:
+    """Union of a table's committed per-round deltas (snapshot read).
+    ``from_round`` lets a compacted reader skip already-consolidated
+    rounds (snapshot-expiry analog, VERDICT r3 item 4)."""
+    paths = round_table_paths(root, name, upto_round, from_round)
     if not paths:
         return None
     return spark.read.parquet(*paths)
