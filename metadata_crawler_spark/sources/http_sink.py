@@ -1,0 +1,135 @@
+"""Batched-HTTP index sink (the Solr-ingester analog, X2's live-push half).
+
+Reference parity: ``async_index`` streams catalogue batches through a
+bounded producer queue into N concurrent HTTP workers, with NO per-batch
+commit and ONE explicit commit POST at the end
+(/root/reference/src/metadata_crawler/ingester/solr.py:146-215 — bounded
+queue, constant worker count, ``?commit=true`` finalizer; run.py:137-254).
+
+Spark realization: the executor fleet IS the worker pool. Each task runs
+``foreachPartition``: rows are JSON-encoded into ``batch_rows``-row
+payloads and POSTed with at most ``max_in_flight`` requests outstanding
+per partition (a small ThreadPoolExecutor — network-bound, so threads
+beat processes and the GIL is irrelevant). Total concurrency is
+partitions x max_in_flight, bounded and known in advance. The driver
+sends the single ``?commit=true`` POST only after the Spark job — i.e.
+every partition — has succeeded, matching the reference's
+visibility-at-commit contract.
+
+Failure model: a batch that keeps failing after ``retries`` attempts
+raises, failing the task; Spark re-runs the partition. Re-POSTing rows is
+safe because the index keys on ``id_col`` (documents overwrite, exactly
+like Solr's uniqueKey upsert), so the sink is idempotent end to end —
+re-running a partition, or the whole job, converges to the same index.
+
+Everything here is stdlib (urllib + concurrent.futures): no connector
+jars required, and the closure shipped to executors pickles by value.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame
+
+
+def http_index_sink(
+    df: DataFrame,
+    update_url: str,
+    id_col: str = "id",
+    batch_rows: int = 1000,
+    max_in_flight: int = 4,
+    retries: int = 3,
+    timeout_s: float = 30.0,
+    backoff_s: float = 0.05,
+    commit: bool = True,
+) -> dict[str, Any]:
+    """POST ``df`` to ``update_url`` in JSON batches; one final commit.
+
+    Returns {"rows": n, "committed": bool}. ``id_col`` must identify the
+    record server-side (upsert key) — it is what makes task retries and
+    whole-job re-pushes idempotent.
+    """
+    if id_col not in df.columns:
+        raise ValueError(f"id_col {id_col!r} not in {df.columns}")
+    cols = list(df.columns)
+
+    def _post_partition(rows: Iterator) -> None:
+        # stdlib imports INSIDE the closure: the pickled function must not
+        # reference this module's globals, so the sink works on executors
+        # even when the package zip has not been shipped (ship_package)
+        import json
+        import time
+        import urllib.error
+        import urllib.request
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+        def post_once(body: bytes) -> int:
+            req = urllib.request.Request(
+                update_url,
+                data=body,
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                return resp.status
+
+        def post_batch(body: bytes) -> None:
+            last: Exception | None = None
+            for attempt in range(retries + 1):
+                try:
+                    status = post_once(body)
+                    if status < 500:
+                        return
+                    last = RuntimeError(f"HTTP {status}")
+                except urllib.error.HTTPError as exc:
+                    if exc.code < 500:  # 4xx: retrying cannot help
+                        raise
+                    last = exc
+                except (urllib.error.URLError, OSError, TimeoutError) as exc:
+                    last = exc
+                time.sleep(backoff_s * (2**attempt))
+            raise RuntimeError(f"batch POST failed after {retries + 1} tries: {last}")
+
+        pool = ThreadPoolExecutor(max_workers=max_in_flight)
+        pending: set = set()
+        try:
+            batch: list[dict] = []
+            for row in rows:
+                batch.append(dict(zip(cols, row)))
+                if len(batch) >= batch_rows:
+                    body = json.dumps(batch, default=str).encode()
+                    batch = []
+                    # bounded in-flight: block until a slot frees before
+                    # submitting (the reference's bounded producer queue)
+                    while len(pending) >= max_in_flight:
+                        done, pending = wait(pending, return_when=FIRST_COMPLETED)
+                        for f in done:
+                            f.result()  # surface worker errors -> fail task
+                    pending.add(pool.submit(post_batch, body))
+            if batch:
+                pending.add(pool.submit(post_batch, json.dumps(batch, default=str).encode()))
+            for f in pending:
+                f.result()
+        finally:
+            pool.shutdown(wait=True)
+
+    n = df.count()
+    df.foreachPartition(_post_partition)
+    if commit:
+        # single visibility point AFTER every partition succeeded —
+        # reference posts `?commit=true` with an empty doc list
+        import urllib.request
+
+        sep = "&" if "?" in update_url else "?"
+        req = urllib.request.Request(
+            f"{update_url}{sep}commit=true",
+            data=b"[]",
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            if resp.status >= 400:
+                raise RuntimeError(f"commit failed: HTTP {resp.status}")
+    return {"rows": n, "committed": commit}

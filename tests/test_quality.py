@@ -227,3 +227,59 @@ def test_clean_corpus_plan_no_cartesian(spark):
         )
         assert "CartesianProduct" not in plan, hasher
         assert "BroadcastNestedLoopJoin" not in plan, hasher
+
+
+def test_paragraph_dedup_hash_only_identical(spark, pdocs):
+    """VERDICT r3 item 6: the hash-only plan (keep decision over 24-byte
+    (id, pos, hash) rows + text re-join) must produce exactly the
+    default path's result, on the planted fixture AND on wide docs."""
+    a = sorted(paragraph_dedup(pdocs, "text", "doc_id").collect())
+    b = sorted(
+        paragraph_dedup(pdocs, "text", "doc_id", hash_only=True).collect()
+    )
+    assert a == b
+    wide = spark.range(200).selectExpr(
+        "id AS doc_id",
+        # overlapping chunk windows -> plenty of cross-doc repeats
+        "concat_ws(' ', transform(sequence(0, 39), "
+        "i -> concat('w', (id % 17) * 10 + i))) AS text",
+    )
+    c = sorted(paragraph_dedup(wide, "text", "doc_id").collect())
+    d = sorted(
+        paragraph_dedup(wide, "text", "doc_id", hash_only=True).collect()
+    )
+    assert c == d
+
+
+def test_paragraph_dedup_hash_only_plan_sheds_text(spark, pdocs):
+    """Plan assert: in the hash-only path the window-stage exchange
+    (hashpartitioning on the chunk hash) must NOT carry the paragraph
+    text — only id/pos/hash ride the keep-decision shuffle."""
+    import re
+
+    def _fmt(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    plan = _fmt(paragraph_dedup(pdocs, "text", "doc_id", hash_only=True))
+    # every Exchange block that partitions on the hash column h must list
+    # an Input free of 'chunk'
+    blocks = re.findall(
+        r"\(\d+\) Exchange[^\n]*\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    hash_exchanges = [
+        b for b in blocks if re.search(r"\bh#\d+", b) and "id#" in b
+    ]
+    assert hash_exchanges, f"no window exchange found in plan:\n{plan[:2000]}"
+    for b in hash_exchanges:
+        assert "chunk" not in b, f"text rides the keep-decision shuffle: {b}"
+    # and the DEFAULT path demonstrably does carry text there (the trade
+    # the flag exists to remove)
+    plan_default = _fmt(paragraph_dedup(pdocs, "text", "doc_id"))
+    blocks_d = re.findall(
+        r"\(\d+\) Exchange[^\n]*\nInput \[\d+\]: \[([^\]]*)\]", plan_default
+    )
+    assert any("chunk" in b for b in blocks_d)
