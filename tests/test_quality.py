@@ -283,3 +283,31 @@ def test_paragraph_dedup_hash_only_plan_sheds_text(spark, pdocs):
         r"\(\d+\) Exchange[^\n]*\nInput \[\d+\]: \[([^\]]*)\]", plan_default
     )
     assert any("chunk" in b for b in blocks_d)
+
+
+def test_q56_hot_bucket_cap_does_not_bite(spark):
+    """q56 now runs clean_corpus with the PRODUCTION hot-bucket cap
+    (max_bucket=64) against an uncapped DuckDB oracle; that is only valid
+    while no LSH bucket on the oracle corpus exceeds the cap. Pin the
+    equivalence here so a fixture change that makes the cap bite fails a
+    test, not the driver gate."""
+    from metadata_crawler_spark.plans.corpus_pipeline import clean_corpus
+
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" extraword")).alias("text"),
+        )
+    ).unionByName(
+        d.filter(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+        )
+    )
+    kw = dict(hasher="md5", minhash_k=8, lsh_bands=4)
+    capped = {r["id"] for r in
+              clean_corpus(corpus, "text", "doc_id", max_bucket=64, **kw).collect()}
+    uncapped = {r["id"] for r in
+                clean_corpus(corpus, "text", "doc_id", max_bucket=10**6, **kw).collect()}
+    assert capped == uncapped
