@@ -133,3 +133,43 @@ def http_index_sink(
             if resp.status >= 400:
                 raise RuntimeError(f"commit failed: HTTP {resp.status}")
     return {"rows": n, "committed": commit}
+
+
+def push_catalogue(
+    spark,
+    checkpoint_dir: str,
+    upto_round: int,
+    files_url: str,
+    latest_url: str | None = None,
+    id_col: str = "url",
+    **sink_kw: Any,
+) -> dict[str, Any]:
+    """Stage-2 'index' with a live push target: read the committed
+    catalogue rounds and POST the ``files`` index (every committed fetch)
+    and, if ``latest_url`` is given, the ``latest`` index (newest record
+    per canonical URL) — the reference's dual-core Solr push
+    (run.py:137-254, api/stores/base.py:124-136)."""
+    from .sinks import latest_view, read_catalogue
+
+    files = read_catalogue(spark, checkpoint_dir, upto_round)
+    out = {"files": http_index_sink(files, files_url, id_col=id_col, **sink_kw)}
+    if latest_url is not None:
+        out["latest"] = http_index_sink(
+            latest_view(files), latest_url, id_col=id_col, **sink_kw
+        )
+    return out
+
+
+def http_index_stream(stream_df, update_url: str, id_col: str = "id",
+                      **sink_kw: Any):
+    """Structured-Streaming variant: ``writeStream.foreachBatch`` pushing
+    each micro-batch through :func:`http_index_sink`, with the commit
+    POST per epoch — the streaming analog of the reference's
+    batch-then-commit visibility contract. Returns the DataStreamWriter
+    (caller picks trigger/checkpoint and calls .start())."""
+
+    def _push(batch_df, epoch_id: int) -> None:
+        http_index_sink(batch_df, update_url, id_col=id_col, commit=True,
+                        **sink_kw)
+
+    return stream_df.writeStream.foreachBatch(_push)

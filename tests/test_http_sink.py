@@ -16,8 +16,9 @@ from metadata_crawler_spark.sources.http_sink import http_index_sink
 class _IndexServer:
     """In-memory 'Solr core': id-keyed upsert store + batch/commit log."""
 
-    def __init__(self, fail_first: int = 0):
+    def __init__(self, fail_first: int = 0, key: str = "id"):
         self.lock = threading.Lock()
+        self.key = key
         self.store: dict = {}
         self.batch_sizes: list[int] = []
         self.commits: list[int] = []  # store size at each commit
@@ -41,7 +42,7 @@ class _IndexServer:
                         recs = json.loads(body)
                         outer.batch_sizes.append(len(recs))
                         for r in recs:
-                            outer.store[r["id"]] = r
+                            outer.store[r[outer.key]] = r
                 self.send_response(200)
                 self.end_headers()
                 self.wfile.write(b"{}")
@@ -136,5 +137,66 @@ def test_http_sink_catalogue_integration(spark, tmp_path):
         assert res["rows"] == 600
         assert len(server.store) == 600
         assert server.commits == [600]
+    finally:
+        server.stop()
+
+
+def test_push_catalogue_dual_index(spark, tmp_path):
+    """files + latest dual-core push (reference's dual put): latest must
+    carry exactly one record per url (the newest), files all of them."""
+    from metadata_crawler_spark.sources.http_sink import push_catalogue
+    from metadata_crawler_spark.sources.tables import write_round_table
+
+    ck = str(tmp_path / "ck")
+    for rnd in (0, 1):
+        df = spark.range(40).selectExpr(
+            "concat('https://c.com/', id % 20) AS url",
+            f"timestamp'2026-01-0{rnd + 1} 00:00:00' AS warc_ts",
+            "true AS fetched",
+            "concat('body', id) AS text",
+        )
+        write_round_table(df, ck, rnd, "fetched")
+    files_srv = _IndexServer(key="url")
+    latest_srv = _IndexServer(key="url")
+    try:
+        res = push_catalogue(
+            spark, ck, 1, files_srv.url, latest_srv.url, id_col="url",
+            batch_rows=16,
+        )
+        assert res["files"]["rows"] == 80 and res["latest"]["rows"] == 20
+        assert len(files_srv.store) == 20  # id-keyed: 20 distinct urls
+        assert len(latest_srv.store) == 20
+        # latest carries only day-2 records
+        assert all(
+            "2026-01-02" in r["warc_ts"] for r in latest_srv.store.values()
+        )
+        assert files_srv.commits[-1] == 20 and latest_srv.commits == [20]
+    finally:
+        files_srv.stop()
+        latest_srv.stop()
+
+
+def test_http_index_stream_foreachbatch(spark, tmp_path):
+    """Streaming push: micro-batches flow through the same sink with a
+    commit per epoch."""
+    from metadata_crawler_spark.sources.http_sink import http_index_stream
+
+    src = str(tmp_path / "src")
+    _docs(spark, 300).write.parquet(src)
+    server = _IndexServer()
+    try:
+        stream = (
+            spark.readStream.schema("id long, url string, lang string")
+            .parquet(src)
+        )
+        q = (
+            http_index_stream(stream, server.url, id_col="id", batch_rows=64)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert len(server.store) == 300
+        assert len(server.commits) >= 1 and server.commits[-1] == 300
     finally:
         server.stop()
