@@ -205,3 +205,167 @@ def ann_topk(
         F.col("id").alias("nbr_id"), F.col("vec").alias("v"), "bucket"
     ).join(F.broadcast(qb), "bucket").filter(F.col("nbr_id") != F.col("query_id"))
     return _rerank_topk(cand, k)
+
+
+# -- IVF (inverted-file) ANN: k-means coarse quantizer --------------------
+#
+# The second scale path next to hyperplane LSH (ann_topk): train k
+# centroids, assign every corpus vector to its nearest cell, write the
+# corpus partitioned by cell; a query probes only its nprobe nearest
+# cells. Vs LSH: data-adaptive cells follow the embedding distribution
+# (better recall at equal candidate counts on clustered data), at the
+# cost of a training pass. Centroids are tiny (k x dim floats) and ride
+# a broadcast/closure; assignment is ONE vectorized numpy matmul per
+# Arrow batch — same shape as lsh_buckets.
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 64,
+    n_iter: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed Lloyd's: init = deterministic sample of corpus vectors;
+    per iteration, assignment is a mapInPandas matmul and the centroid
+    update is posexplode -> groupBy (cell, dim) avg -> collect (k x dim
+    rows — tiny). Everything heavy stays on executors; only centroid
+    coordinates ever reach the driver."""
+    vecs = corpus.select(F.col(vec_col).cast("array<double>").alias("vec"))
+    # deterministic seed sample: first n_cells vectors by a stable hash
+    # order (cheap, reproducible; kmeans++ would need k passes)
+    init = (
+        corpus.select(
+            F.col(vec_col).cast("array<double>").alias("vec"),
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("h"),
+        )
+        .orderBy("h")
+        .limit(n_cells)
+        .collect()
+    )
+    cents = np.array([r["vec"] for r in init], dtype=np.float64)
+    if cents.shape[0] < n_cells:
+        n_cells = cents.shape[0]
+    for _ in range(n_iter):
+        assigned = ivf_assign(vecs, cents, vec_col="vec")
+        sums = (
+            assigned.select("cell", F.posexplode("vec").alias("d", "x"))
+            .groupBy("cell", "d")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = cents.copy()
+        counts = np.zeros(n_cells)
+        for r in sums:
+            new[r["cell"], r["d"]] = r["s"] / r["n"]
+            counts[r["cell"]] = r["n"]
+        # empty cells keep their previous centroid (standard practice)
+        if np.allclose(new, cents, atol=1e-9):
+            cents = new
+            break
+        cents = new
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int = 1,
+    id_col: str | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add the nearest-centroid ``cell`` (nprobe=1) or explode the
+    ``nprobe`` nearest cells per row (queries). One numpy matmul per
+    Arrow batch against the broadcast centroid matrix; distance via the
+    ||c||^2 - 2 v.c expansion (||v||^2 is rank-invariant)."""
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    c_norm2 = (cents**2).sum(axis=1)
+    n = cents.shape[0]
+    k = min(nprobe, n)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        d = c_norm2[None, :] - 2.0 * (m @ cents.T)  # (batch, n_cells)
+        if k == 1:
+            idx = d.argmin(axis=1)[:, None]
+        else:
+            part = np.argpartition(d, k - 1, axis=1)[:, :k]
+            order = np.take_along_axis(d, part, axis=1).argsort(axis=1)
+            idx = np.take_along_axis(part, order, axis=1)
+        return pd.Series([row.astype("int32").tolist() for row in idx])
+
+    out_cols = ([F.col(id_col).alias("id")] if id_col else []) + [
+        F.col(vec_col).alias("vec"),
+        cells(F.col(vec_col).cast("array<double>")).alias("_cells"),
+    ]
+    assigned = df.select(*out_cols)
+    if k == 1:
+        return assigned.withColumn(
+            "cell", F.element_at("_cells", 1)
+        ).drop("_cells")
+    return assigned.withColumn("cell", F.explode("_cells")).drop("_cells")
+
+
+def write_ivf_corpus(
+    corpus: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the corpus PARTITIONED BY IVF cell (the inverted file):
+    queries then read only their nprobe cells' directories — the same
+    partition-pruned standing-corpus contract as write_bucketed_corpus."""
+    ivf_assign(corpus, centroids, 1, id_col=id_col, vec_col=vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: candidates = corpus rows in any of the query's nprobe
+    nearest cells (equi-join on cell, never cross), exact cosine re-rank.
+    Recall vs cosine_topk is pinned in tests/test_similarity.py."""
+    cb = ivf_assign(corpus, centroids, 1, id_col=id_col, vec_col=vec_col)
+    qb = ivf_assign(queries, centroids, nprobe, id_col=id_col, vec_col=vec_col)
+    cand = cb.select(
+        F.col("id").alias("nbr_id"), F.col("vec").alias("v"), "cell"
+    ).join(
+        F.broadcast(qb.select(F.col("id").alias("query_id"), F.col("vec").alias("w"), "cell")),
+        "cell",
+    ).filter(F.col("nbr_id") != F.col("query_id"))
+    return _rerank_topk(cand, k)
+
+
+def ivf_topk_pruned(
+    spark,
+    corpus_path: str,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN against a write_ivf_corpus() table: the probe-cell set
+    becomes an IN-list partition filter (collected once — queries x
+    nprobe rows, tiny), so the scan touches only those cell dirs."""
+    probe = ivf_assign(
+        queries, centroids, nprobe, id_col=id_col, vec_col=vec_col
+    ).select(F.col("id").alias("query_id"), F.col("vec").alias("w"), "cell")
+    rows = probe.collect()
+    cells_ = sorted({int(r["cell"]) for r in rows})
+    qdf = spark.createDataFrame(rows, probe.schema)
+    corpus = spark.read.parquet(corpus_path).filter(F.col("cell").isin(cells_))
+    cand = corpus.select(
+        F.col("id").alias("nbr_id"), F.col("vec").alias("v"), "cell"
+    ).join(F.broadcast(qdf), "cell").filter(F.col("nbr_id") != F.col("query_id"))
+    return _rerank_topk(cand, k)

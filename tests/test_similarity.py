@@ -116,3 +116,80 @@ def test_ann_bucketed_pruned_read(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan
+
+
+def _clustered_emb(spark, n_clusters=20, per=25, dim=64, sigma=0.05, seed=3):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, i = [], 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = centers[c] + sigma * rng.standard_normal(dim)
+            rows.append((i, [float(x) for x in v.astype("float32")]))
+            i += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_recall_beats_probe_budget(spark):
+    """IVF (k-means coarse quantizer): on clustered data, nprobe=2 of 16
+    data-adaptive cells must recover >=0.9 of the exact top-5."""
+    from metadata_crawler_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = _clustered_emb(spark).cache()
+    cents = train_ivf_centroids(emb, n_cells=16, n_iter=6)
+    assert cents.shape == (16, 64)
+    queries = emb.filter(F.col("vec_id") % 25 == 0).limit(10)
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    approx = ivf_topk(emb, queries, cents, k=5, nprobe=2).toPandas()
+    e = {(r.query_id, r.nbr_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.nbr_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"IVF recall too low: {recall}"
+
+
+def test_ivf_training_is_deterministic(spark):
+    from metadata_crawler_spark.operators.similarity import train_ivf_centroids
+
+    emb = _clustered_emb(spark, n_clusters=6, per=20, dim=8)
+    a = train_ivf_centroids(emb, n_cells=4, n_iter=5)
+    b = train_ivf_centroids(emb, n_cells=4, n_iter=5)
+    assert np.allclose(a, b)
+
+
+def test_ivf_pruned_matches_and_prunes(spark, tmp_path):
+    """write_ivf_corpus + ivf_topk_pruned must equal ivf_topk on the same
+    centroids AND physically read only the probe cells' directories."""
+    import os
+
+    from metadata_crawler_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        ivf_topk_pruned,
+        train_ivf_centroids,
+        write_ivf_corpus,
+    )
+
+    emb = _clustered_emb(spark, n_clusters=8, per=40, dim=16).cache()
+    cents = train_ivf_centroids(emb, n_cells=8, n_iter=5)
+    path = str(tmp_path / "ivf_corpus")
+    write_ivf_corpus(emb, path, cents)
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    got = ivf_topk_pruned(spark, path, queries, cents, k=5, nprobe=2)
+    want = ivf_topk(emb, queries, cents, k=5, nprobe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # partition pruning is visible in the plan: the cell IN-list filter
+    # must appear as a partition filter, not a post-scan filter
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    probe_cells = {
+        int(r["cell"])
+        for r in ivf_assign(queries, cents, 2, id_col="vec_id").collect()
+    }
+    n_cell_dirs = len([d for d in os.listdir(path) if d.startswith("cell=")])
+    assert len(probe_cells) < n_cell_dirs  # pruning has something to skip
