@@ -6,7 +6,10 @@ RefinedWeb/CCNet stage order:
 2. PII scrub         — email/phone redaction (functions/quality)
 3. exact dedup       — md5 groupBy, keep min id (operators/dedup)
 4. fuzzy dedup       — MinHash -> banded LSH -> exact Jaccard verify,
-                       drop the higher id of each verified pair
+                       then either the greedy pairwise drop (default:
+                       higher id of each pair dies) or transitive
+                       connected-component clustering keeping each
+                       cluster's min id (``transitive=True``, r4)
 5. paragraph dedup   — corpus-wide first-occurrence chunk dedup +
                        document recompose; drop mostly-duplicate docs
 6. decontamination   — optional n-gram overlap vs a benchmark set
