@@ -44,12 +44,15 @@ def http_index_sink(
     timeout_s: float = 30.0,
     backoff_s: float = 0.05,
     commit: bool = True,
+    gzip_body: bool = False,
 ) -> dict[str, Any]:
     """POST ``df`` to ``update_url`` in JSON batches; one final commit.
 
     Returns {"rows": n, "committed": bool}. ``id_col`` must identify the
     record server-side (upsert key) — it is what makes task retries and
-    whole-job re-pushes idempotent.
+    whole-job re-pushes idempotent. ``gzip_body`` compresses each batch
+    payload (``Content-Encoding: gzip``) — JSON batches compress ~5-10x,
+    which matters when the index endpoint is across a WAN.
     """
     if id_col not in df.columns:
         raise ValueError(f"id_col {id_col!r} not in {df.columns}")
@@ -66,11 +69,14 @@ def http_index_sink(
         from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 
         def post_once(body: bytes) -> int:
+            headers = {"Content-Type": "application/json"}
+            if gzip_body:
+                import gzip as _gzip
+
+                body = _gzip.compress(body)
+                headers["Content-Encoding"] = "gzip"
             req = urllib.request.Request(
-                update_url,
-                data=body,
-                headers={"Content-Type": "application/json"},
-                method="POST",
+                update_url, data=body, headers=headers, method="POST"
             )
             with urllib.request.urlopen(req, timeout=timeout_s) as resp:
                 return resp.status

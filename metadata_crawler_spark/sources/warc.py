@@ -188,20 +188,34 @@ def _open_uri(uri: str) -> IO[bytes]:
     from urllib.parse import unquote, urlparse
 
     if "://" not in uri and not uri.startswith("file:"):
-        return open(uri, "rb")
+        return _maybe_gzip(open(uri, "rb"), uri)
     p = urlparse(uri)
     if p.scheme in ("", "file"):
-        return open(unquote(p.path), "rb")
+        return _maybe_gzip(open(unquote(p.path), "rb"), p.path)
     from pyarrow import fs as pafs
 
     filesystem, path = pafs.FileSystem.from_uri(uri)
-    return filesystem.open_input_stream(path)
+    return _maybe_gzip(filesystem.open_input_stream(path), path)
+
+
+def _maybe_gzip(fh: IO[bytes], path: str) -> IO[bytes]:
+    """Common Crawl ships ``.warc.gz`` — wrap compressed segments in a
+    STREAMING gzip reader (stdlib; decompresses ``read_size`` at a time,
+    so the memory bound of parse_warc_stream is unchanged). Plain
+    ``.warc`` passes through untouched."""
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.GzipFile(fileobj=fh, mode="rb")  # type: ignore[return-value]
+    return fh
 
 
 def read_warc_segments(
-    spark: SparkSession, path: str, chunk_rows: int = CHUNK_ROWS
+    spark: SparkSession, path: str, chunk_rows: int = CHUNK_ROWS,
+    glob: str = "*.warc*",
 ) -> DataFrame:
-    """Directory/glob of ``*.warc`` files -> pages-shaped DataFrame.
+    """Directory/glob of ``*.warc`` / ``*.warc.gz`` files -> pages-shaped
+    DataFrame (gzip segments stream-decompress per task).
 
     The scan lists segments (binaryFile, ``path`` column ONLY — content is
     pruned and never enters Arrow); each task opens and incrementally
@@ -234,7 +248,7 @@ def read_warc_segments(
 
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.warc")
+        .option("pathGlobFilter", glob)
         .option("recursiveFileLookup", "true")
         .load(path)
         .select("path")

@@ -24,11 +24,18 @@ class _IndexServer:
         self.commits: list[int] = []  # store size at each commit
         self.fail_remaining = fail_first
         self.n_requests = 0
+        self.n_gzip = 0
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
             def do_POST(self):  # noqa: N802
                 body = self.rfile.read(int(self.headers["Content-Length"]))
+                if self.headers.get("Content-Encoding") == "gzip":
+                    import gzip
+
+                    body = gzip.decompress(body)
+                    with outer.lock:
+                        outer.n_gzip += 1
                 with outer.lock:
                     outer.n_requests += 1
                     if "commit=true" in self.path:
@@ -200,3 +207,15 @@ def test_http_index_stream_foreachbatch(spark, tmp_path):
         assert len(server.commits) >= 1 and server.commits[-1] == 300
     finally:
         server.stop()
+
+
+def test_http_sink_gzip_body(spark, server):
+    """gzip_body=True: payloads arrive Content-Encoding: gzip and decode
+    to the same records."""
+    df = _docs(spark, 500).repartition(2)
+    res = http_index_sink(df, server.url, id_col="id", batch_rows=100,
+                          gzip_body=True)
+    assert res["rows"] == 500
+    assert len(server.store) == 500
+    assert server.n_gzip >= 5  # every data batch was compressed
+    assert server.store[42]["url"] == "https://h0.com/42"
