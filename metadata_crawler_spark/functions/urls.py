@@ -229,3 +229,69 @@ def with_url_hash(df: DataFrame, url_col: str = "url") -> DataFrame:
 def shard_expr(hash_col: Column, n_shards: int) -> Column:
     """Bloom shard id: pmod(hash, n_shards) — matches partitioning."""
     return F.pmod(hash_col, F.lit(n_shards)).cast("int")
+
+
+def url_quality_flags(
+    url: Column,
+    max_url_len: int = 2048,
+    max_path_depth: int = 12,
+    max_query_params: int = 8,
+) -> Column:
+    """Struct of URL-quality signals (the C4/RefinedWeb URL-filtering
+    stage a pretraining pipeline runs before any fetch): all pure JVM
+    expressions, zero Python.
+
+    Fields: too_long, too_deep (path segments), too_many_params,
+    session_junk (sessionid/jsessionid/phpsessid/sid= in the query),
+    non_http, junk — the OR of all of the above.
+    """
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/]+(/[^?#]*)?", 1),
+        r"/+$", "",
+    )
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    too_long = F.length(url) > max_url_len
+    too_deep = (
+        F.size(F.split(path, "/")) - 1 > max_path_depth
+    )
+    n_params = F.when(query == "", 0).otherwise(F.size(F.split(query, "&")))
+    too_many = n_params > max_query_params
+    session_junk = query.rlike(r"(?i)(?:^|&)(?:j?sessionid|phpsessid|sid)=")
+    non_http = ~url.rlike(r"^https?://")
+    junk = too_long | too_deep | too_many | session_junk | non_http
+    return F.struct(
+        too_long.alias("too_long"),
+        too_deep.alias("too_deep"),
+        too_many.alias("too_many_params"),
+        session_junk.alias("session_junk"),
+        non_http.alias("non_http"),
+        junk.alias("junk"),
+    )
+
+
+def filter_blocked_hosts(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop rows whose host — or any registrable parent domain — appears
+    in ``blocklist`` (one ``domain`` column). The blocklist is the small
+    side (curated lists are 10^4-10^6 rows): candidate suffixes of each
+    URL's host explode map-side (a host has <= ~6 labels) and the drop
+    set comes back as one id-free LEFT ANTI join on the suffix — never a
+    per-row Python check, never a cross join. At 10^10 URLs the anti
+    join's build side is the blocklist (broadcast-eligible; AQE decides).
+    """
+    host = host_expr(F.col(url_col))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    # suffixes: a.b.c.d -> [a.b.c.d, b.c.d, c.d] (registrable depth >= 2)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.concat_ws(".", F.slice(labels, i, n)),
+    )
+    cand = df.withColumn("_sfx", F.explode(suffixes))
+    blocked = cand.join(
+        blocklist.select(F.col("domain").alias("_sfx")), "_sfx", "left_semi"
+    ).select(url_col).distinct()
+    return df.join(blocked, url_col, "left_anti")

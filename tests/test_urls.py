@@ -165,3 +165,55 @@ def test_with_canonical_fast_path_avoids_python(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the union has exactly ONE python-eval subtree (the slow branch)
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_url_quality_flags(spark):
+    """C4-style URL filtering signals: each planted defect trips exactly
+    its own flag; a clean URL trips none."""
+    from metadata_crawler_spark.functions.urls import url_quality_flags
+
+    rows = [
+        (1, "https://ok.example.com/a/b?x=1&y=2"),
+        (2, "https://deep.example.com/" + "/".join(f"s{i}" for i in range(15))),
+        (3, "https://p.example.com/a?" + "&".join(f"k{i}=v" for i in range(12))),
+        (4, "https://s.example.com/a?jsessionid=ABC123&x=1"),
+        (5, "ftp://files.example.com/a"),
+        (6, "https://l.example.com/" + "x" * 3000),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {
+        r["id"]: r["q"]
+        for r in df.select(
+            "id", url_quality_flags(F.col("url")).alias("q")
+        ).collect()
+    }
+    assert not got[1]["junk"]
+    assert got[2]["too_deep"] and got[2]["junk"]
+    assert got[3]["too_many_params"]
+    assert got[4]["session_junk"]
+    assert got[5]["non_http"]
+    assert got[6]["too_long"]
+    for i in (2, 3, 4, 5, 6):
+        assert got[i]["junk"]
+
+
+def test_filter_blocked_hosts(spark):
+    """Blocklist match on the host or any parent domain; unrelated hosts
+    (including superstrings of blocked domains) survive."""
+    from metadata_crawler_spark.functions.urls import filter_blocked_hosts
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://spam.bad.example/x"),      # subdomain of blocked
+            (2, "https://bad.example/y"),           # exact blocked
+            (3, "https://good.example/z"),          # clean
+            (4, "https://notbad.example/w"),        # superstring, NOT blocked
+            (5, "https://a.b.c.tracker.net/q"),     # deep subdomain of blocked
+        ],
+        "id long, url string",
+    )
+    bl = spark.createDataFrame(
+        [("bad.example",), ("tracker.net",)], "domain string"
+    )
+    kept = {r["id"] for r in filter_blocked_hosts(df, bl).collect()}
+    assert kept == {3, 4}
