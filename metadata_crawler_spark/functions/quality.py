@@ -8,6 +8,9 @@ remaining standard families:
   fraction, and the fraction of characters covered by the most frequent
   word 2-gram; documents breaching the thresholds are flagged, not
   dropped (the caller decides).
+- :func:`gopher_quality_flags` — the remaining Gopher §A1.1 quality
+  rules (word-count bounds, mean-word-length band, symbol ratio, alpha
+  fraction, stop-word presence) as one zero-shuffle struct expression.
 - :func:`redact_pii` / :func:`pii_counts` — regex redaction of emails
   and NANP-style phone numbers (the C4/RefinedWeb scrub step), as pure
   ``regexp_replace``/``regexp_count`` column expressions.
@@ -210,4 +213,70 @@ def unigram_crossentropy(
         F.round(
             F.avg(-F.log2(F.col("cnt") / F.col("total"))), 6
         ).alias("xent"),
+    )
+
+
+#: Gopher §A1.1 stop-word list (the filter requires >= 2 distinct hits)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.80,
+    min_stopwords: int = 2,
+) -> Column:
+    """The rest of the Gopher quality-filter suite (Rae et al. 2021,
+    §A1.1) as ONE zero-shuffle struct expression — complements
+    :func:`gopher_repetition` (which needs a shuffle for its bigram
+    mode): word-count bounds, mean-word-length band, symbol-to-word
+    ratio (# and ... ellipses), fraction of words containing an
+    alphabetic character, and >= ``min_stopwords`` distinct stop words.
+
+    Fields: n_words, bad_word_count, bad_mean_word_len, high_symbol_ratio,
+    low_alpha_frac, low_stopwords, flagged (OR of all). Like
+    gopher_repetition the flag is a concrete boolean for every row
+    (empty docs included).
+    """
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.size(toks)
+    n_chars = F.aggregate(
+        F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    mean_len = F.when(n > 0, n_chars / n).otherwise(F.lit(0.0))
+    n_symbols = F.size(
+        F.regexp_extract_all(text, F.lit(r"#|\.\.\.|…"), F.lit(0))
+    )
+    symbol_ratio = F.when(n > 0, n_symbols / n).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n > 0,
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n,
+    ).otherwise(F.lit(0.0))
+    lower = F.transform(toks, F.lower)
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            lambda w: F.array_contains(lower, w),
+        )
+    )
+    bad_count = (n < min_words) | (n > max_words)
+    bad_mean = (mean_len < min_mean_word_len) | (mean_len > max_mean_word_len)
+    high_sym = symbol_ratio > max_symbol_ratio
+    low_alpha = alpha_frac < min_alpha_word_frac
+    low_stop = n_stop < min_stopwords
+    return F.struct(
+        n.cast("long").alias("n_words"),
+        F.coalesce(bad_count, F.lit(True)).alias("bad_word_count"),
+        F.coalesce(bad_mean, F.lit(True)).alias("bad_mean_word_len"),
+        F.coalesce(high_sym, F.lit(False)).alias("high_symbol_ratio"),
+        F.coalesce(low_alpha, F.lit(True)).alias("low_alpha_frac"),
+        F.coalesce(low_stop, F.lit(True)).alias("low_stopwords"),
+        F.coalesce(
+            bad_count | bad_mean | high_sym | low_alpha | low_stop,
+            F.lit(True),
+        ).alias("flagged"),
     )

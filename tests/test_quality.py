@@ -311,3 +311,38 @@ def test_q56_hot_bucket_cap_does_not_bite(spark):
     uncapped = {r["id"] for r in
                 clean_corpus(corpus, "text", "doc_id", max_bucket=10**6, **kw).collect()}
     assert capped == uncapped
+
+
+def test_gopher_quality_flags_hand_computed(spark):
+    """Each quality rule trips on exactly its planted victim; a normal
+    English-looking doc (with stop words) trips none."""
+    from metadata_crawler_spark.functions.quality import gopher_quality_flags
+
+    ok_doc = "the quick brown fox jumps over that lazy dog and then " + \
+        " ".join(f"word{i}" for i in range(45))
+    rows = [
+        (1, ok_doc),
+        (2, "too short with the and that"),                    # < 50 words
+        (3, " ".join(["a"] * 60) + " the of and that be"),     # mean len < 3
+        (4, " ".join(f"w{i} #" for i in range(30)) + " the of that"),  # symbols
+        (5, " ".join(["12345"] * 60) + " the of and that"),    # low alpha
+        (6, " ".join(f"blandword{i}" for i in range(60))),     # no stop words
+        (7, ""),                                               # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["q"]
+        for r in df.select(
+            "doc_id", gopher_quality_flags(F.col("text")).alias("q")
+        ).collect()
+    }
+    assert not got[1]["flagged"], got[1]
+    assert got[2]["bad_word_count"]
+    assert got[3]["bad_mean_word_len"]
+    assert got[4]["high_symbol_ratio"]
+    assert got[5]["low_alpha_frac"]
+    assert got[6]["low_stopwords"]
+    for i in (2, 3, 4, 5, 6):
+        assert got[i]["flagged"]
+    # empty doc: concrete flag, never NULL (same contract as repetition)
+    assert got[7]["flagged"] is True
