@@ -224,10 +224,15 @@ def main() -> None:
     with open(os.path.join(HERE, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
 
+    # VERDICT r4 nit 1: metric/value/unit must carry the north-rule number
+    # itself (urls/sec), not the harness wall — an automated consumer
+    # reading (metric, value, unit) gets the headline throughput; the
+    # total bench wall lives under its own key.
     out = {
         "metric": "frontier urls scheduled+deduped/sec (north rule)",
-        "value": round(time.time() - t_total0, 3),
-        "unit": "sec",
+        "value": crawl_full["urls_per_sec"],
+        "unit": "urls/s",
+        "bench_wall_s": round(time.time() - t_total0, 3),
         "sf": sf,
         "queries": queries,
         "crawl": {

@@ -242,7 +242,9 @@ def gopher_quality_flags(
     gopher_repetition the flag is a concrete boolean for every row
     (empty docs included).
     """
-    toks = F.split(F.trim(text), r"\s+")
+    # drop empty tokens: split(trim(''), '\s+') yields [""] which would
+    # report n_words=1 for an empty/whitespace-only doc (ADVICE r4)
+    toks = F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
     n = F.size(toks)
     n_chars = F.aggregate(
         F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, x: a + x

@@ -250,14 +250,22 @@ def url_quality_flags(
         r"/+$", "",
     )
     query = F.regexp_extract(url, r"\?([^#]*)", 1)
-    too_long = F.length(url) > max_url_len
-    too_deep = (
-        F.size(F.split(path, "/")) - 1 > max_path_depth
+    # NULL-coalesce every flag (ADVICE r4): a NULL url would otherwise
+    # make all fields — including `junk` — NULL, and filter(~junk) would
+    # silently drop the row without ever flagging it. A NULL url is not
+    # a fetchable http URL, so non_http (and therefore junk) is True;
+    # the shape-specific flags stay False because nothing was measured.
+    too_long = F.coalesce(F.length(url) > max_url_len, F.lit(False))
+    too_deep = F.coalesce(
+        F.size(F.split(path, "/")) - 1 > max_path_depth, F.lit(False)
     )
     n_params = F.when(query == "", 0).otherwise(F.size(F.split(query, "&")))
-    too_many = n_params > max_query_params
-    session_junk = query.rlike(r"(?i)(?:^|&)(?:j?sessionid|phpsessid|sid)=")
-    non_http = ~url.rlike(r"^https?://")
+    too_many = F.coalesce(n_params > max_query_params, F.lit(False))
+    session_junk = F.coalesce(
+        query.rlike(r"(?i)(?:^|&)(?:j?sessionid|phpsessid|sid)="),
+        F.lit(False),
+    )
+    non_http = F.coalesce(~url.rlike(r"^https?://"), F.lit(True))
     junk = too_long | too_deep | too_many | session_junk | non_http
     return F.struct(
         too_long.alias("too_long"),
@@ -290,8 +298,20 @@ def filter_blocked_hosts(
         F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
         lambda i: F.concat_ws(".", F.slice(labels, i, n)),
     )
-    cand = df.withColumn("_sfx", F.explode(suffixes))
+    # VERDICT r4 nit 3 (plan hygiene): the old shape semi-joined the
+    # exploded candidates, ran a distinct, then anti-joined back — two
+    # url-keyed shuffles of corpus rows. New shape: the hits branch is
+    # column-pruned to the url alone (the only double-read is one string
+    # column with pushdown, not the corpus rows), the semi join is
+    # broadcast (blocklist is the 10^4-10^6-row small side), and the hit
+    # set — tiny by construction, only blocked urls — broadcasts into the
+    # final anti join. left_anti ignores duplicate build rows, so the
+    # distinct is gone too. Net: ZERO Exchanges on the corpus side
+    # (plan-asserted in tests/test_url_quality.py).
+    cand = df.select(url_col).withColumn("_sfx", F.explode(suffixes))
     blocked = cand.join(
-        blocklist.select(F.col("domain").alias("_sfx")), "_sfx", "left_semi"
-    ).select(url_col).distinct()
-    return df.join(blocked, url_col, "left_anti")
+        F.broadcast(blocklist.select(F.col("domain").alias("_sfx"))),
+        "_sfx",
+        "left_semi",
+    ).select(url_col)
+    return df.join(F.broadcast(blocked), url_col, "left_anti")

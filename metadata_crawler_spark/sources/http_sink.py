@@ -57,6 +57,12 @@ def http_index_sink(
     if id_col not in df.columns:
         raise ValueError(f"id_col {id_col!r} not in {df.columns}")
     cols = list(df.columns)
+    # row count rides an accumulator inside the push job itself — the old
+    # `df.count()` before foreachPartition computed the whole input twice
+    # (a full double scan at 100 TB stage-2 scale, VERDICT r4 nit 2).
+    # foreachPartition is an action, so Spark applies each successful
+    # task's accumulator update exactly once even across task retries.
+    row_acc = df.sparkSession.sparkContext.accumulator(0)
 
     def _post_partition(rows: Iterator) -> None:
         # stdlib imports INSIDE the closure: the pickled function must not
@@ -100,9 +106,11 @@ def http_index_sink(
 
         pool = ThreadPoolExecutor(max_workers=max_in_flight)
         pending: set = set()
+        n_rows = 0
         try:
             batch: list[dict] = []
             for row in rows:
+                n_rows += 1
                 batch.append(dict(zip(cols, row)))
                 if len(batch) >= batch_rows:
                     body = json.dumps(batch, default=str).encode()
@@ -118,11 +126,12 @@ def http_index_sink(
                 pending.add(pool.submit(post_batch, json.dumps(batch, default=str).encode()))
             for f in pending:
                 f.result()
+            row_acc.add(n_rows)
         finally:
             pool.shutdown(wait=True)
 
-    n = df.count()
     df.foreachPartition(_post_partition)
+    n = row_acc.value
     if commit:
         # single visibility point AFTER every partition succeeded —
         # reference posts `?commit=true` with an empty doc list
@@ -173,6 +182,11 @@ def http_index_stream(stream_df, update_url: str, id_col: str = "id",
     POST per epoch — the streaming analog of the reference's
     batch-then-commit visibility contract. Returns the DataStreamWriter
     (caller picks trigger/checkpoint and calls .start())."""
+
+    # per-epoch commit is this wrapper's contract: a caller-supplied
+    # commit= in sink_kw would collide with the explicit keyword below
+    # (TypeError inside the streaming job, ADVICE r4) — drop it.
+    sink_kw.pop("commit", None)
 
     def _push(batch_df, epoch_id: int) -> None:
         http_index_sink(batch_df, update_url, id_col=id_col, commit=True,

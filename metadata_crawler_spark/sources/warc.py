@@ -192,10 +192,27 @@ def _open_uri(uri: str) -> IO[bytes]:
     p = urlparse(uri)
     if p.scheme in ("", "file"):
         return _maybe_gzip(open(unquote(p.path), "rb"), p.path)
+    return _open_arrow_uri(uri)
+
+
+def _open_arrow_uri(uri: str) -> IO[bytes]:
+    """Object-store branch of :func:`_open_uri` (s3://, hdfs://, gs://…).
+
+    compression=None is load-bearing: Arrow's default compression='detect'
+    would already inflate ``.gz`` streams by extension, and _maybe_gzip
+    would then wrap the DECOMPRESSED stream in a second GzipFile whose
+    first read raises BadGzipFile (ADVICE r4 — the Common Crawl
+    s3://…/*.warc.gz case). _maybe_gzip is the single decompression point
+    for every scheme, so local and remote segments behave identically.
+    Split out so tests can drive this exact path via file:// URIs (Arrow's
+    LocalFileSystem detects by extension just like S3FileSystem).
+    """
     from pyarrow import fs as pafs
 
     filesystem, path = pafs.FileSystem.from_uri(uri)
-    return _maybe_gzip(filesystem.open_input_stream(path), path)
+    return _maybe_gzip(
+        filesystem.open_input_stream(path, compression=None), path
+    )
 
 
 def _maybe_gzip(fh: IO[bytes], path: str) -> IO[bytes]:

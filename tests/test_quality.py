@@ -346,3 +346,9 @@ def test_gopher_quality_flags_hand_computed(spark):
         assert got[i]["flagged"]
     # empty doc: concrete flag, never NULL (same contract as repetition)
     assert got[7]["flagged"] is True
+    # ADVICE r4: split(trim(''), '\s+') yields [""] — n_words must still
+    # report 0 (not 1) for empty and whitespace-only docs
+    assert got[7]["n_words"] == 0
+    ws = spark.createDataFrame([(8, "   \t\n  ")], "doc_id long, text string")
+    r8 = ws.select(gopher_quality_flags(F.col("text")).alias("q")).first()["q"]
+    assert r8["n_words"] == 0 and r8["flagged"] is True

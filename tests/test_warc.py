@@ -242,6 +242,41 @@ def test_read_warc_gz_segments_spark(spark, tmp_path):
     assert sorted(by_seg["seg-comp.warc.gz"]) == sorted(by_seg["seg-plain.warc"])
 
 
+def test_warc_gz_via_arrow_filesystem(tmp_path):
+    """ADVICE r4: the object-store open path (pyarrow FileSystem — the
+    s3://…/*.warc.gz Common Crawl case) must NOT double-decompress.
+    Arrow's LocalFileSystem applies the same extension-based
+    compression='detect' as S3FileSystem, so a file:// URI through
+    _open_arrow_uri reproduces the remote code path exactly: without
+    compression=None the stream arrives pre-inflated and the GzipFile
+    wrap raises BadGzipFile on first read."""
+    import gzip
+
+    from metadata_crawler_spark.sources.warc import (
+        _open_arrow_uri,
+        parse_warc_stream,
+    )
+
+    blob = render_warc(RECS * 2)
+    seg = tmp_path / "remote.warc.gz"
+    seg.write_bytes(gzip.compress(blob))
+    fh = _open_arrow_uri(seg.as_uri())
+    try:
+        got = list(parse_warc_stream(fh, "remote.warc.gz"))
+    finally:
+        fh.close()
+    assert [(u, ts, h) for u, ts, h, _ in got] == RECS * 2
+    # plain .warc through the same branch stays untouched
+    plain = tmp_path / "remote.warc"
+    plain.write_bytes(blob)
+    fh = _open_arrow_uri(plain.as_uri())
+    try:
+        got = list(parse_warc_stream(fh, "remote.warc"))
+    finally:
+        fh.close()
+    assert [(u, ts, h) for u, ts, h, _ in got] == RECS * 2
+
+
 def test_warc_gz_bounded_memory():
     """Streaming gzip keeps the parse bound: a multi-MB compressed
     segment never materializes decompressed in one piece."""
