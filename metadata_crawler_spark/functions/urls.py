@@ -307,7 +307,7 @@ def filter_blocked_hosts(
     # set — tiny by construction, only blocked urls — broadcasts into the
     # final anti join. left_anti ignores duplicate build rows, so the
     # distinct is gone too. Net: ZERO Exchanges on the corpus side
-    # (plan-asserted in tests/test_url_quality.py).
+    # (plan-asserted in tests/test_urls.py).
     cand = df.select(url_col).withColumn("_sfx", F.explode(suffixes))
     blocked = cand.join(
         F.broadcast(blocklist.select(F.col("domain").alias("_sfx"))),
