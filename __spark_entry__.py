@@ -1131,11 +1131,32 @@ def q29_crawl_schedule_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("url_hash_hi", "url_hash_lo")
     bloom = bloom_build(seen, 8, expected_per_shard=1024)
     new_urls = dedup_against_seen(frontier, seen, bloom, 8)
-    return schedule_round(new_urls, hosts, robots, salt_parts=4).select(
+    sched = schedule_round(new_urls, hosts, robots, salt_parts=4).select(
         "url", "host",
         F.col("depth").cast("long").alias("depth"),
         F.col("rank").cast("long").alias("rank"),
         F.col("fetch_offset_ms").cast("long").alias("fetch_offset_ms"),
+    )
+    # family merge (VERDICT r4 item 8): fixed-3-iteration PageRank over
+    # the fixture link graph (href edges out of the html column), vertex
+    # set = the combined frontier; every scheduled url carries its link-
+    # authority score — the periodic recrawl-prioritization signal
+    # (operators/frontier.pagerank / rescore_frontier).
+    from metadata_crawler_spark.operators.frontier import pagerank
+
+    edges = pages.select(
+        canonicalize_udf("url").alias("src"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col("html").cast("string"),
+                F.lit(r'href="([^"]+)"'),
+                F.lit(1),
+            )
+        ).alias("dst"),
+    )
+    pr = pagerank(edges, iterations=3, vertices=frontier.select("url"))
+    return sched.join(pr, "url").select(
+        sched["*"], F.round("pr", 9).alias("pr")
     )
 
 
@@ -1183,10 +1204,41 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY host
                             ORDER BY depth ASC, score DESC, url ASC) AS rank
   FROM robo
-)
-SELECT url, host, CAST(depth AS BIGINT) AS depth, CAST(rank AS BIGINT) AS rank,
-       CAST((rank - 1) * crawl_delay_ms AS BIGINT) AS fetch_offset_ms
-FROM ranked WHERE rank <= budget
+),
+-- PageRank family merge: 3 unrolled iterations of the same simplified
+-- recurrence operators/frontier.pagerank runs (no dangling spread);
+-- vertex set = the frontier's canonical urls, edges = href targets.
+pv AS (SELECT url FROM frontier),
+pn AS (SELECT COUNT(*)::DOUBLE AS n FROM pv),
+ed AS (
+  SELECT c.canon_url AS src, l.href AS dst
+  FROM pages p JOIN cmap c ON p.url = c.url,
+       unnest(regexp_extract_all(decode(p.html), 'href="([^"]+)"', 1))
+         AS l(href)
+),
+od AS (SELECT src, COUNT(*)::DOUBLE AS deg FROM ed GROUP BY src),
+pr0 AS (SELECT pv.url, 1.0 / pn.n AS pr FROM pv CROSS JOIN pn),
+c1 AS (SELECT e.dst AS url, SUM(p.pr / o.deg) AS m
+       FROM ed e JOIN pr0 p ON e.src = p.url JOIN od o ON e.src = o.src
+       GROUP BY e.dst),
+pr1 AS (SELECT pv.url, (1.0 - 0.85) / pn.n + 0.85 * COALESCE(c1.m, 0.0) AS pr
+        FROM pv CROSS JOIN pn LEFT JOIN c1 ON pv.url = c1.url),
+c2 AS (SELECT e.dst AS url, SUM(p.pr / o.deg) AS m
+       FROM ed e JOIN pr1 p ON e.src = p.url JOIN od o ON e.src = o.src
+       GROUP BY e.dst),
+pr2 AS (SELECT pv.url, (1.0 - 0.85) / pn.n + 0.85 * COALESCE(c2.m, 0.0) AS pr
+        FROM pv CROSS JOIN pn LEFT JOIN c2 ON pv.url = c2.url),
+c3 AS (SELECT e.dst AS url, SUM(p.pr / o.deg) AS m
+       FROM ed e JOIN pr2 p ON e.src = p.url JOIN od o ON e.src = o.src
+       GROUP BY e.dst),
+pr3 AS (SELECT pv.url, (1.0 - 0.85) / pn.n + 0.85 * COALESCE(c3.m, 0.0) AS pr
+        FROM pv CROSS JOIN pn LEFT JOIN c3 ON pv.url = c3.url)
+SELECT r.url, r.host, CAST(r.depth AS BIGINT) AS depth,
+       CAST(r.rank AS BIGINT) AS rank,
+       CAST((r.rank - 1) * r.crawl_delay_ms AS BIGINT) AS fetch_offset_ms,
+       ROUND(pr3.pr, 9) AS pr
+FROM ranked r JOIN pr3 ON r.url = pr3.url
+WHERE r.rank <= r.budget
 """
 
 

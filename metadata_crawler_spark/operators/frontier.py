@@ -297,3 +297,106 @@ def expand_outlinks(
             (F.col(score_col) / n).alias("score"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    vertices: DataFrame | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a (src, dst) link multigraph — the
+    periodic frontier re-scoring pass (VERDICT r4 item 8): OPIC's local
+    cash-splitting is cheap per round but myopic; every K crawl rounds a
+    PageRank sweep over the ACCUMULATED link graph re-prioritizes the
+    frontier by global link authority (the Cho/Garcia-Molina recrawl
+    ordering).
+
+      pr_0(v)    = 1/N
+      pr_{k+1}(v) = (1-d)/N + d * sum_{(u,v) in E} pr_k(u) / outdeg(u)
+
+    Fixed ``iterations`` (not to-convergence) keeps the pass bounded and
+    lets an unrolled-CTE SQL oracle recompute it exactly (q29 family).
+    Dangling mass is NOT redistributed — that changes absolute values,
+    not the ordering used for prioritization, and keeps every iteration
+    free of a global scalar barrier.
+
+    ``vertices`` (one ``url`` column) fixes the vertex set; default =
+    every url appearing as src or dst. Returns (url, pr).
+
+    Scale shape: edges join outdeg ONCE and checkpoint (the graph is the
+    big table — it never moves again across iterations thanks to the
+    checkpoint; re-reads are materialized blocks). Each iteration moves
+    only (url, pr) pairs: one src-keyed join + one dst-keyed partial-agg
+    groupBy + one vertex left join — the standard 2-shuffle distributed
+    PageRank. localCheckpoint per iteration bounds lineage (the q57
+    pattern); N rides an Observation on the vertex checkpoint job.
+    """
+    from ..operators.dedup import _checkpoint_observed
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if vertices is None:
+        verts = (
+            e.select(F.col("src").alias("url"))
+            .unionByName(e.select(F.col("dst").alias("url")))
+            .distinct()
+        )
+    else:
+        verts = vertices.select(F.col("url")).distinct()
+    verts, n = _checkpoint_observed(verts, F.count(F.lit(1)))
+    n = float(n)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    contrib_edges = e.join(outdeg, "src").localCheckpoint()
+
+    pr = verts.select("url", F.lit(1.0 / n).alias("pr"))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        inbound = (
+            contrib_edges.join(pr, contrib_edges["src"] == pr["url"])
+            .select(
+                F.col("dst").alias("url"),
+                (F.col("pr") / F.col("deg")).alias("c"),
+            )
+            .groupBy("url")
+            .agg(F.sum("c").alias("m"))
+        )
+        pr = (
+            verts.join(inbound, "url", "left")
+            .select(
+                "url",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("m", F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return pr
+
+
+def rescore_frontier(
+    frontier: DataFrame,
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    url_col: str = "url",
+    score_col: str = "score",
+) -> DataFrame:
+    """Replace frontier scores with PageRank over the accumulated link
+    graph: frontier urls keep their other columns; urls absent from the
+    graph fall back to the rank floor (1-d)/N so fresh discoveries are
+    not starved ahead of known-authority pages. The frontier side is the
+    big table — the pr table is |V|-bounded (url, pr) pairs and joins on
+    the url key (broadcast when small; AQE decides)."""
+    pr = pagerank(edges, iterations, damping)
+    floor_n = pr.count()
+    floor = (1.0 - damping) / max(floor_n, 1)
+    return (
+        frontier.join(
+            pr.withColumnRenamed("url", url_col), url_col, "left"
+        )
+        .withColumn(score_col, F.coalesce("pr", F.lit(floor)))
+        .drop("pr")
+    )

@@ -116,6 +116,15 @@ class CrawlConfig:
     #: growing driver listing per round. With it the read touches
     #: 1 + (rounds since last compaction) <= k+1 paths. None disables.
     seen_compact_every: int | None = 64
+    #: periodic PageRank frontier re-scoring (VERDICT r4 item 8): every k
+    #: rounds the next frontier's OPIC scores are replaced by a fixed-
+    #: iteration PageRank over the link graph accumulated in the committed
+    #: fetched tables (operators/frontier.rescore_frontier) — OPIC's local
+    #: cash-splitting keeps rounds cheap; the periodic global sweep
+    #: re-prioritizes by link authority. None/0 = off (default).
+    pagerank_every: int | None = None
+    pagerank_iterations: int = 3
+    pagerank_damping: float = 0.85
 
 
 #: auto-flip threshold for broadcasting the sharded bloom filter: above this
@@ -538,6 +547,12 @@ class Crawler:
         nxt = _combine_frontier(
             carryover.unionByName(children), cfg.score_decimals
         )
+        # periodic global re-prioritization: every pagerank_every rounds
+        # the frontier's OPIC scores are replaced by PageRank over the
+        # link graph accumulated in ALL committed fetched tables
+        # (including this round's, written above)
+        if cfg.pagerank_every and round_no % cfg.pagerank_every == 0:
+            nxt = self._pagerank_rescore(nxt, round_no)
         obs_next = Observation(f"next_{round_no}")
         nxt = nxt.observe(obs_next, F.count(F.lit(1)).alias("n"))
         write_round_table(nxt, self.checkpoint_dir, round_no, "frontier_next")
@@ -576,6 +591,32 @@ class Crawler:
         state = self._maybe_compact_seen(round_no, state)
         self.log.commit(state)
         return counts
+
+    def _pagerank_rescore(self, frontier: DataFrame, upto: int) -> DataFrame:
+        """PageRank sweep over the accumulated link graph (edges = each
+        committed fetch's url -> canonicalized outlinks) applied to the
+        next frontier's scores. Rounding to score_decimals keeps the
+        combined ordering data-deterministic, same as OPIC scores."""
+        from ..functions.urls import with_canonical
+        from ..operators.frontier import rescore_frontier
+
+        cfg = self.config
+        fetched_all = read_rounds(
+            self.spark, self.checkpoint_dir, "fetched", upto
+        )
+        if fetched_all is None:
+            return frontier
+        edges = (
+            fetched_all.filter(F.col("fetched") & (F.size("links") > 0))
+            .select(F.col("url").alias("src"), F.explode("links").alias("dst"))
+        )
+        edges = with_canonical(edges, "dst")
+        out = rescore_frontier(
+            frontier, edges, cfg.pagerank_iterations, cfg.pagerank_damping
+        )
+        return out.withColumn(
+            "score", F.round("score", cfg.score_decimals)
+        )
 
     def _check_fail_under(self) -> None:
         """Whole-crawl --fail-under semantics (reference run.py:510-515):

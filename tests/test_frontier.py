@@ -137,3 +137,66 @@ def test_expand_outlinks_opic(spark):
     rows = expand_outlinks(fetched).collect()
     assert len(rows) == 2
     assert all(abs(r.score - 0.5) < 1e-12 and r.depth == 3 for r in rows)
+
+
+def test_pagerank_hub_spoke_matches_numpy(spark):
+    """VERDICT r4 item 8: fixed-iteration PageRank on a planted hub/spoke
+    graph (every spoke links to the hub; the hub links to one spoke)
+    must match an independent dense numpy power-iteration exactly, and
+    rank the hub first."""
+    import numpy as np
+
+    from metadata_crawler_spark.operators.frontier import pagerank
+
+    hub, spokes = "https://hub.example/", [
+        f"https://s{i}.example/" for i in range(8)
+    ]
+    edges = [(s, hub) for s in spokes] + [(hub, spokes[0])]
+    got = {
+        r["url"]: r["pr"]
+        for r in pagerank(
+            spark.createDataFrame(edges, "src string, dst string"),
+            iterations=3,
+        ).collect()
+    }
+    # numpy reference: same simplified recurrence, no dangling spread
+    nodes = [hub] + spokes
+    idx = {u: i for i, u in enumerate(nodes)}
+    out = np.zeros(len(nodes))
+    for s, _ in edges:
+        out[idx[s]] += 1
+    pr = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(3):
+        nxt = np.full(len(nodes), 0.15 / len(nodes))
+        for s, d in edges:
+            nxt[idx[d]] += 0.85 * pr[idx[s]] / out[idx[s]]
+        pr = nxt
+    for u in nodes:
+        assert abs(got[u] - pr[idx[u]]) < 1e-12, u
+    assert got[hub] == max(got.values())
+    assert got[hub] > 10 * got[spokes[1]]
+
+
+def test_rescore_frontier_pagerank(spark):
+    """rescore_frontier swaps OPIC scores for link-authority scores:
+    the hub outranks every spoke afterward, and a frontier url absent
+    from the graph gets the non-starving floor, not NULL/zero."""
+    from metadata_crawler_spark.operators.frontier import rescore_frontier
+
+    hub = "https://hub.example/"
+    spokes = [f"https://s{i}.example/" for i in range(5)]
+    edges = spark.createDataFrame(
+        [(s, hub) for s in spokes], "src string, dst string"
+    )
+    frontier = spark.createDataFrame(
+        [(hub, 0, 0.01)]
+        + [(s, 1, 0.5) for s in spokes]
+        + [("https://new.example/", 2, 0.9)],
+        "url string, depth int, score double",
+    )
+    out = {r["url"]: r["score"] for r in
+           rescore_frontier(frontier, edges).collect()}
+    assert len(out) == 7
+    assert out[hub] == max(out.values())
+    floor = 0.15 / 6  # (1-d)/N, N=6 graph vertices
+    assert abs(out["https://new.example/"] - floor) < 1e-12

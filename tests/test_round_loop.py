@@ -522,3 +522,33 @@ def test_resume_after_compaction_equals_straight_run(
     assert sched_a.exceptAll(sched_b).count() == 0
     assert sched_b.exceptAll(sched_a).count() == 0
     assert [r["scheduled"] for r in res_a[3:]] == [r["scheduled"] for r in res_b]
+
+
+def test_pagerank_rescore_round(spark, fixture_dir, tables, tmp_path_factory):
+    """VERDICT r4 item 8 wiring: with pagerank_every=1 each round's next
+    frontier carries PageRank-over-accumulated-links scores instead of
+    OPIC cash. The crawl still progresses, scores are valid positive
+    probabilities-ish (<=1), and at least one frontier url scores above
+    the non-starving floor (i.e. the graph actually contributed)."""
+    ckpt = str(tmp_path_factory.mktemp("ckpt_pr"))
+    cfg = CrawlConfig(
+        n_shards=8, bloom_expected_per_shard=4096, salt_parts=4,
+        pagerank_every=1, pagerank_iterations=2,
+    )
+    c = Crawler(
+        spark=spark,
+        pages_path=os.path.join(fixture_dir, "pages.parquet"),
+        robots=tables["robots"],
+        hosts=tables["hosts"],
+        checkpoint_dir=ckpt,
+        config=cfg,
+    )
+    results = c.run(tables["seeds"], rounds=2)
+    assert all(r["fetched"] >= 0 for r in results)
+    assert sum(r["scheduled"] for r in results) > 0
+    nxt = spark.read.parquet(
+        os.path.join(ckpt, "round=00001", "frontier_next")
+    )
+    scores = [r["score"] for r in nxt.select("score").collect()]
+    assert scores and all(0.0 < s <= 1.0 for s in scores)
+    assert len(set(scores)) > 1  # authority differentiates urls
