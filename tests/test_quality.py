@@ -434,6 +434,33 @@ def test_clean_corpus_clf_gate_and_stage_counts(spark):
     assert counts["paragraph_dedup"] == len(kept) == 10
 
 
+def test_clean_corpus_clf_top_fraction(spark):
+    """DCLM-style selection: clf_keep_frac keeps the top fraction of the
+    corpus by classifier score — here exactly the high-quality half."""
+    from metadata_crawler_spark.functions.quality import (
+        train_quality_classifier,
+    )
+    from metadata_crawler_spark.plans.corpus_pipeline import clean_corpus
+
+    train, test = _planted_quality_corpus(spark)
+    B = 1 << 14
+    weights, _ = train_quality_classifier(train, "text", "label", n_buckets=B)
+    counts: dict = {}
+    # keep_frac 0.45: the (1-frac)=0.55 quantile lands on the LOWEST
+    # high-quality score (11th of 20 ascending), so the inclusive >= cut
+    # keeps exactly the good half — 0.5 would sit on the highest bad doc
+    # and keep 11 (quantile cuts are at sample values, not between them)
+    out = clean_corpus(
+        test.select("doc_id", "text"), "text", "doc_id",
+        clf_weights=weights, clf_n_buckets=B, clf_keep_frac=0.45,
+        stage_counts=counts,
+    )
+    kept = {r["id"] for r in out.collect()}
+    good = {r["doc_id"] for r in test.filter(F.col("label") == 1).collect()}
+    assert kept == good
+    assert counts["clf_gate"] == 10
+
+
 def test_gopher_quality_flags_hand_computed(spark):
     """Each quality rule trips on exactly its planted victim; a normal
     English-looking doc (with stop words) trips none."""
