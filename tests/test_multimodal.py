@@ -306,3 +306,121 @@ def test_media_pixel_stats_png_parity(spark):
         assert (r["width"], r["height"], r["channels"]) == (w, h, ch)
         assert abs(r["px_mean"] - mean) < 1e-9
         assert abs(r["px_std"] - std) < 1e-9
+
+
+def test_decode_jpeg_roundtrip_bounded_error():
+    """Stdlib baseline JPEG codec: encode/decode is lossy only through
+    DCT rounding at quant=1 — gray and RGB reconstruct within a few LSB;
+    coarser quantization degrades gracefully, never structurally."""
+    import numpy as np
+
+    from metadata_crawler_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(17)
+    g = rng.integers(0, 256, size=(24, 17), dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(g, quant=1))
+    assert got.shape == g.shape
+    assert np.abs(got.astype(int) - g.astype(int)).max() <= 2
+
+    c = rng.integers(0, 256, size=(19, 22, 3), dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(c, quant=1))
+    assert got.shape == c.shape
+    assert np.abs(got.astype(int) - c.astype(int)).max() <= 3
+
+    got8 = decode_jpeg(encode_jpeg(c, quant=8))
+    assert np.abs(got8.astype(int) - c.astype(int)).mean() < 8
+
+
+def test_decode_jpeg_subsampled_and_restarts():
+    """4:2:0 chroma subsampling and DRI/RSTn restart markers decode
+    correctly: a smooth gradient survives 2x2 chroma pooling within a
+    small bound, and restart segments (which reset DC predictors) change
+    nothing about the output."""
+    import numpy as np
+
+    from metadata_crawler_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    xx, yy = np.meshgrid(np.arange(40), np.arange(33))
+    c = np.stack(
+        [(xx * 3 + yy) % 256, (xx + yy * 2) % 256, (255 - xx * 2 - yy) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(c, quant=1, subsample=True))
+    assert got.shape == c.shape
+    assert np.abs(got.astype(int) - c.astype(int)).max() <= 6
+
+    rng = np.random.default_rng(19)
+    d = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg(d, quant=1))
+    with_rst = decode_jpeg(encode_jpeg(d, quant=1, restart_interval=3))
+    assert np.array_equal(plain, with_rst)
+
+
+def test_decode_jpeg_guards():
+    """Progressive streams and garbage raise ValueError (surfaced as
+    ok=False data rows by the Spark paths, never task failures)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from metadata_crawler_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    with _pytest.raises(ValueError, match="JPEG"):
+        decode_jpeg(b"definitely not a jpeg")
+    # flip a baseline SOF0 marker to progressive SOF2
+    blob = bytearray(
+        encode_jpeg(np.zeros((8, 8), dtype=np.uint8), quant=1)
+    )
+    i = blob.find(b"\xff\xc0")
+    assert i > 0
+    blob[i + 1] = 0xC2
+    with _pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(blob))
+
+
+def test_media_pixel_stats_jpeg(spark):
+    """media_pixel_stats decodes JPEG blobs through the stdlib codec:
+    dims/channels exact, pixel stats match a local decode of the same
+    blob (the decode is deterministic, so stats are exact parity)."""
+    import numpy as np
+
+    from metadata_crawler_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from metadata_crawler_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_pixel_stats,
+    )
+
+    rng = np.random.default_rng(29)
+    rows, expect = [], {}
+    for i in range(6):
+        shape = [(12, 16), (10, 14, 3)][i % 2]
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        blob = encode_jpeg(arr, quant=1, subsample=(i % 4 == 1))
+        rows.append((i, "image/jpeg", bytearray(blob)))
+        a = decode_jpeg(blob)
+        expect[i] = (
+            int(a.shape[1]), int(a.shape[0]),
+            int(a.shape[2]) if a.ndim == 3 else 1,
+            float(np.round(a.mean(), 6)), float(np.round(a.std(), 6)),
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in media_pixel_stats(df).collect()}
+    for i, (w, h, ch, mean, std) in expect.items():
+        r = got[i]
+        assert r["ok"] and r["fmt"] == "jpeg", r
+        assert (r["width"], r["height"], r["channels"]) == (w, h, ch)
+        assert abs(r["px_mean"] - mean) < 1e-9
+        assert abs(r["px_std"] - std) < 1e-9
