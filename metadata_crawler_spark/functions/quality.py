@@ -387,7 +387,13 @@ def quality_classifier_score(
         import numpy as _np
         import pandas as _pd
 
-        arrs = [_np.asarray(a, dtype=_np.int64) for a in buckets]
+        # NULL text -> NULL bucket array (split(NULL) is NULL): treat as
+        # featureless, scoring sigmoid(bias) — same as an empty doc —
+        # instead of np.asarray(None) raising TypeError mid-task
+        arrs = [
+            _np.asarray(a if a is not None else [], dtype=_np.int64)
+            for a in buckets
+        ]
         lens = _np.array([len(a) for a in arrs], dtype=_np.int64)
         if lens.sum() == 0:
             z = _np.full(len(arrs), bias_f)
@@ -438,9 +444,10 @@ def gopher_quality_flags(
     gopher_repetition the flag is a concrete boolean for every row
     (empty docs included).
     """
-    # drop empty tokens: split(trim(''), '\s+') yields [""] which would
-    # report n_words=1 for an empty/whitespace-only doc (ADVICE r4)
-    toks = F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+    # _nonempty_tokens drops the [""] artifact split(trim('')) produces,
+    # so n_words is 0 for empty/whitespace-only docs (ADVICE r4) — same
+    # tokenizer as the classifier's feature hashing
+    toks = _nonempty_tokens(text)
     n = F.size(toks)
     n_chars = F.aggregate(
         F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, x: a + x

@@ -281,6 +281,8 @@ def filter_blocked_hosts(
     df: DataFrame,
     blocklist: DataFrame,
     url_col: str = "url",
+    hits_broadcast: bool | None = None,
+    hits_broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Drop rows whose host — or any registrable parent domain — appears
     in ``blocklist`` (one ``domain`` column). The blocklist is the small
@@ -304,14 +306,26 @@ def filter_blocked_hosts(
     # column-pruned to the url alone (the only double-read is one string
     # column with pushdown, not the corpus rows), the semi join is
     # broadcast (blocklist is the 10^4-10^6-row small side), and the hit
-    # set — tiny by construction, only blocked urls — broadcasts into the
-    # final anti join. left_anti ignores duplicate build rows, so the
-    # distinct is gone too. Net: ZERO Exchanges on the corpus side
-    # (plan-asserted in tests/test_urls.py).
+    # set — blocked urls only — broadcasts into the final anti join when
+    # small (usual case; ZERO Exchanges on the corpus side, plan-asserted
+    # in tests/test_urls.py). The hit set is data-dependent, though: a
+    # corpus dominated by blocklisted domains makes it corpus-sized, so
+    # the broadcast is gated on a bounded size probe (same pattern as
+    # gate_frontier's robots/hosts switches) with a distinct + plain
+    # anti-join (AQE decides) fallback. left_anti ignores duplicate build
+    # rows, so the broadcast path skips the distinct entirely.
     cand = df.select(url_col).withColumn("_sfx", F.explode(suffixes))
     blocked = cand.join(
         F.broadcast(blocklist.select(F.col("domain").alias("_sfx"))),
         "_sfx",
         "left_semi",
     ).select(url_col)
-    return df.join(F.broadcast(blocked), url_col, "left_anti")
+    if hits_broadcast is None:
+        from ..operators.frontier import small_enough_to_broadcast
+
+        hits_broadcast = small_enough_to_broadcast(
+            blocked, hits_broadcast_max_rows
+        )
+    if hits_broadcast:
+        return df.join(F.broadcast(blocked), url_col, "left_anti")
+    return df.join(blocked.distinct(), url_col, "left_anti")

@@ -413,17 +413,9 @@ def paragraph_dedup(
     )
 
 
-def _checkpoint_observed(df: DataFrame, metric):
-    """``localCheckpoint`` with a metric observed ON the checkpoint job
-    itself (VERDICT r4 nit 4: the old per-iteration ``limit(1).count()``
-    convergence probe was one extra Spark job per round — an Observation
-    rides the job that materializes the checkpoint, so the probe is free).
-    Returns (checkpointed_df, observed_value)."""
-    from pyspark.sql import Observation
-
-    obs = Observation()
-    out = df.observe(obs, metric.alias("m")).localCheckpoint()
-    return out, obs.get["m"]
+# shared observed-checkpoint helper (promoted to operators/common.py in
+# r5 once frontier.pagerank and clean_corpus started using it too)
+from .common import checkpoint_observed as _checkpoint_observed  # noqa: E402
 
 
 def _star_rounds(edges: DataFrame, max_rounds: int) -> tuple[DataFrame, bool]:
@@ -509,7 +501,7 @@ def neardup_clusters(
     in O(log^2 n) rounds on the contracted remainder; final labels compose
     the two maps. A planted 10^3-node path graph that would take 10^3
     propagation rounds finishes in ~switch_after + log-ish star rounds
-    (tests/test_clusters.py).
+    (tests/test_dedup.py::test_neardup_clusters_deep_path_uses_star_rounds).
 
     Convergence probes ride Observations on the per-round checkpoint jobs
     (no extra job per iteration); min-label propagation is monotone

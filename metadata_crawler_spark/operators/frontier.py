@@ -334,7 +334,7 @@ def pagerank(
     PageRank. localCheckpoint per iteration bounds lineage (the q57
     pattern); N rides an Observation on the vertex checkpoint job.
     """
-    from ..operators.dedup import _checkpoint_observed
+    from .common import checkpoint_observed
 
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if vertices is None:
@@ -345,8 +345,13 @@ def pagerank(
         )
     else:
         verts = vertices.select(F.col("url")).distinct()
-    verts, n = _checkpoint_observed(verts, F.count(F.lit(1)))
+    verts, n = checkpoint_observed(verts, F.count(F.lit(1)))
     n = float(n)
+    if n == 0:
+        # empty graph (e.g. a crawl whose pages had no outlinks yet):
+        # no ranks to compute — an empty (url, pr) result, never a
+        # divide-by-zero on the uniform prior
+        return verts.select("url", F.lit(0.0).alias("pr"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     contrib_edges = e.join(outdeg, "src").localCheckpoint()
 
@@ -392,7 +397,9 @@ def rescore_frontier(
     the url key (broadcast when small; AQE decides)."""
     pr = pagerank(edges, iterations, damping)
     floor_n = pr.count()
-    floor = (1.0 - damping) / max(floor_n, 1)
+    if floor_n == 0:
+        return frontier  # no link graph yet: keep the OPIC scores
+    floor = (1.0 - damping) / floor_n
     return (
         frontier.join(
             pr.withColumnRenamed("url", url_col), url_col, "left"

@@ -185,6 +185,9 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     while i + 4 <= len(blob):
         if blob[i] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # spec B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while i + 1 < len(blob) and blob[i + 1] == 0xFF:
+            i += 1
         marker = blob[i + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2

@@ -67,6 +67,7 @@ def clean_corpus(
     clf_keep_frac: float | None = None,
     clf_n_buckets: int = 1 << 20,
     clf_ngram_sizes: tuple[int, ...] = (1, 2),
+    clf_hasher: str = "xxhash64",
     stage_counts: dict | None = None,
 ) -> DataFrame:
     """Returns the surviving documents as (id, text) where ``text`` is
@@ -108,12 +109,13 @@ def clean_corpus(
     to storage anyway — the counters piggyback on that materialization
     rather than forcing extra passes.
     """
-    from ..operators.dedup import _checkpoint_observed, paragraph_dedup
+    from ..operators.common import checkpoint_observed
+    from ..operators.dedup import paragraph_dedup
 
     def _stage(name: str, stage_df: DataFrame) -> DataFrame:
         if stage_counts is None:
             return stage_df
-        out, n = _checkpoint_observed(stage_df, F.count(F.lit(1)))
+        out, n = checkpoint_observed(stage_df, F.count(F.lit(1)))
         stage_counts[name] = int(n)
         return out
 
@@ -137,10 +139,14 @@ def clean_corpus(
     if clf_weights is not None:
         from ..functions.quality import quality_classifier_score
 
+        # clf_hasher is deliberately SEPARATE from the fuzzy-dedup
+        # `hasher`: it must match whatever train_quality_classifier was
+        # called with (default xxhash64), not the dedup oracle switch —
+        # a mismatch would gather effectively random weights.
         scored = quality_classifier_score(
             survivors, "text", clf_weights,
             n_buckets=clf_n_buckets, ngram_sizes=clf_ngram_sizes,
-            hasher=hasher, bias=clf_bias,
+            hasher=clf_hasher, bias=clf_bias,
         )
         if clf_keep_frac is not None:
             scored = scored.persist()
@@ -153,6 +159,12 @@ def clean_corpus(
             "clf_gate",
             scored.filter(F.col("clf_score") >= cut).select("id", "text"),
         )
+        if clf_keep_frac is not None:
+            # drop the quantile cache: with stage_counts the gate is
+            # already checkpointed; without, downstream recomputes the
+            # scoring once — bounded, vs pinning (id, text, score) for
+            # the whole application lifetime
+            scored.unpersist()
 
     # 2. PII scrub
     red = survivors.select("id", redact_pii(F.col("text")).alias("text"))

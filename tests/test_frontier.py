@@ -200,3 +200,21 @@ def test_rescore_frontier_pagerank(spark):
     assert out[hub] == max(out.values())
     floor = 0.15 / 6  # (1-d)/N, N=6 graph vertices
     assert abs(out["https://new.example/"] - floor) < 1e-12
+
+
+def test_pagerank_empty_graph_no_crash(spark):
+    """An empty link graph (crawl with no outlinks yet) must yield an
+    empty rank table and leave rescore_frontier's input unchanged — not
+    divide by zero (code-review r5 finding)."""
+    from metadata_crawler_spark.operators.frontier import (
+        pagerank,
+        rescore_frontier,
+    )
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(edges).count() == 0
+    frontier = spark.createDataFrame(
+        [("https://a.example/", 0, 0.7)], "url string, depth int, score double"
+    )
+    out = rescore_frontier(frontier, edges).collect()
+    assert len(out) == 1 and abs(out[0]["score"] - 0.7) < 1e-12

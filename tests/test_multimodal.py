@@ -424,3 +424,23 @@ def test_media_pixel_stats_jpeg(spark):
         assert (r["width"], r["height"], r["channels"]) == (w, h, ch)
         assert abs(r["px_mean"] - mean) < 1e-9
         assert abs(r["px_std"] - std) < 1e-9
+
+
+def test_decode_jpeg_fill_bytes_before_markers():
+    """Spec B.1.1.2: any number of 0xFF fill bytes may pad before a
+    marker; the parser must skip them instead of misreading a length."""
+    import numpy as np
+
+    from metadata_crawler_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    blob = encode_jpeg(g, quant=1)
+    # inject fill bytes before the SOF0 and SOS markers
+    for marker in (b"\xff\xc0", b"\xff\xda"):
+        i = blob.find(marker)
+        blob = blob[:i] + b"\xff\xff\xff" + blob[i:]
+    got = decode_jpeg(blob)
+    assert np.abs(got.astype(int) - g.astype(int)).max() <= 2

@@ -500,3 +500,25 @@ def test_gopher_quality_flags_hand_computed(spark):
     ws = spark.createDataFrame([(8, "   \t\n  ")], "doc_id long, text string")
     r8 = ws.select(gopher_quality_flags(F.col("text")).alias("q")).first()["q"]
     assert r8["n_words"] == 0 and r8["flagged"] is True
+
+
+def test_quality_classifier_null_text_scores_bias(spark):
+    """NULL text must score sigmoid(bias) like an empty doc — not raise
+    TypeError inside the Arrow batch (code-review r5 finding)."""
+    import numpy as np
+
+    from metadata_crawler_spark.functions.quality import (
+        quality_classifier_score,
+    )
+
+    B = 1 << 10
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "some words here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["clf_score"] for r in quality_classifier_score(
+        df, "text", np.zeros(B), n_buckets=B
+    ).collect()}
+    assert abs(got[1] - 0.5) < 1e-12
+    assert abs(got[2] - 0.5) < 1e-12
+    assert got[3] is not None

@@ -266,3 +266,22 @@ def test_filter_blocked_hosts_zero_corpus_exchange(spark):
     ]
     assert not shuffles, shuffles
     assert "BroadcastHashJoin" in plan
+
+
+def test_filter_blocked_hosts_shuffle_fallback_same_result(spark):
+    """The data-dependent hit set must not be force-broadcast when large
+    (code-review r5): the gated fallback (hits_broadcast=False) drops
+    exactly the same rows as the broadcast path."""
+    from metadata_crawler_spark.functions.urls import filter_blocked_hosts
+
+    df = spark.createDataFrame(
+        [(i, f"https://h{i}.{'bad' if i % 2 else 'ok'}.example/x")
+         for i in range(40)],
+        "id long, url string",
+    )
+    bl = spark.createDataFrame([("bad.example",)], "domain string")
+    fast = {r["id"] for r in
+            filter_blocked_hosts(df, bl, hits_broadcast=True).collect()}
+    slow = {r["id"] for r in
+            filter_blocked_hosts(df, bl, hits_broadcast=False).collect()}
+    assert fast == slow == {i for i in range(40) if i % 2 == 0}
