@@ -10,7 +10,8 @@ Decode tiers (VERDICT r3 item 8 — the stub now covers only codecs that
 genuinely need absent libraries):
 
 1. REAL pure-stdlib decoders for jar-free formats — PNG (``decode_png``:
-   zlib inflate + numpy unfiltering of all five filter types, r5),
+   zlib inflate + numpy unfiltering of all five filter types, incl.
+   Adam7 interlace, r5),
    baseline JPEG (``jpeg_codec.decode_jpeg``: Huffman + dequant +
    vectorized IDCT, gray/4:4:4/4:2:0, restart markers, r5), PPM/PGM
    images (``decode_ppm``) and WAV PCM audio (``decode_wav``). These run
@@ -182,6 +183,67 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     ).astype(np.int32)
 
 
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(
+    raw: bytes, off: int, h: int, stride: int, bpp: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter ``h`` scanlines of ``stride`` bytes starting at ``off``;
+    returns (uint8 array (h, stride), next offset). none/up are
+    elementwise; sub is a per-phase cumulative sum mod 256; average and
+    paeth walk the row in bpp-strided vector steps (the intra-row
+    dependency is on recon[x-bpp], so each step is one pixel-width of
+    numpy ops, never a per-byte Python loop)."""
+    if len(raw) < off + h * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    rec = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        base = off + y * (stride + 1)
+        ft = raw[base]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=base + 1
+        ).astype(np.int32)
+        if ft == 0:  # none
+            r = row
+        elif ft == 1:  # sub
+            r = np.empty(stride, dtype=np.int32)
+            for p in range(bpp):
+                r[p::bpp] = np.cumsum(row[p::bpp]) & 0xFF
+        elif ft == 2:  # up
+            r = (row + prev) & 0xFF
+        elif ft == 3:  # average
+            r = np.empty(stride, dtype=np.int32)
+            r[:bpp] = (row[:bpp] + (prev[:bpp] >> 1)) & 0xFF
+            for x in range(bpp, stride, bpp):
+                e = min(x + bpp, stride)
+                r[x:e] = (
+                    row[x:e] + ((r[x - bpp : e - bpp] + prev[x:e]) >> 1)
+                ) & 0xFF
+        elif ft == 4:  # paeth
+            r = np.empty(stride, dtype=np.int32)
+            z = np.zeros(bpp, dtype=np.int32)
+            r[:bpp] = (row[:bpp] + _paeth(z, prev[:bpp], z)) & 0xFF
+            for x in range(bpp, stride, bpp):
+                e = min(x + bpp, stride)
+                r[x:e] = (
+                    row[x:e]
+                    + _paeth(
+                        r[x - bpp : e - bpp], prev[x:e], prev[x - bpp : e - bpp]
+                    )
+                ) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        rec[y] = r
+        prev = r
+    return rec.astype(np.uint8), off + h * (stride + 1)
+
+
 def decode_png(blob: bytes) -> np.ndarray:
     """Pure-stdlib PNG decoder (VERDICT r4 item 2): zlib inflate + numpy
     unfiltering — closes the single most common web image format without
@@ -190,9 +252,11 @@ def decode_png(blob: bytes) -> np.ndarray:
     or u2 for 16-bit channels.
 
     Supported: color types 0/2/3/4/6, bit depths 8 and 16 (palette: 8),
-    all five filter types (none/sub/up/average/paeth), non-interlaced.
-    Adam7 interlace and sub-byte depths (1/2/4-bit gray) raise
-    ValueError — callers surface those as ok=False data, not failures.
+    all five filter types (none/sub/up/average/paeth), non-interlaced
+    AND Adam7-interlaced (r5: each of the 7 passes unfilters as its own
+    sub-image, then scatters into the output with strided assignment).
+    Sub-byte depths (1/2/4-bit gray) raise ValueError — callers surface
+    those as ok=False data, not failures.
 
     Filters operate on BYTES regardless of depth (spec §9): unfilter
     first, then view as big-endian u2 for 16-bit. none/up are elementwise
@@ -225,66 +289,41 @@ def decode_png(blob: bytes) -> np.ndarray:
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("unsupported PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("Adam7-interlaced PNG unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if ctype not in _PNG_CHANNELS:
         raise ValueError(f"unsupported PNG color type {ctype}")
     if depth not in (8, 16) or (ctype == 3 and depth != 8):
         raise ValueError(f"unsupported PNG bit depth {depth}")
     ch = _PNG_CHANNELS[ctype]
     bpp = ch * (depth // 8)  # filter stride in bytes
-    stride = w * bpp
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) < h * (stride + 1):
-        raise ValueError("truncated PNG raster")
 
-    rec = np.zeros((h, stride), dtype=np.int32)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        off = y * (stride + 1)
-        ft = raw[off]
-        row = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=off + 1
-        ).astype(np.int32)
-        if ft == 0:  # none
-            r = row
-        elif ft == 1:  # sub: per-phase cumulative sum mod 256
-            r = np.empty(stride, dtype=np.int32)
-            for p in range(bpp):
-                r[p::bpp] = np.cumsum(row[p::bpp]) & 0xFF
-        elif ft == 2:  # up
-            r = (row + prev) & 0xFF
-        elif ft == 3:  # average: bpp-strided vector walk
-            r = np.empty(stride, dtype=np.int32)
-            r[:bpp] = (row[:bpp] + (prev[:bpp] >> 1)) & 0xFF
-            for x in range(bpp, stride, bpp):
-                e = min(x + bpp, stride)
-                r[x:e] = (
-                    row[x:e] + ((r[x - bpp : e - bpp] + prev[x:e]) >> 1)
-                ) & 0xFF
-        elif ft == 4:  # paeth: bpp-strided vector walk
-            r = np.empty(stride, dtype=np.int32)
-            z = np.zeros(bpp, dtype=np.int32)
-            r[:bpp] = (row[:bpp] + _paeth(z, prev[:bpp], z)) & 0xFF
-            for x in range(bpp, stride, bpp):
-                e = min(x + bpp, stride)
-                r[x:e] = (
-                    row[x:e]
-                    + _paeth(
-                        r[x - bpp : e - bpp], prev[x:e], prev[x - bpp : e - bpp]
-                    )
-                ) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {ft}")
-        rec[y] = r
-        prev = rec[y]
+    def view_pixels(img8: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        if depth == 16:
+            return np.frombuffer(
+                img8.reshape(ph, -1).tobytes(), dtype=">u2"
+            ).reshape(ph, pw, ch)
+        return img8.reshape(ph, pw, ch)
 
-    img8 = rec.astype(np.uint8)
-    if depth == 16:
-        a = img8.reshape(h, -1).tobytes()
-        arr = np.frombuffer(a, dtype=">u2").reshape(h, w, ch)
-    else:
-        arr = img8.reshape(h, w, ch)
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) < h * (stride + 1):
+            raise ValueError("truncated PNG raster")
+        arr = view_pixels(_png_unfilter(raw, 0, h, stride, bpp)[0], h, w)
+    else:  # Adam7: 7 independently-filtered sub-images, strided scatter
+        out = np.zeros(
+            (h, w, ch), dtype=np.dtype(">u2") if depth == 16 else np.uint8
+        )
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, off = _png_unfilter(raw, off, ph, pw * bpp, bpp)
+            out[y0::dy, x0::dx] = view_pixels(sub, ph, pw)
+        arr = out
     if ctype == 3:  # palette lookup -> RGB
         pal = np.frombuffer(plte, dtype=np.uint8)
         if pal.size < 3:
@@ -296,22 +335,13 @@ def decode_png(blob: bytes) -> np.ndarray:
     return arr
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
-    """Minimal PNG writer (fixture/test side, like render_warc): 8-bit
-    gray (h,w), gray+alpha (h,w,2), RGB (h,w,3) or RGBA (h,w,4), every
-    row filtered with ``filter_type`` (0..4) so each decoder filter path
-    is independently exercisable. Forward filtering has no intra-row
+def _png_filter_image(sub: np.ndarray, filter_type: int) -> bytes:
+    """Forward-filter one (h, w, ch) uint8 sub-image into scanline bytes
+    (filter byte + filtered row each). Forward filtering has no intra-row
     dependency, so it is fully vectorized."""
-    import struct as _struct
-    import zlib
-
-    a = np.asarray(arr, dtype=np.uint8)
-    if a.ndim == 2:
-        a = a[:, :, None]
-    h, w, ch = a.shape
-    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    h, w, ch = sub.shape
     bpp = ch
-    flat = a.reshape(h, w * ch).astype(np.int32)
+    flat = sub.reshape(h, w * ch).astype(np.int32)
     out_rows = []
     prev = np.zeros(w * ch, dtype=np.int32)
     for y in range(h):
@@ -330,8 +360,37 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
             enc = cur - _paeth(left, prev, pleft)
         else:
             raise ValueError(f"bad filter type {filter_type}")
-        out_rows.append(bytes([filter_type]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        out_rows.append(
+            bytes([filter_type]) + (enc & 0xFF).astype(np.uint8).tobytes()
+        )
         prev = cur
+    return b"".join(out_rows)
+
+
+def encode_png(
+    arr: np.ndarray, filter_type: int = 0, interlace: bool = False
+) -> bytes:
+    """Minimal PNG writer (fixture/test side, like render_warc): 8-bit
+    gray (h,w), gray+alpha (h,w,2), RGB (h,w,3) or RGBA (h,w,4), every
+    row filtered with ``filter_type`` (0..4) so each decoder filter path
+    is independently exercisable; ``interlace=True`` writes Adam7 (each
+    pass filtered as its own sub-image, per spec)."""
+    import struct as _struct
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    if interlace:
+        body = b"".join(
+            _png_filter_image(a[y0::dy, x0::dx], filter_type)
+            for x0, y0, dx, dy in _ADAM7
+            if a[y0::dy, x0::dx].shape[0] and a[y0::dy, x0::dx].shape[1]
+        )
+    else:
+        body = _png_filter_image(a, filter_type)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -341,8 +400,10 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
             + _struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = _struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    idat = zlib.compress(b"".join(out_rows))
+    ihdr = _struct.pack(
+        ">IIBBBBB", w, h, 8, ctype, 0, 0, 1 if interlace else 0
+    )
+    idat = zlib.compress(body)
     return (
         PNG_SIG
         + chunk(b"IHDR", ihdr)

@@ -256,7 +256,7 @@ def test_decode_png_palette_and_guards():
     assert np.array_equal(got[0, 0], [255, 0, 0])
     assert np.array_equal(got[0, 1], [0, 0, 255])
 
-    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 1)  # interlaced
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 2)  # bogus method
     with pytest.raises(ValueError, match="interlace"):
         decode_png(
             PNG_SIG + chunk(b"IHDR", ihdr_i) + chunk(b"PLTE", plte)
@@ -270,6 +270,26 @@ def test_decode_png_palette_and_guards():
         )
     with pytest.raises(ValueError, match="PNG"):
         decode_png(b"not a png at all")
+
+
+def test_decode_png_adam7_interlaced_roundtrip():
+    """Adam7-interlaced PNGs (r5): every shape x filter combination
+    round-trips byte-identically, including dimensions small enough that
+    some passes are empty."""
+    import numpy as np
+
+    from metadata_crawler_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(41)
+    for shape in [(9, 11), (10, 7, 3), (6, 6, 4), (1, 1), (2, 3, 3)]:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for ft in (0, 1, 4):
+            got = decode_png(encode_png(arr, filter_type=ft, interlace=True))
+            assert got.shape == arr.shape, (shape, ft)
+            assert np.array_equal(got, arr), (shape, ft)
 
 
 def test_media_pixel_stats_png_parity(spark):
