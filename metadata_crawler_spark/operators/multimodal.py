@@ -17,7 +17,10 @@ genuinely need absent libraries):
    images (``decode_ppm``) and WAV PCM audio (``decode_wav``). These run
    fully in this sandbox; ``media_pixel_stats`` drives them through
    mapInPandas to per-blob pixel/sample statistics columns.
-2. Remaining compressed codecs (progressive JPEG/GIF/WebP/MP3) behind an
+   GIF (``gif_codec.decode_gif``: full variable-width LZW, interlace,
+   multi-frame animations with REAL frame counts driving
+   ``frame_sample_plan``, r5) rounds out the image tier.
+2. Remaining compressed codecs (progressive JPEG/WebP/MP3) behind an
    import-try (PIL/soundfile -> NotImplementedError when absent) — the
    remaining, honest stub.
 3. A deterministic fake format ("MCSF") whose header the fixture
@@ -73,6 +76,18 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             kind, w, h, fr = struct.unpack(">BHHH", b[4:11])
             kinds.append(KINDS.get(kind, "unknown")); ws.append(w); hs.append(h)
             frs.append(fr); oks.append(True)
+        elif fmt == "gif":  # real decode incl. REAL frame count
+            try:
+                from .gif_codec import decode_gif
+
+                fr_arr, _d = decode_gif(b)
+                n_fr = int(fr_arr.shape[0])
+                kinds.append("video" if n_fr > 1 else "image")
+                ws.append(int(fr_arr.shape[2])); hs.append(int(fr_arr.shape[1]))
+                frs.append(n_fr); oks.append(True)
+            except Exception:
+                kinds.append("unknown"); ws.append(0); hs.append(0)
+                frs.append(0); oks.append(False)
         elif fmt in ("ppm", "pgm", "png", "jpeg"):  # real decode, real dims
             try:
                 a = decode_image(b)
@@ -128,6 +143,11 @@ def decode_image(blob: bytes):
             # progressive/arithmetic (or corrupt) stream: fall through to
             # the PIL tier, which decodes it where installed
             pass
+    if fmt == "gif":
+        from .gif_codec import decode_gif
+
+        frames, _delays = decode_gif(bytes(blob))
+        return frames[0] if frames.shape[0] == 1 else frames
     if fmt in ("ppm", "pgm"):
         return decode_ppm(bytes(blob))
     try:
@@ -137,8 +157,8 @@ def decode_image(blob: bytes):
         return np.asarray(Image.open(io.BytesIO(blob)))
     except ImportError as exc:  # pragma: no cover
         raise NotImplementedError(
-            "GIF/WebP (and progressive JPEG) decode requires PIL, not "
-            "present in this environment; PNG, baseline JPEG and PPM/PGM "
+            "WebP (and progressive JPEG) decode requires PIL, not present "
+            "in this environment; PNG, baseline JPEG, GIF and PPM/PGM "
             "decode via the stdlib tier"
         ) from exc
 
@@ -480,6 +500,8 @@ def sniff_format(blob: bytes) -> str:
         return "png"
     if blob[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if blob[:4] == MAGIC:
         return "mcsf"
     return "unknown"
@@ -512,7 +534,21 @@ def media_pixel_stats(df: DataFrame) -> DataFrame:
                     "duration_s": 0.0, "ok": False,
                 }
                 try:
-                    if fmt in ("ppm", "pgm", "png", "jpeg"):
+                    if fmt == "gif":
+                        from .gif_codec import decode_gif
+
+                        fr_arr, delays = decode_gif(b)
+                        row.update(
+                            width=int(fr_arr.shape[2]),
+                            height=int(fr_arr.shape[1]),
+                            channels=3,
+                            n_samples=int(fr_arr.shape[0]),
+                            px_mean=float(np.round(fr_arr.mean(), 6)),
+                            px_std=float(np.round(fr_arr.std(), 6)),
+                            duration_s=float(np.round(sum(delays) / 1000.0, 6)),
+                            ok=True,
+                        )
+                    elif fmt in ("ppm", "pgm", "png", "jpeg"):
                         a = decode_image(b)
                         row.update(
                             width=int(a.shape[1]), height=int(a.shape[0]),

@@ -464,3 +464,86 @@ def test_decode_jpeg_fill_bytes_before_markers():
         blob = blob[:i] + b"\xff\xff\xff" + blob[i:]
     got = decode_jpeg(blob)
     assert np.abs(got.astype(int) - g.astype(int)).max() <= 2
+
+
+def test_decode_gif_lossless_roundtrips():
+    """Stdlib GIF codec: LZW is lossless over palette indices, so gray,
+    exact-palette RGB, animated, interlaced, and width-growth (big
+    random frame pushing codes to 12 bits + a 4095-cap CLEAR) inputs all
+    round-trip exactly; real compression shrinks smooth content."""
+    import numpy as np
+
+    from metadata_crawler_spark.operators.gif_codec import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 256, size=(23, 31), dtype=np.uint8)
+    frames, _ = decode_gif(encode_gif(g))
+    assert np.array_equal(frames[0], np.stack([g] * 3, -1))
+
+    pal = rng.integers(0, 256, size=(40, 3), dtype=np.uint8)
+    rgb = pal[rng.integers(0, 40, size=(17, 19))]
+    frames, _ = decode_gif(encode_gif(rgb))
+    assert np.array_equal(frames[0], rgb)
+
+    anim = rng.integers(0, 256, size=(4, 9, 12), dtype=np.uint8)
+    frames, delays = decode_gif(encode_gif(anim, delays_ms=[100, 50, 0, 200]))
+    assert frames.shape == (4, 9, 12, 3)
+    assert delays == [100, 50, 0, 200]
+    for i in range(4):
+        assert np.array_equal(frames[i], np.stack([anim[i]] * 3, -1))
+
+    frames, _ = decode_gif(encode_gif(g, interlace=True))
+    assert np.array_equal(frames[0], np.stack([g] * 3, -1))
+
+    big = rng.integers(0, 256, size=(300, 400), dtype=np.uint8)
+    for compress in (True, False):
+        frames, _ = decode_gif(encode_gif(big, compress=compress))
+        assert np.array_equal(frames[0], np.stack([big] * 3, -1))
+
+    smooth = np.repeat(
+        np.arange(0, 250, 10, dtype=np.uint8), 10
+    )[None, :].repeat(80, 0)
+    assert len(encode_gif(smooth)) < 0.5 * len(
+        encode_gif(smooth, compress=False)
+    )
+
+
+def test_gif_meta_and_stats_spark(spark):
+    """extract_media_meta classifies animated GIFs as video with REAL
+    frame counts (feeding frame_sample_plan), stills as image;
+    media_pixel_stats reports per-blob frame/pixel/duration stats."""
+    import numpy as np
+
+    from metadata_crawler_spark.operators.gif_codec import encode_gif
+    from metadata_crawler_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_meta,
+        frame_sample_plan,
+        media_pixel_stats,
+    )
+
+    rng = np.random.default_rng(37)
+    anim = rng.integers(0, 256, size=(24, 8, 10), dtype=np.uint8)
+    still = rng.integers(0, 256, size=(6, 7), dtype=np.uint8)
+    rows = [
+        (0, "image/gif", bytearray(encode_gif(anim, delays_ms=[40] * 24))),
+        (1, "image/gif", bytearray(encode_gif(still))),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    meta = {r["media_id"]: r for r in extract_media_meta(df).collect()}
+    assert meta[0]["kind"] == "video" and meta[0]["n_frames"] == 24
+    assert (meta[0]["width"], meta[0]["height"]) == (10, 8)
+    assert meta[1]["kind"] == "image" and meta[1]["n_frames"] == 1
+    # the animated row drives frame sampling: frames 0, 10, 20
+    sampled = frame_sample_plan(
+        extract_media_meta(df), every_n=10
+    ).collect()
+    assert sorted(r["frame_idx"] for r in sampled) == [0, 10, 20]
+    stats = {r["media_id"]: r for r in media_pixel_stats(df).collect()}
+    assert stats[0]["ok"] and stats[0]["fmt"] == "gif"
+    assert stats[0]["n_samples"] == 24
+    assert abs(stats[0]["duration_s"] - 0.96) < 1e-9
+    assert stats[1]["ok"] and stats[1]["n_samples"] == 1
