@@ -1,0 +1,123 @@
+"""Common Crawl CDXJ index source.
+
+Common Crawl publishes a per-crawl URL index (cc-index) in CDXJ form —
+one line per capture: ``<SURT urlkey> <14-digit timestamp> <JSON>`` with
+the JSON carrying the original url, mime, HTTP status, content digest
+and the WARC (filename, offset, length) needed to range-read exactly one
+record. Real pipelines plan fetches from this index instead of scanning
+whole WARC segments; this reader turns the index into a typed table the
+frontier/scheduler operators consume directly.
+
+Reference parity: stage-2 catalogue read — a line-oriented typed record
+stream (api/stores/jsonlines.py:154-196); the CDXJ flavor is ours.
+
+Spark shape: ``spark.read.text`` (transparently gzip per file, the
+format CC ships), ONE regexp split + ONE codegen'd ``from_json`` — all
+JVM, no UDF. Malformed lines yield NULL urls and are dropped (bad index
+lines are data, not task failures); pass ``keep_malformed=True`` to
+inspect them instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: the JSON payload fields CC's cc-index writes (all strings on disk)
+CDXJ_JSON_SCHEMA = (
+    "url string, mime string, `mime-detected` string, status string, "
+    "digest string, length string, offset string, filename string, "
+    "languages string, encoding string, redirect string"
+)
+
+#: one line: SURT urlkey, 14-digit timestamp, JSON blob
+_CDXJ_RE = r"^(\S+) (\d{14}) (\{.*\})\s*$"
+
+
+def read_cdxj(
+    spark: SparkSession,
+    path: str,
+    keep_malformed: bool = False,
+) -> DataFrame:
+    """Directory/glob of ``*.cdx(j)[.gz]`` index files -> typed capture
+    table: (urlkey, capture_ts, url, mime, status, digest, warc_filename,
+    warc_offset, warc_length, languages).
+
+    ``warc_offset``/``warc_length`` locate the single WARC record for a
+    range read; ``digest`` is CC's content hash (usable as an exact-dedup
+    key BEFORE fetching anything)."""
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.regexp_extract("value", _CDXJ_RE, 1).alias("urlkey"),
+        F.to_timestamp(
+            F.regexp_extract("value", _CDXJ_RE, 2), "yyyyMMddHHmmss"
+        ).alias("capture_ts"),
+        F.from_json(F.regexp_extract("value", _CDXJ_RE, 3), CDXJ_JSON_SCHEMA)
+        .alias("j"),
+        F.col("value"),
+    ).select(
+        "urlkey",
+        "capture_ts",
+        F.col("j.url").alias("url"),
+        F.coalesce(
+            F.col("j").getField("mime-detected"), F.col("j.mime")
+        ).alias("mime"),
+        F.col("j.status").cast("int").alias("status"),
+        F.col("j.digest").alias("digest"),
+        F.col("j.filename").alias("warc_filename"),
+        F.col("j.offset").cast("long").alias("warc_offset"),
+        F.col("j.length").cast("long").alias("warc_length"),
+        F.col("j.languages").alias("languages"),
+        "value",
+    )
+    if keep_malformed:
+        return parsed.drop("value")
+    return parsed.where(F.col("url").isNotNull()).drop("value")
+
+
+def render_cdxj(rows) -> str:
+    """Fixture-side writer: (urlkey, ts14, dict) tuples -> CDXJ text
+    (like render_warc — the reader must round-trip it)."""
+    import json
+
+    return "\n".join(
+        f"{urlkey} {ts14} {json.dumps(payload, separators=(', ', ': '))}"
+        for urlkey, ts14, payload in rows
+    ) + "\n"
+
+
+def cdx_frontier(
+    captures: DataFrame,
+    statuses: tuple[int, ...] = (200,),
+    mime_prefixes: tuple[str, ...] = ("text/html",),
+) -> DataFrame:
+    """Index-planned frontier: newest OK capture per url, scored flat —
+    the standard 'crawl what the index says exists' seed set. Keeps the
+    WARC coordinates so the fetch stage can range-read instead of
+    re-crawling."""
+    from functools import reduce
+    from operator import or_
+
+    mime_ok = reduce(
+        or_, [F.col("mime").startswith(p) for p in mime_prefixes]
+    )
+    ok = captures.where(
+        F.col("status").isin(list(statuses))
+        & F.coalesce(mime_ok, F.lit(False))
+    )
+    newest = ok.groupBy("url").agg(
+        F.max(
+            F.struct("capture_ts", "digest", "warc_filename",
+                     "warc_offset", "warc_length")
+        ).alias("m")
+    )
+    return newest.select(
+        "url",
+        F.lit(0).alias("depth"),
+        F.lit(1.0).alias("score"),
+        F.col("m.capture_ts").alias("capture_ts"),
+        F.col("m.digest").alias("digest"),
+        F.col("m.warc_filename").alias("warc_filename"),
+        F.col("m.warc_offset").alias("warc_offset"),
+        F.col("m.warc_length").alias("warc_length"),
+    )

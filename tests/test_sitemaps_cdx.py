@@ -1,0 +1,179 @@
+"""Sitemap ingestion + Common Crawl CDXJ index source (r5):
+robots Sitemap: directives, urlset/sitemapindex parsing with entity
+unescape and optional fields, the bounded cycle-safe sitemap walk, and
+CDXJ round-trip into the index-planned frontier."""
+
+from __future__ import annotations
+
+import gzip
+
+import pyspark.sql.functions as F
+
+from metadata_crawler_spark.functions.sitemaps import (
+    parse_sitemap,
+    robots_sitemap_urls,
+    sitemap_seeds,
+    walk_sitemaps,
+)
+from metadata_crawler_spark.sources.cdx import (
+    cdx_frontier,
+    read_cdxj,
+    render_cdxj,
+)
+
+NS = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+
+
+def _urlset(entries: list[tuple]) -> str:
+    body = "".join(
+        "<url><loc>%s</loc>%s%s%s</url>"
+        % (
+            loc,
+            f"<lastmod>{lm}</lastmod>" if lm else "",
+            f"<changefreq>{cf}</changefreq>" if cf else "",
+            f"<priority>{pr}</priority>" if pr else "",
+        )
+        for loc, lm, cf, pr in entries
+    )
+    return f'<?xml version="1.0"?><urlset {NS}>{body}</urlset>'
+
+
+def _index(children: list[str]) -> str:
+    body = "".join(
+        f"<sitemap><loc>{c}</loc></sitemap>" for c in children
+    )
+    return f'<?xml version="1.0"?><sitemapindex {NS}>{body}</sitemapindex>'
+
+
+def test_robots_sitemap_directives(spark):
+    robots = spark.createDataFrame(
+        [
+            ("a.example",
+             "User-agent: *\nDisallow: /x\n"
+             "Sitemap: https://a.example/sitemap.xml\n"
+             "sitemap:https://a.example/sm2.xml\n"),
+            ("b.example", "User-agent: *\nAllow: /\n"),
+        ],
+        "host string, body string",
+    )
+    got = {(r["host"], r["sitemap_url"])
+           for r in robots_sitemap_urls(robots).collect()}
+    assert got == {
+        ("a.example", "https://a.example/sitemap.xml"),
+        ("a.example", "https://a.example/sm2.xml"),
+    }
+
+
+def test_parse_sitemap_fields_and_entities(spark):
+    """Per-entry pairing must survive missing optional fields (a
+    document-level xpath would zip lastmods against the wrong locs), and
+    XML entities in locs decode."""
+    xml = _urlset([
+        ("https://a.example/p?x=1&amp;y=2", "2026-01-02", "daily", "0.8"),
+        ("https://a.example/p2", None, None, None),
+        ("https://a.example/p3", "2026-02-03T04:05:06Z", None, "0.1"),
+    ])
+    df = spark.createDataFrame([("sm", xml)], "sitemap_url string, xml string")
+    leaves, children = parse_sitemap(df)
+    assert children.count() == 0
+    got = {r["url"]: r for r in leaves.collect()}
+    assert set(got) == {
+        "https://a.example/p?x=1&y=2", "https://a.example/p2",
+        "https://a.example/p3",
+    }
+    r1 = got["https://a.example/p?x=1&y=2"]
+    assert str(r1["lastmod"]).startswith("2026-01-02")
+    assert r1["changefreq"] == "daily" and r1["priority"] == 0.8
+    r2 = got["https://a.example/p2"]
+    assert r2["lastmod"] is None and r2["priority"] is None
+    assert str(got["https://a.example/p3"]["lastmod"]).startswith("2026-02-03")
+
+
+def test_walk_sitemaps_index_recursion_and_cycle(spark):
+    """sitemapindex -> child sitemaps -> leaves, with a cycle (child
+    pointing back at the root index) fetched exactly once."""
+    site = {
+        "https://a.example/index.xml": _index([
+            "https://a.example/sm-a.xml",
+            "https://a.example/sm-b.xml",
+        ]),
+        "https://a.example/sm-a.xml": _urlset(
+            [(f"https://a.example/a{i}", None, None, None) for i in range(3)]
+        ),
+        # sm-b is itself an index, and points BACK at the root (cycle)
+        "https://a.example/sm-b.xml": _index([
+            "https://a.example/sm-c.xml",
+            "https://a.example/index.xml",
+        ]),
+        "https://a.example/sm-c.xml": _urlset(
+            [("https://a.example/c0", "2026-03-01", None, "0.9")]
+        ),
+    }
+    fetches: list[str] = []
+
+    def fetch(urls_df):
+        urls = [r["sitemap_url"] for r in urls_df.collect()]
+        fetches.extend(urls)
+        return spark.createDataFrame(
+            [(u, site[u]) for u in urls], "sitemap_url string, xml string"
+        )
+
+    roots = spark.createDataFrame(
+        [("https://a.example/index.xml",)], "sitemap_url string"
+    )
+    leaves = walk_sitemaps(spark, roots, fetch)
+    urls = sorted(r["url"] for r in leaves.collect())
+    assert urls == [
+        "https://a.example/a0", "https://a.example/a1",
+        "https://a.example/a2", "https://a.example/c0",
+    ]
+    assert sorted(fetches) == sorted(site)  # each sitemap fetched ONCE
+    seeds = {r["url"]: r for r in sitemap_seeds(leaves).collect()}
+    assert seeds["https://a.example/c0"]["priority"] == 0.9
+    assert seeds["https://a.example/a0"]["priority"] == 0.5  # spec default
+    assert all(r["depth"] == 0 for r in seeds.values())
+
+
+def test_cdxj_roundtrip_and_frontier(spark, tmp_path):
+    """CDXJ lines (plain + gzip, the CC shipping format) parse to the
+    typed capture table; cdx_frontier picks the newest OK html capture
+    per url with its WARC coordinates; malformed lines drop cleanly."""
+    rows = [
+        ("example,a)/p1", "20260101120000",
+         {"url": "https://a.example/p1", "mime": "text/html",
+          "status": "200", "digest": "D1", "length": "100",
+          "offset": "0", "filename": "w1.warc.gz"}),
+        ("example,a)/p1", "20260301120000",
+         {"url": "https://a.example/p1", "mime": "text/html",
+          "status": "200", "digest": "D2", "length": "120",
+          "offset": "900", "filename": "w2.warc.gz"}),
+        ("example,a)/p2", "20260102000000",
+         {"url": "https://a.example/p2", "mime": "text/html",
+          "status": "404", "digest": "D3", "length": "10",
+          "offset": "50", "filename": "w1.warc.gz"}),
+        ("example,a)/img", "20260102000000",
+         {"url": "https://a.example/i.png", "mime": "image/png",
+          "status": "200", "digest": "D4", "length": "99",
+          "offset": "70", "filename": "w1.warc.gz"}),
+    ]
+    text = render_cdxj(rows) + "this line is garbage\n"
+    (tmp_path / "part1.cdxj").write_text(text)
+    (tmp_path / "part2.cdxj.gz").write_bytes(
+        gzip.compress(render_cdxj([rows[2]]).encode())
+    )
+    cap = read_cdxj(spark, str(tmp_path))
+    assert cap.count() == 5  # 4 + 1 gz duplicate; garbage dropped
+    got = cap.where(F.col("urlkey") == "example,a)/p1").collect()
+    assert all(r["warc_offset"] in (0, 900) for r in got)
+    assert {str(r["capture_ts"])[:10] for r in got} == {
+        "2026-01-01", "2026-03-01"
+    }
+    # malformed kept when asked
+    assert read_cdxj(spark, str(tmp_path), keep_malformed=True).count() == 6
+
+    fr = {r["url"]: r for r in cdx_frontier(cap).collect()}
+    assert set(fr) == {"https://a.example/p1"}  # 404 + png filtered
+    newest = fr["https://a.example/p1"]
+    assert newest["digest"] == "D2" and newest["warc_offset"] == 900
+    assert newest["warc_filename"] == "w2.warc.gz"
+    assert newest["depth"] == 0 and newest["score"] == 1.0
