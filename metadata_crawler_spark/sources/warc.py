@@ -37,6 +37,7 @@ from typing import IO, Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 WARC_PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, segment string"
@@ -78,6 +79,26 @@ def render_warc(records: Iterable[tuple[str, datetime, bytes]]) -> bytes:
         ).encode()
         out += hdr + http + _HDR_END
     return bytes(out)
+
+
+def render_warc_gz_members(
+    records: Iterable[tuple[str, datetime, bytes]]
+) -> tuple[bytes, list[tuple[int, int]]]:
+    """Fixture writer for the Common Crawl segment layout: EACH record is
+    its own gzip member (that is what makes index range reads possible),
+    concatenated into one ``.warc.gz`` blob. Returns (blob, [(offset,
+    length) per record]) — exactly the coordinates a CDX index records.
+    A streaming gunzip of the concatenation yields the same records as
+    the plain form (gzip members concatenate transparently)."""
+    import gzip
+
+    blob = bytearray()
+    coords: list[tuple[int, int]] = []
+    for rec in records:
+        member = gzip.compress(render_warc([rec]))
+        coords.append((len(blob), len(member)))
+        blob += member
+    return bytes(blob), coords
 
 
 def _record_from(
@@ -225,6 +246,85 @@ def _maybe_gzip(fh: IO[bytes], path: str) -> IO[bytes]:
 
         return gzip.GzipFile(fileobj=fh, mode="rb")  # type: ignore[return-value]
     return fh
+
+
+def read_warc_records(
+    spark: SparkSession,
+    captures: DataFrame,
+    base_path: str = "",
+    file_col: str = "warc_filename",
+    offset_col: str = "warc_offset",
+    length_col: str = "warc_length",
+    url_col: str = "url",
+) -> DataFrame:
+    """Range-read EXACTLY the records a CDX index names (the Common
+    Crawl access pattern, sources/cdx.py): each capture row carries
+    (filename, offset, length); CC writes every record as its own gzip
+    member, so seek(offset) + read(length) yields one decompressible
+    record without touching the rest of the ~1 GB segment. Plain
+    ``.warc`` offsets work the same way minus the gunzip.
+
+    Returns the pages shape (url, warc_ts, html, segment). Input rows
+    whose record fails to parse are dropped (bad index entries are
+    data); url mismatches keep the RECORD's header url (the index is a
+    pointer, the record is the truth).
+
+    Scale shape: captures is repartitioned by filename so each task
+    opens each segment once and reads its offsets in ascending order
+    (sequential-ish I/O on object stores); bytes fetched = sum of
+    record lengths, NOT segment sizes — the whole point of an index.
+    """
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: list[tuple] = []
+        for pdf in batches:
+            pdf = pdf.sort_values([file_col, offset_col])
+            for fname, grp in pdf.groupby(file_col, sort=False):
+                path = base_path + fname if base_path else fname
+                try:
+                    fh = _open_uri_raw(path)
+                except OSError:
+                    continue
+                try:
+                    for off, ln in zip(grp[offset_col], grp[length_col]):
+                        try:
+                            fh.seek(int(off))
+                            blob = fh.read(int(ln))
+                            if path.endswith(".gz"):
+                                import gzip
+
+                                blob = gzip.decompress(blob)
+                            rows.extend(
+                                parse_warc_bytes(blob, path)
+                            )
+                        except Exception:
+                            continue  # bad pointer/record: data, not fail
+                finally:
+                    fh.close()
+        yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "segment"])
+
+    cap = captures.select(file_col, offset_col, length_col).where(
+        F.col(file_col).isNotNull()
+    )
+    cap = cap.repartition(F.col(file_col))
+    return cap.mapInPandas(fetch, WARC_PAGES_SCHEMA)
+
+
+def _open_uri_raw(uri: str) -> IO[bytes]:
+    """Seekable raw byte access for range reads: like _open_uri but WITHOUT
+    the gzip wrap — the caller decompresses the member it extracts (a
+    whole-file GzipFile cannot seek to member offsets)."""
+    from urllib.parse import unquote, urlparse
+
+    if "://" not in uri and not uri.startswith("file:"):
+        return open(uri, "rb")
+    p = urlparse(uri)
+    if p.scheme in ("", "file"):
+        return open(unquote(p.path), "rb")
+    from pyarrow import fs as pafs
+
+    filesystem, path = pafs.FileSystem.from_uri(uri)
+    return filesystem.open_input_file(path)  # random-access reader
 
 
 def read_warc_segments(

@@ -177,3 +177,103 @@ def test_cdxj_roundtrip_and_frontier(spark, tmp_path):
     assert newest["digest"] == "D2" and newest["warc_offset"] == 900
     assert newest["warc_filename"] == "w2.warc.gz"
     assert newest["depth"] == 0 and newest["score"] == 1.0
+
+def test_cdx_to_warc_range_read_end_to_end(spark, tmp_path):
+    """The full Common Crawl loop: per-record-gzip-member .warc.gz
+    segments + a CDXJ index of their (offset, length) coordinates ->
+    read_warc_records fetches EXACTLY the indexed records (newest OK
+    capture per url) into the pages shape — without a whole-segment
+    scan. The same segments also stream-read in full via
+    read_warc_segments (gzip members concatenate transparently)."""
+    from datetime import datetime as dt
+
+    from metadata_crawler_spark.sources.warc import (
+        read_warc_records,
+        read_warc_segments,
+        render_warc_gz_members,
+    )
+
+    recs1 = [
+        (f"https://a.example/p{i}", dt(2026, 1, 1 + i), f"<b1-{i}>".encode())
+        for i in range(4)
+    ]
+    recs2 = [
+        (f"https://b.example/q{i}", dt(2026, 2, 1 + i), f"<b2-{i}>".encode())
+        for i in range(3)
+    ]
+    blob1, coords1 = render_warc_gz_members(recs1)
+    blob2, coords2 = render_warc_gz_members(recs2)
+    (tmp_path / "seg1.warc.gz").write_bytes(blob1)
+    (tmp_path / "seg2.warc.gz").write_bytes(blob2)
+
+    # index: every capture, status 200 html
+    cdx_rows = []
+    for fname, recs, coords in (
+        ("seg1.warc.gz", recs1, coords1), ("seg2.warc.gz", recs2, coords2),
+    ):
+        for (url, ts, _html), (off, ln) in zip(recs, coords):
+            cdx_rows.append((
+                "k)/" + url.split("/")[-1], ts.strftime("%Y%m%d%H%M%S"),
+                {"url": url, "mime": "text/html", "status": "200",
+                 "digest": f"D{off}", "length": str(ln),
+                 "offset": str(off), "filename": fname},
+            ))
+    (tmp_path / "index.cdxj").write_text(render_cdxj(cdx_rows))
+
+    captures = read_cdxj(spark, str(tmp_path / "index.cdxj"))
+    frontier = cdx_frontier(captures)
+    pages = read_warc_records(
+        spark, frontier, base_path=str(tmp_path) + "/"
+    )
+    got = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+    assert got == {u: h for u, _t, h in recs1 + recs2}
+
+    # subset range read: only seg2's records, nothing from seg1 parsed
+    sub = read_warc_records(
+        spark,
+        frontier.where(F.col("warc_filename") == "seg2.warc.gz"),
+        base_path=str(tmp_path) + "/",
+    )
+    assert {r["url"] for r in sub.collect()} == {u for u, _t, _h in recs2}
+
+    # the same segments full-scan identically via the streaming reader
+    full = read_warc_segments(spark, str(tmp_path), glob="*.warc.gz")
+    assert {(r["url"], bytes(r["html"])) for r in full.collect()} == {
+        (u, h) for u, _t, h in recs1 + recs2
+    }
+
+
+def test_sitemap_seeds_drive_a_crawl_round(spark, fixture_dir, tables,
+                                           tmp_path_factory):
+    """Integration: sitemap-advertised urls (real fixture pages) walk
+    into engine seeds and drive a full crawl round — sitemap priority
+    becomes the OPIC seed score, fetches succeed."""
+    import os
+
+    from metadata_crawler_spark.plans.round_loop import CrawlConfig, Crawler
+
+    page_urls = [
+        r["url"] for r in tables["pages"].select("url").limit(12).collect()
+    ]
+    xml = _urlset([(u, None, None, "0.9") for u in page_urls])
+    roots = spark.createDataFrame([("sm",)], "sitemap_url string")
+
+    def fetch(urls_df):
+        return spark.createDataFrame(
+            [("sm", xml)], "sitemap_url string, xml string"
+        )
+
+    seeds = sitemap_seeds(walk_sitemaps(spark, roots, fetch))
+    assert seeds.count() == len(set(page_urls))
+    c = Crawler(
+        spark=spark,
+        pages_path=os.path.join(fixture_dir, "pages.parquet"),
+        robots=tables["robots"],
+        hosts=tables["hosts"],
+        checkpoint_dir=str(tmp_path_factory.mktemp("ckpt_sm")),
+        config=CrawlConfig(n_shards=8, bloom_expected_per_shard=4096,
+                           salt_parts=4),
+    )
+    results = c.run(seeds, rounds=1)
+    assert results[0]["scheduled"] > 0
+    assert results[0]["fetched"] > 0
