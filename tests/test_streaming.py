@@ -175,3 +175,69 @@ def test_stream_crawl_rounds_cross_batch_seen(spark, tmp_path):
     e1 = {r.url for r in spark.read.parquet(os.path.join(out, epochs[1])).collect()}
     assert e0 == {f"https://a.com/p{i}" for i in range(10)}
     assert e1 == {f"https://a.com/p{i}" for i in range(10, 15)}  # only the new
+
+
+def test_stream_document_scores_parity_and_dedup(spark, tmp_path):
+    """Streaming corpus scoring (r5): two document deltas with an
+    overlapping doc_id stream through watermarked dedup + stateless
+    scoring; every surviving row's gopher flag and classifier score
+    equals the batch pipeline's output on the same rows (same operators,
+    zero code fork)."""
+    from datetime import datetime as dt
+
+    from metadata_crawler_spark.functions.quality import (
+        train_quality_classifier,
+    )
+    from metadata_crawler_spark.streaming.corpus_stream import (
+        DOC_STREAM_SCHEMA,
+        score_documents,
+        stream_document_scores,
+    )
+
+    good = ("the quick report describes results and methods that have "
+            "been written with clear prose " +
+            " ".join(f"word{i}" for i in range(45)))
+    spam = "buy " + " ".join(f"pill{j} now{j} click{j}" for j in range(20))
+    t0 = dt(2026, 5, 1, 12, 0, 0)
+    batch1 = [(1, "https://a/1", t0, good), (2, "https://a/2", t0, spam)]
+    batch2 = [(2, "https://a/2", t0, spam),          # duplicate doc_id
+              (3, "https://a/3", t0, good + " extra")]
+
+    B = 1 << 12
+    train = spark.createDataFrame(
+        [(0, good, 1), (1, spam, 0), (2, good + " x", 1), (3, spam + " y", 0)],
+        "doc_id long, text string, label int",
+    )
+    weights, _ = train_quality_classifier(train, "text", "label", n_buckets=B)
+
+    in_dir, ck = str(tmp_path / "in"), str(tmp_path / "ck")
+    spark.createDataFrame(batch1, DOC_STREAM_SCHEMA).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q = stream_document_scores(
+        spark, in_dir, ck, clf_weights=weights, clf_n_buckets=B,
+        query_name="doc_scores_t",
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, DOC_STREAM_SCHEMA).write.mode(
+            "append"
+        ).parquet(in_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["doc_id"]: r for r in
+           spark.sql("select * from doc_scores_t").collect()}
+    assert set(got) == {1, 2, 3}  # duplicate doc 2 deduped across batches
+
+    batch_rows = {
+        r["doc_id"]: r
+        for r in score_documents(
+            spark.createDataFrame(batch1 + batch2[1:], DOC_STREAM_SCHEMA),
+            weights, B,
+        ).collect()
+    }
+    for i in (1, 2, 3):
+        assert got[i]["gopher_flagged"] == batch_rows[i]["gopher"]["flagged"]
+        assert abs(got[i]["clf_score"] - batch_rows[i]["clf_score"]) < 1e-12
+    assert got[1]["clf_score"] > 0.5 > got[2]["clf_score"]
