@@ -75,6 +75,36 @@ def read_cdxj(
     return parsed.where(F.col("url").isNotNull()).drop("value")
 
 
+def surt_key_expr(url):
+    """SURT urlkey for a canonical URL — the key cc-index lines carry —
+    as pure JVM expressions, so an engine frontier equi-joins against
+    the CC index on its native key (no re-canonicalizing CC's billions
+    of lines through our URL tier).
+
+    Shape: ``com,example,sub)/path?query`` — host lowercased, label
+    order reversed, leading ``www.`` dropped, scheme and default ports
+    gone, path kept (lowercased, as cc-index does), query preserved.
+    This targets canonical http(s) URLs (feed it the output of the
+    canonicalize tier); exotic userinfo/port forms should be
+    canonicalized first.
+    """
+    url = F.col(url) if isinstance(url, str) else url
+    host = F.lower(
+        F.regexp_extract(url, r"^[a-z][a-z0-9+.\-]*://(?:[^@/]*@)?([^:/?#]+)", 1)
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev_host = F.concat_ws(
+        ",", F.reverse(F.split(host, r"\."))
+    )
+    path_q = F.lower(
+        F.regexp_replace(
+            F.regexp_extract(url, r"^[a-z][a-z0-9+.\-]*://[^/?#]*([^#]*)", 1),
+            r"^$", "/",
+        )
+    )
+    return F.concat(rev_host, F.lit(")"), path_q)
+
+
 def render_cdxj(rows) -> str:
     """Fixture-side writer: (urlkey, ts14, dict) tuples -> CDXJ text
     (like render_warc — the reader must round-trip it)."""

@@ -277,3 +277,38 @@ def test_sitemap_seeds_drive_a_crawl_round(spark, fixture_dir, tables,
     results = c.run(seeds, rounds=1)
     assert results[0]["scheduled"] > 0
     assert results[0]["fetched"] > 0
+
+
+def test_surt_key_expr_joins_cc_index(spark, tmp_path):
+    """SURT urlkeys computed from engine URLs equi-join the CC index on
+    its native key: hand-checked shapes plus an actual join against
+    read_cdxj output."""
+    from metadata_crawler_spark.sources.cdx import surt_key_expr
+
+    df = spark.createDataFrame(
+        [
+            ("https://www.example.com/Path?b=2",),
+            ("https://sub.a.example.org/x/y",),
+            ("http://example.net/",),
+            ("https://example.net",),  # canonical form adds the slash
+        ],
+        "url string",
+    )
+    got = [r["k"] for r in df.select(surt_key_expr("url").alias("k")).collect()]
+    assert got == [
+        "com,example)/path?b=2",
+        "org,example,a,sub)/x/y",
+        "net,example)/",
+        "net,example)/",
+    ]
+    # join our urls against an index keyed by SURT
+    lines = render_cdxj([
+        ("com,example)/path?b=2", "20260101000000",
+         {"url": "https://www.example.com/Path?b=2", "mime": "text/html",
+          "status": "200", "digest": "D", "length": "9", "offset": "0",
+          "filename": "w.warc.gz"}),
+    ])
+    (tmp_path / "i.cdxj").write_text(lines)
+    idx = read_cdxj(spark, str(tmp_path / "i.cdxj"))
+    hits = df.withColumn("urlkey", surt_key_expr("url")).join(idx, "urlkey")
+    assert hits.count() == 1
