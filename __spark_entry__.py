@@ -1981,26 +1981,42 @@ FROM documents WHERE doc_id < 500
 
 
 # ---------------------------------------------------------------------------
-# q52 — CCNet-style corpus-wide paragraph dedup (Wenzek et al. 2020):
-# drop every repeated paragraph except its first (id, pos) occurrence,
-# recompose documents (operators/dedup.paragraph_dedup). Pseudo-paragraphs
-# are 10-token windows (the fixture corpus has no newlines).
+# q52 — sub-document dedup family (r5 merge under the 50-row cap):
+# (a) CCNet-style corpus-wide paragraph dedup (Wenzek et al. 2020): drop
+#     every repeated paragraph except its first (id, pos) occurrence,
+#     recompose documents (operators/dedup.paragraph_dedup). Pseudo-
+#     paragraphs are 10-token windows (the fixture corpus has no newlines).
+# (b) exact-substring span dedup (Lee et al. 2022): every 15-token span
+#     occurring verbatim elsewhere is excised from all but its first
+#     (id, pos) occurrence (operators/dedup.span_dedup) — the suffix-array
+#     pass re-expressed as a rolling-hash window join.
 # ---------------------------------------------------------------------------
 
 def q52_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Line/paragraph-level corpus dedup — the training-pipeline step
-    between exact (q03) and near-dup (q21-q24) document dedup."""
+    """Line/paragraph-level + span-level corpus dedup — the training-
+    pipeline steps between exact (q03) and near-dup (q21-q24) dedup."""
     _prep(spark)
-    from metadata_crawler_spark.operators.dedup import paragraph_dedup
+    from metadata_crawler_spark.operators.dedup import paragraph_dedup, span_dedup
 
     d = _t(spark, sf_dir, "documents")
-    out = paragraph_dedup(d, "text", "doc_id", chunk_words=10)
-    return out.select(
+    para = paragraph_dedup(d, "text", "doc_id", chunk_words=10)
+    span = span_dedup(d, "text", "doc_id", window_tokens=15).select(
+        "id",
+        F.col("n_tokens").alias("span_n_tokens"),
+        F.col("n_removed").alias("span_removed"),
+        F.col("removed_frac").alias("span_removed_frac"),
+        F.col("dedup_text").alias("span_text"),
+    )
+    return para.join(span, "id").select(
         F.col("id").alias("doc_id"),
         "n_chunks",
         "n_kept",
         "kept_frac",
         "dedup_text",
+        "span_n_tokens",
+        "span_removed",
+        "span_removed_frac",
+        "span_text",
     )
 
 
@@ -2018,15 +2034,57 @@ k AS (
          ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) = 1
            AS kept
   FROM ch
-)
-SELECT doc_id,
-       COUNT(*) AS n_chunks,
-       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       ROUND(SUM(CASE WHEN kept THEN 1 ELSE 0 END) / COUNT(*), 6)
-         AS kept_frac,
-       COALESCE(string_agg(CASE WHEN kept THEN chunk END, ' '
-                           ORDER BY pos), '') AS dedup_text
-FROM k GROUP BY doc_id
+),
+para AS (
+  SELECT doc_id,
+         COUNT(*) AS n_chunks,
+         CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         ROUND(SUM(CASE WHEN kept THEN 1 ELSE 0 END) / COUNT(*), 6)
+           AS kept_frac,
+         COALESCE(string_agg(CASE WHEN kept THEN chunk END, ' '
+                             ORDER BY pos), '') AS dedup_text
+  FROM k GROUP BY doc_id
+),
+w AS (
+  SELECT doc_id, r.i AS pos,
+         array_to_string(ts[(r.i + 1):(r.i + 15)], ' ') AS win
+  FROM t, unnest(range(greatest(len(ts) - 14, 0))) AS r(i)
+),
+dupw AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+    FROM w
+  ) WHERE rn > 1
+),
+cov AS (
+  SELECT DISTINCT doc_id, r.j AS tpos
+  FROM dupw, unnest(range(pos, pos + 15)) AS r(j)
+),
+tok AS (
+  SELECT doc_id, r.i AS tpos, ts[r.i + 1] AS tok
+  FROM t, unnest(range(len(ts))) AS r(i)
+),
+surv AS (
+  SELECT tok.doc_id, tok.tpos, tok.tok FROM tok
+  ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.tpos = cov.tpos
+),
+rec AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS span_text
+  FROM surv GROUP BY doc_id
+),
+rem AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id)
+SELECT para.doc_id, n_chunks, n_kept, kept_frac, dedup_text,
+       CAST(len(t.ts) AS BIGINT) AS span_n_tokens,
+       CAST(COALESCE(rem.n_removed, 0) AS BIGINT) AS span_removed,
+       ROUND(CASE WHEN len(t.ts) = 0 THEN 0.0
+                  ELSE COALESCE(rem.n_removed, 0) / len(t.ts) END, 6)
+         AS span_removed_frac,
+       COALESCE(rec.span_text, '') AS span_text
+FROM para
+JOIN t ON para.doc_id = t.doc_id
+LEFT JOIN rem ON para.doc_id = rem.doc_id
+LEFT JOIN rec ON para.doc_id = rec.doc_id
 """
 
 

@@ -587,3 +587,102 @@ def neardup_clusters(
             stacklevel=2,
         )
     return labels
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_tokens: int = 50,
+) -> DataFrame:
+    """Exact-substring span dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): any ``window_tokens``-token
+    span that occurs verbatim anywhere else in the corpus is removed from
+    every occurrence EXCEPT the first (global order = (id, pos) ascending),
+    and each document is recomposed from its surviving tokens.
+
+    The paper builds one giant suffix array; the distributed re-expression
+    is a rolling window join — same keep-first semantics on fixed-width
+    windows (a duplicated run of length L >= n is covered by its L - n + 1
+    duplicated windows, so whole repeated runs are excised just as the
+    suffix-array pass would):
+
+    1. map-side: per doc, the array of xxhash64 window fingerprints —
+       only (id, pos, hash) ~24-byte rows ever reach the first shuffle;
+       window TEXT never rides an exchange (unlike paragraph_dedup, the
+       text of a duplicated window is never needed downstream — only its
+       covered positions are).
+    2. keep decision: row_number over the hash; rn > 1 -> duplicate span.
+    3. duplicate spans explode to covered token positions [pos, pos+n)
+       (amplification ×n on the DUPLICATE slice only), distinct.
+    4. token-level left_anti join removes covered tokens; recompose via
+       one id-keyed groupBy bounded by document length.
+
+    Returns (id, n_tokens, n_removed, removed_frac, dedup_text) for every
+    input document (fully-excised docs get dedup_text = '').
+
+    Docs shorter than ``window_tokens`` produce no windows and are never
+    removed-from (matches the paper: spans below the threshold are kept).
+
+    Reference analog: content-hash upsert is the reference's only dedup
+    (src/metadata_crawler/api/stores/mongodb.py unique-key index); span
+    excision has no analog there — it is part of the LLM-pipeline surface.
+    """
+    n = int(window_tokens)
+    toks = F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+                  ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("ts"))
+
+    # (id, pos, h): pos is 0-based; hashes computed inside one map-side
+    # transform over the token array, then posexploded.
+    win_hashes = F.transform(
+        F.sequence(F.lit(0), F.size("ts") - n),
+        lambda i: F.xxhash64(F.concat_ws("\x1f", F.slice(F.col("ts"), i + 1, n))),
+    )
+    wh = (
+        base.filter(F.size("ts") >= n)
+        .select("id", F.posexplode(win_hashes).alias("pos", "h"))
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy("id", "pos")
+    dup = (
+        wh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("id", "pos")
+    )
+    covered = dup.select(
+        "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("tpos")
+    ).distinct()
+
+    ex_t = base.select("id", F.posexplode("ts").alias("tpos", "tok"))
+    surv = ex_t.join(covered, ["id", "tpos"], "left_anti")
+    recomposed = surv.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("dedup_text")
+    )
+    removed_cnt = covered.groupBy("id").agg(F.count("*").alias("n_removed"))
+
+    return (
+        base.select("id", F.size("ts").cast("long").alias("n_tokens"))
+        .join(removed_cnt, "id", "left")
+        .join(recomposed, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.round(
+                F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                    F.coalesce("n_removed", F.lit(0)) / F.col("n_tokens")
+                ),
+                6,
+            ).alias("removed_frac"),
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        )
+    )

@@ -279,3 +279,77 @@ def test_clean_corpus_transitive_vs_greedy_victims(spark):
     assert greedy == {1, 2, 9}          # Z dropped; bridge never clustered
     assert trans == {1, 9}              # whole cluster collapses to min id
     assert greedy != trans
+
+
+def _span_dedup_ref(docs, n):
+    """Brute-force reference for span_dedup: dict-based first-occurrence
+    scan, then position excision — O(corpus) memory, test-only."""
+    toks = {i: t.split() for i, t in docs}
+    first = {}
+    removed = {i: set() for i, _ in docs}
+    for i, _ in docs:
+        ts = toks[i]
+        for p in range(len(ts) - n + 1):
+            key = tuple(ts[p:p + n])
+            if key in first:
+                removed[i].update(range(p, p + n))
+            else:
+                first[key] = (i, p)
+    out = {}
+    for i, _ in docs:
+        ts = toks[i]
+        keep = [t for p, t in enumerate(ts) if p not in removed[i]]
+        out[i] = (len(ts), len(removed[i]), " ".join(keep))
+    return out
+
+
+def test_span_dedup_planted(spark):
+    from metadata_crawler_spark.operators.dedup import span_dedup
+
+    run = "alpha beta gamma delta epsilon zeta"   # 6-token duplicated run
+    docs = [
+        (1, f"one two {run} three four"),
+        (2, f"five {run} six seven eight nine"),      # dup of doc1's run
+        (3, "ten eleven twelve thirteen fourteen fifteen sixteen"),
+        (4, f"{run} {run}"),                          # self-repeat
+        (5, "short doc"),                             # below window size
+        (6, f"lead {run} tail one two three {run} x"),
+    ]
+    n = 4
+    ref = _span_dedup_ref(docs, n)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.id: (r.n_tokens, r.n_removed, r.dedup_text)
+        for r in span_dedup(df, "text", "doc_id", window_tokens=n).collect()
+    }
+    assert got == ref
+    # the planted duplicate run really was excised from later docs
+    assert ref[2][1] >= 6 and run not in got[2][2]
+    # first occurrence survives verbatim
+    assert run in got[1][2]
+    # short docs untouched
+    assert got[5] == (2, 0, "short doc")
+
+
+def test_span_dedup_whole_doc_excised(spark):
+    from metadata_crawler_spark.operators.dedup import span_dedup
+
+    text = "a b c d e f"
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], ["doc_id", "text"]
+    )
+    got = {
+        r.id: (r.n_tokens, r.n_removed, r.removed_frac, r.dedup_text)
+        for r in span_dedup(df, "text", "doc_id", window_tokens=3).collect()
+    }
+    assert got[1] == (6, 0, 0.0, text)       # first occurrence kept
+    assert got[2] == (6, 6, 1.0, "")         # exact copy fully excised
+
+
+def test_span_dedup_empty_text(spark):
+    from metadata_crawler_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame([(1, ""), (2, "   ")], ["doc_id", "text"])
+    rows = {r.id: r for r in span_dedup(df, "text", "doc_id", 3).collect()}
+    assert rows[1].n_tokens == 0 and rows[1].removed_frac == 0.0
+    assert rows[2].n_tokens == 0 and rows[2].dedup_text == ""
