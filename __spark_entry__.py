@@ -660,8 +660,10 @@ def q16_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ws_token_count,
     )
 
+    from metadata_crawler_spark.operators.packing import pack_concat_chunk
+
     d = _t(spark, sf_dir, "documents")
-    return d.select(
+    metrics = d.select(
         "doc_id",
         ws_token_count(F.col("text")).cast("long").alias("ws_tokens"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), F.lit(0)))
@@ -670,6 +672,14 @@ def q16_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score_expr(F.col("text")).alias("quality"),
         lang_id_expr(F.col("text")).alias("pred_lang"),
         fingerprint_expr(F.col("text")).alias("fingerprint"),
+    )
+    # r5 merge: GPT-style concat-and-chunk packing plan (seq_len=512) over
+    # the ws token counts — start_tok is the scalable two-phase prefix
+    # scan, NOT a single-partition global window (operators/packing.py).
+    return pack_concat_chunk(metrics, "doc_id", "ws_tokens", 512).select(
+        "doc_id", "ws_tokens", "bpe_ish_tokens", "n_chars_actual",
+        "quality", "pred_lang", "fingerprint",
+        "start_tok", "first_seq", "last_seq", "seq_offset",
     )
 
 
@@ -719,6 +729,28 @@ SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' '))
          AS fingerprint
 FROM scores
+"""
+
+# r5: wrap the metrics query with the concat-chunk packing span math — the
+# oracle uses the NAIVE global window (fine at sf0.01); the Spark side's
+# two-phase scan must match it exactly.
+_Q16_SQL = rf"""
+WITH m AS ({_Q16_SQL}),
+p AS (
+  SELECT *,
+         COALESCE(SUM(ws_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_tok
+  FROM m
+)
+SELECT doc_id, ws_tokens, bpe_ish_tokens, n_chars_actual, quality,
+       pred_lang, fingerprint,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(start_tok // 512 AS BIGINT) AS first_seq,
+       CAST(CASE WHEN ws_tokens > 0 THEN (start_tok + ws_tokens - 1) // 512
+                 ELSE start_tok // 512 END AS BIGINT) AS last_seq,
+       CAST(start_tok % 512 AS BIGINT) AS seq_offset
+FROM p
 """
 
 
