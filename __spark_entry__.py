@@ -2270,6 +2270,12 @@ def q55_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_crossentropy,
     )
 
+    from metadata_crawler_spark.operators.sampling import (
+        bernoulli_importance_sample,
+        dsir_logratio,
+        dsir_score,
+    )
+
     d = _t(spark, sf_dir, "documents")
     xent = unigram_crossentropy(d, "text", "doc_id")
     labeled = d.withColumn("_y", (F.col("doc_id") % 3 == 0).cast("int"))
@@ -2280,11 +2286,32 @@ def q55_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         labeled, "text", weights,
         n_buckets=_Q55_BUCKETS, hasher="md5", bias=0.0,
     ).select("doc_id", F.round("clf_score", 6).alias("clf_score"))
-    return xent.join(scored, xent["id"] == scored["doc_id"]).select(
+    # r5 merge: DSIR importance resampling (Xie et al. 2023) against the
+    # same target split — per-doc sum of hashed-ngram log p_target/p_raw,
+    # then deterministic Bernoulli thinning (operators/sampling.py).
+    lr = dsir_logratio(
+        labeled.filter("_y = 1"), d, "text",
+        n_buckets=_Q55_BUCKETS, hasher="md5",
+    )
+    dsir = bernoulli_importance_sample(
+        dsir_score(d, "text", lr, n_buckets=_Q55_BUCKETS, hasher="md5"),
+        "dsir_logw", "doc_id",
+        temperature=20.0, center=-75.0, seed=7, hasher="md5",
+        keep_col="dsir_keep",
+    ).select(
         "doc_id",
+        F.round("dsir_logw", 6).alias("dsir_logw"),
+        F.round("keep_prob", 6).alias("dsir_keep_prob"),
+        "dsir_keep",
+    )
+    base = xent.select(
+        F.col("id").alias("doc_id"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
         "xent",
-        "clf_score",
+    )
+    return base.join(scored, "doc_id").join(dsir, "doc_id").select(
+        "doc_id", "n_tokens", "xent", "clf_score",
+        "dsir_logw", "dsir_keep_prob", "dsir_keep",
     )
 
 
@@ -2338,9 +2365,38 @@ s AS (
          ROUND(1.0 / (1.0 + exp(-(COALESCE(agg.sw / agg.nf, 0.0)))), 6)
            AS clf_score
   FROM d LEFT JOIN agg USING (doc_id)
+),
+tcnt AS (
+  SELECT bucket, COUNT(*)::DOUBLE AS c FROM feats WHERE label = 1
+  GROUP BY bucket
+),
+rcnt AS (SELECT bucket, COUNT(*)::DOUBLE AS c FROM feats GROUP BY bucket),
+ttot AS (SELECT SUM(c) AS t FROM tcnt),
+rtot AS (SELECT SUM(c) AS t FROM rcnt),
+lr AS (
+  SELECT rcnt.bucket,
+         ln((COALESCE(tcnt.c, 0) + 1.0) / (ttot.t + 1.0 * {_Q55_BUCKETS}))
+           - ln((rcnt.c + 1.0) / (rtot.t + 1.0 * {_Q55_BUCKETS})) AS logratio
+  FROM rcnt LEFT JOIN tcnt USING (bucket), ttot, rtot
+),
+dw AS (
+  SELECT f.doc_id, SUM(lr.logratio) AS sw
+  FROM feats f JOIN lr USING (bucket) GROUP BY f.doc_id
+),
+ds AS (
+  SELECT d.doc_id,
+         COALESCE(dw.sw, 0.0) AS logw,
+         1.0 / (1.0 + exp(-((COALESCE(dw.sw, 0.0) + 75.0) / 20.0)))
+           AS keep_p,
+         ((('0x' || substr(md5(d.doc_id || ':7'), 1, 8))::BIGINT
+            % 1073741824) + 0.5) / 1073741824.0 AS u
+  FROM d LEFT JOIN dw USING (doc_id)
 )
-SELECT x.doc_id, x.n_tokens, x.xent, s.clf_score
-FROM x JOIN s USING (doc_id)
+SELECT x.doc_id, x.n_tokens, x.xent, s.clf_score,
+       ROUND(ds.logw, 6) AS dsir_logw,
+       ROUND(ds.keep_p, 6) AS dsir_keep_prob,
+       ds.u < ds.keep_p AS dsir_keep
+FROM x JOIN s USING (doc_id) JOIN ds USING (doc_id)
 """
 
 

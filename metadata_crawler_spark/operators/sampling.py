@@ -1,0 +1,239 @@
+"""Data-selection sampling for pretraining mixes.
+
+- DSIR (Xie et al. 2023, "Data Selection for Language Models via
+  Importance Resampling"): importance log-weight of a raw document =
+  sum over its hashed n-gram occurrences of log(p_target / p_raw) under
+  bucketed unigram models of a small target corpus vs the raw pool, then
+  resample proportionally. Feature hashing reuses
+  functions.quality.hashed_ngram_buckets (JVM, dual xxhash64/md5 hasher);
+  scoring reuses the broadcast-dense-vector + Arrow gather shape of the
+  quality classifier (sum readout instead of sigmoid-of-mean).
+- Deterministic randomness: every sampling decision derives from
+  ``hash_uniform`` (md5/xxhash64 of the row id + seed), never ``F.rand``
+  — rerunning on a different cluster size or partitioning yields the
+  SAME sample, and the DuckDB oracle can recompute it bit-for-bit.
+- ``gumbel_topk``: exact sampling WITHOUT replacement of k docs with
+  probability proportional to exp(logw/T) (Gumbel-max trick); the top-k
+  is Spark's TakeOrderedAndProject — per-partition heaps, no full sort.
+- ``temperature_sample``: domain/language rebalancing (multinomial
+  temperature alpha as in multilingual pretraining): per-domain keep
+  probabilities from one tiny groupBy (#domains rows to the driver),
+  applied via a broadcast map + hash_uniform Bernoulli thinning.
+
+Reference analog: the reference's only sampling is max-files truncation
+(SURVEY §2.2 F5); everything here is LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.quality import hashed_ngram_buckets
+
+_U_M = 1 << 30  # uniform grid: (h mod M + 0.5) / M keeps u off 0 and 1
+
+
+def hash_uniform(key: Column, seed: int = 0, hasher: str = "xxhash64") -> Column:
+    """Deterministic uniform(0,1) from a key column — reproducible across
+    cluster sizes and recomputable by the DuckDB oracle (md5 path)."""
+    s = F.concat(key.cast("string"), F.lit(f":{int(seed)}"))
+    if hasher == "xxhash64":
+        h = F.xxhash64(s)
+    elif hasher == "md5":
+        h = F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hasher {hasher!r}")
+    return (F.pmod(h, F.lit(_U_M)) + F.lit(0.5)) / F.lit(float(_U_M))
+
+
+def dsir_logratio(
+    target_df: DataFrame,
+    raw_df: DataFrame,
+    text_col: str,
+    n_buckets: int = 1 << 20,
+    ngram_sizes: tuple[int, ...] = (1, 2),
+    hasher: str = "xxhash64",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Per-bucket importance log-ratio table (bucket, logratio):
+    ln p_target(bucket) - ln p_raw(bucket) under add-``smoothing``
+    bucketed bag-of-ngram models. One explode + one bucket-keyed groupBy
+    per corpus (partial aggregation shrinks both map-side); only the two
+    scalar gram totals reach the driver."""
+
+    def bucket_counts(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    hashed_ngram_buckets(
+                        F.col(text_col), n_buckets, ngram_sizes, hasher
+                    )
+                ).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").cast("double").alias("cnt"))
+        )
+
+    t = bucket_counts(target_df).withColumnRenamed("cnt", "t_cnt")
+    r = bucket_counts(raw_df).withColumnRenamed("cnt", "r_cnt")
+    t_tot = float(t.agg(F.sum("t_cnt")).first()[0] or 0.0)
+    r_tot = float(r.agg(F.sum("r_cnt")).first()[0] or 0.0)
+    a, b = float(smoothing), float(n_buckets)
+    joined = t.join(r, "bucket", "full").select(
+        "bucket",
+        (
+            F.log((F.coalesce("t_cnt", F.lit(0.0)) + a) / F.lit(t_tot + a * b))
+            - F.log((F.coalesce("r_cnt", F.lit(0.0)) + a) / F.lit(r_tot + a * b))
+        ).alias("logratio"),
+    )
+    return joined
+
+
+def dsir_score(
+    df: DataFrame,
+    text_col: str,
+    logratio,
+    score_col: str = "dsir_logw",
+    n_buckets: int = 1 << 20,
+    ngram_sizes: tuple[int, ...] = (1, 2),
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Per-doc importance log-weight: SUM of logratio over the doc's gram
+    occurrences (the DSIR paper's log importance weight — a sum, not the
+    classifier's mean). Same 100 TB shape as quality_classifier_score:
+    dense broadcast vector (8 MB at 2^20), Arrow-batch gather + bincount,
+    zero shuffles. Buckets absent from the table contribute 0 (their
+    target and raw smoothed masses cancel only approximately; 0 is the
+    standard unseen default). Featureless/NULL docs score 0."""
+    if isinstance(logratio, DataFrame):
+        w = np.zeros(n_buckets, dtype=np.float64)
+        for bucket, lr in logratio.collect():
+            w[int(bucket)] = float(lr)
+    else:
+        w = np.asarray(logratio, dtype=np.float64)
+        if w.shape != (n_buckets,):
+            raise ValueError(f"logratio shape {w.shape} != ({n_buckets},)")
+    bc = df.sparkSession.sparkContext.broadcast(w)
+
+    @F.pandas_udf("double")
+    def _sum_logw(buckets: pd.Series) -> pd.Series:
+        arrs = [
+            np.asarray(a if a is not None else [], dtype=np.int64)
+            for a in buckets
+        ]
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.Series(np.zeros(len(arrs)))
+        flat = np.concatenate([a for a in arrs if len(a)])
+        sums = np.bincount(
+            np.repeat(np.arange(len(arrs)), lens),
+            weights=bc.value[flat],
+            minlength=len(arrs),
+        )
+        return pd.Series(sums)
+
+    return df.withColumn(
+        score_col,
+        _sum_logw(
+            hashed_ngram_buckets(F.col(text_col), n_buckets, ngram_sizes, hasher)
+        ),
+    )
+
+
+def bernoulli_importance_sample(
+    df: DataFrame,
+    logw_col: str,
+    id_col: str,
+    temperature: float = 1.0,
+    center: float = 0.0,
+    seed: int = 0,
+    hasher: str = "xxhash64",
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Bernoulli thinning with keep probability sigmoid((logw - center)/T)
+    — the streaming-friendly DSIR variant (no global normalizer): each
+    row's decision is local + deterministic, so the sample is reproducible
+    and oracle-checkable. ``center`` shifts the operating point (raw DSIR
+    sums are offset by the corpus-size ratio; set it near the corpus
+    median logw, e.g. from approxQuantile, to target ~50% keep at the
+    median). Adds (keep_prob, keep)."""
+    p = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(
+            -(F.col(logw_col) - F.lit(float(center)))
+            / F.lit(float(temperature))
+        )
+    )
+    u = hash_uniform(F.col(id_col), seed, hasher)
+    return df.withColumn("keep_prob", p).withColumn(keep_col, u < p)
+
+
+def gumbel_topk(
+    df: DataFrame,
+    logw_col: str,
+    id_col: str,
+    k: int,
+    temperature: float = 1.0,
+    seed: int = 0,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Exact k-sample without replacement ~ exp(logw/T) via the Gumbel-max
+    trick: key = logw/T - ln(-ln(u)), take the k largest. Spark compiles
+    orderBy+limit to per-partition top-k heaps (TakeOrderedAndProject) —
+    no global sort materializes."""
+    u = hash_uniform(F.col(id_col), seed, hasher)
+    key = F.col(logw_col) / F.lit(float(temperature)) - F.log(-F.log(u))
+    return (
+        df.withColumn("_gumbel_key", key)
+        .orderBy(F.desc("_gumbel_key"), F.asc(id_col))
+        .limit(int(k))
+        .drop("_gumbel_key")
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    alpha: float = 0.7,
+    n_target: int | None = None,
+    seed: int = 0,
+    hasher: str = "xxhash64",
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Domain rebalancing by multinomial temperature: target share of
+    domain d is c_d^alpha / sum_e c_e^alpha (alpha < 1 flattens the head,
+    the standard multilingual/domain-mix recipe). Keep probabilities are
+    derived driver-side from one #domains-row groupBy, capped at 1, and
+    applied as deterministic Bernoulli thinning. ``n_target`` defaults to
+    the largest total for which no domain caps (max achievable exact mix).
+
+    Adds (keep_prob, keep). Expected kept count ~= n_target with the mix
+    proportions exact for uncapped domains."""
+    counts = {
+        r["d"]: r["c"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    if not counts:
+        return df.withColumn("keep_prob", F.lit(0.0)).withColumn(
+            keep_col, F.lit(False)
+        )
+    a = float(alpha)
+    shares = {d: c**a for d, c in counts.items()}
+    z = sum(shares.values())
+    shares = {d: s / z for d, s in shares.items()}
+    if n_target is None:
+        # largest N with p_d = share_d * N / c_d <= 1 for every domain
+        n_target = int(min(c / shares[d] for d, c in counts.items()))
+    probs = {
+        d: min(1.0, shares[d] * float(n_target) / c) for d, c in counts.items()
+    }
+    pmap = F.create_map(*[F.lit(x) for kv in probs.items() for x in kv])
+    p = F.coalesce(F.element_at(pmap, F.col(domain_col)), F.lit(0.0))
+    u = hash_uniform(F.col(id_col), seed, hasher)
+    return df.withColumn("keep_prob", p).withColumn(keep_col, u < p)

@@ -1,0 +1,169 @@
+"""DSIR importance resampling + temperature domain mixing, against
+pure-python references."""
+
+from __future__ import annotations
+
+import collections
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from metadata_crawler_spark.operators.sampling import (
+    bernoulli_importance_sample,
+    dsir_logratio,
+    dsir_score,
+    gumbel_topk,
+    hash_uniform,
+    temperature_sample,
+)
+
+B = 1 << 12
+
+
+def _md5_bucket(gram: str) -> int:
+    return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16) % B
+
+
+def _md5_uniform(key: str, seed: int) -> float:
+    h = int(hashlib.md5(f"{key}:{seed}".encode()).hexdigest()[:8], 16)
+    return ((h % (1 << 30)) + 0.5) / float(1 << 30)
+
+
+def _grams(text: str):
+    toks = [t for t in text.split() if t]
+    return toks + [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+
+
+def _ref_logratio(target, raw, smoothing=1.0):
+    tc = collections.Counter(_md5_bucket(g) for t in target for g in _grams(t))
+    rc = collections.Counter(_md5_bucket(g) for t in raw for g in _grams(t))
+    tt, rt = sum(tc.values()), sum(rc.values())
+    out = {}
+    for b in set(tc) | set(rc):
+        out[b] = math.log((tc.get(b, 0) + smoothing) / (tt + smoothing * B)) - math.log(
+            (rc.get(b, 0) + smoothing) / (rt + smoothing * B)
+        )
+    return out
+
+
+TARGET = ["physics theorem proof lemma", "theorem proof corollary lemma axiom"]
+RAW = [
+    "buy cheap deals now click here",
+    "physics theorem proof lemma axiom notation",
+    "click buy now cheap cheap",
+    "lemma proof sketch theorem",
+]
+
+
+def test_dsir_logratio_matches_reference(spark):
+    t = spark.createDataFrame([(x,) for x in TARGET], ["text"])
+    r = spark.createDataFrame([(x,) for x in RAW], ["text"])
+    lr = dsir_logratio(t, r, "text", n_buckets=B, hasher="md5")
+    got = {row.bucket: row.logratio for row in lr.collect()}
+    ref = _ref_logratio(TARGET, RAW)
+    assert set(got) == set(ref)
+    for b in ref:
+        assert abs(got[b] - ref[b]) < 1e-9, b
+
+
+def test_dsir_score_separates_target_like_docs(spark):
+    t = spark.createDataFrame([(x,) for x in TARGET], ["text"])
+    r = spark.createDataFrame(list(enumerate(RAW)), ["id", "text"])
+    lr = dsir_logratio(t, r, "text", n_buckets=B, hasher="md5")
+    scored = {
+        row.id: row.dsir_logw
+        for row in dsir_score(r, "text", lr, n_buckets=B, hasher="md5").collect()
+    }
+    ref = _ref_logratio(TARGET, RAW)
+    for i, text in enumerate(RAW):
+        exp = sum(ref.get(_md5_bucket(g), 0.0) for g in _grams(text))
+        assert abs(scored[i] - exp) < 1e-9
+    # target-like raw docs outrank spam
+    assert scored[1] > scored[0] and scored[3] > scored[2]
+
+
+def test_dsir_score_null_and_empty(spark):
+    t = spark.createDataFrame([(x,) for x in TARGET], ["text"])
+    r = spark.createDataFrame([(1, None), (2, ""), (3, "theorem proof")],
+                              ["id", "text"])
+    lr = dsir_logratio(t, r.filter("text is not null"), "text",
+                       n_buckets=B, hasher="md5")
+    got = {row.id: row.dsir_logw
+           for row in dsir_score(r, "text", lr, n_buckets=B, hasher="md5").collect()}
+    assert got[1] == 0.0 and got[2] == 0.0 and got[3] != 0.0
+
+
+def test_hash_uniform_matches_reference_and_range(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], ["id"])
+    rows = df.select(
+        "id", hash_uniform(F.col("id"), seed=42, hasher="md5").alias("u")
+    ).collect()
+    for r in rows:
+        assert abs(r.u - _md5_uniform(str(r.id), 42)) < 1e-12
+        assert 0.0 < r.u < 1.0
+    us = sorted(r.u for r in rows)
+    assert 0.4 < us[len(us) // 2] < 0.6  # roughly uniform median
+
+
+def test_bernoulli_sample_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, float(i % 7) - 3.0) for i in range(300)], ["id", "logw"]
+    )
+    a = bernoulli_importance_sample(df, "logw", "id", temperature=2.0,
+                                    seed=1, hasher="md5").collect()
+    b = bernoulli_importance_sample(df, "logw", "id", temperature=2.0,
+                                    seed=1, hasher="md5").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    for r in a:
+        p = 1.0 / (1.0 + math.exp(-r.logw / 2.0))
+        assert abs(r.keep_prob - p) < 1e-12
+        assert r.keep == (_md5_uniform(str(r.id), 1) < p)
+    kept = sum(r.keep for r in a)
+    assert 0 < kept < len(a)
+
+
+def test_gumbel_topk_respects_weights(spark):
+    # doc 0 has overwhelming weight: it must appear in every top-2 sample
+    df = spark.createDataFrame(
+        [(0, 50.0), (1, 0.0), (2, 0.0), (3, 0.0)], ["id", "logw"]
+    )
+    for seed in range(5):
+        got = {r.id for r in gumbel_topk(df, "logw", "id", k=2, seed=seed).collect()}
+        assert 0 in got and len(got) == 2
+    # and different seeds vary the companion pick eventually
+    picks = {
+        tuple(sorted(r.id for r in gumbel_topk(df, "logw", "id", 2, seed=s).collect()))
+        for s in range(8)
+    }
+    assert len(picks) > 1
+
+
+def test_temperature_sample_flattens_head(spark):
+    rows = [(i, "big") for i in range(900)] + [
+        (1000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["id", "domain"])
+    out = temperature_sample(df, "domain", "id", alpha=0.5, seed=3,
+                             hasher="md5").collect()
+    probs = {r.domain: r.keep_prob for r in out}
+    # alpha=0.5: shares 30:10 -> small domain keeps everything (p=1),
+    # big domain thins to match its flattened share
+    assert probs["small"] == 1.0
+    assert 0.0 < probs["big"] < 1.0
+    exp_big = (900**0.5 / (900**0.5 + 100**0.5)) * (100 / (100**0.5 / (900**0.5 + 100**0.5))) / 900
+    assert abs(probs["big"] - exp_big) < 1e-9
+    kept = collections.Counter(r.domain for r in out if r.keep)
+    # kept mix should be near 3:1 (sqrt ratio), far from the raw 9:1
+    ratio = kept["big"] / max(kept["small"], 1)
+    assert 1.5 < ratio < 4.5
+
+
+def test_temperature_sample_alpha_zero_equalizes(spark):
+    rows = [(i, "a") for i in range(400)] + [(500 + i, "b") for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "domain"])
+    out = temperature_sample(df, "domain", "id", alpha=0.0, seed=9,
+                             hasher="md5").collect()
+    probs = {r.domain: r.keep_prob for r in out}
+    assert probs["b"] == 1.0  # smallest domain fully kept
+    assert abs(probs["a"] - 100 / 400) < 1e-9  # equal absolute share
