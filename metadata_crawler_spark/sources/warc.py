@@ -102,11 +102,16 @@ def render_warc_gz_members(
 
 
 def _record_from(
-    headers: dict[str, str], payload: bytes, segment: str
+    headers: dict[str, str],
+    payload: bytes,
+    segment: str,
+    accept_types: tuple[str, ...] = ("response",),
 ) -> tuple[str, datetime, bytes, str] | None:
-    """Interpret one framed record; None for non-response/URI-less records
-    (request/metadata records are skipped, matching pipeline practice)."""
-    if headers.get("warc-type") != "response":
+    """Interpret one framed record; None for URI-less records or types
+    outside ``accept_types`` (request/metadata records are skipped by
+    default, matching pipeline practice; WET readers pass
+    ``("conversion",)``, WAT readers ``("metadata",)``)."""
+    if headers.get("warc-type") not in accept_types:
         return None
     url = headers.get("warc-target-uri")
     if not url:
@@ -126,7 +131,10 @@ def _record_from(
 
 
 def parse_warc_stream(
-    fh: IO[bytes], segment: str = "", read_size: int = READ_SIZE
+    fh: IO[bytes],
+    segment: str = "",
+    read_size: int = READ_SIZE,
+    accept_types: tuple[str, ...] = ("response",),
 ) -> Iterator[tuple[str, datetime, bytes, str]]:
     """Incrementally parse a WARC byte stream: yields (url, warc_ts, html,
     segment) per response record while holding at most ONE record (plus one
@@ -189,17 +197,17 @@ def parse_warc_stream(
             return  # truncated record at EOF: drop it, never emit short bytes
         payload = bytes(buf[hdr_end + 4 : need])
         del buf[:need]
-        rec = _record_from(headers, payload, segment)
+        rec = _record_from(headers, payload, segment, accept_types)
         if rec is not None:
             yield rec
 
 
 def parse_warc_bytes(
-    blob: bytes, segment: str = ""
+    blob: bytes, segment: str = "", accept_types: tuple[str, ...] = ("response",)
 ) -> Iterator[tuple[str, datetime, bytes, str]]:
     """In-memory convenience wrapper: same single code path as the stream
     parser (fixtures/tests hand blobs around)."""
-    return parse_warc_stream(io.BytesIO(blob), segment)
+    return parse_warc_stream(io.BytesIO(blob), segment, accept_types=accept_types)
 
 
 def _open_uri(uri: str) -> IO[bytes]:
