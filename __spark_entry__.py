@@ -1682,10 +1682,18 @@ FROM events WHERE user_id < 20
 # ---------------------------------------------------------------------------
 
 def q45_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two crawls diffed by content hash: unchanged/changed/new/gone per
-    URL (epoch-refresh analog, operators/changes.py)."""
+    """Two crawls diffed by content hash (unchanged/changed/new/gone) PLUS
+    — r5 family merge — adaptive recrawl scheduling: a synthetic 5-check
+    revisit history per URL runs through the Cho & Garcia-Molina change-
+    rate estimator and the clamp-to-band revisit scheduler
+    (operators/changes.estimate_change_rate / revisit_schedule), reported
+    as per-status averages."""
     _prep(spark)
-    from metadata_crawler_spark.operators.changes import change_stats, detect_changes
+    from metadata_crawler_spark.operators.changes import (
+        detect_changes,
+        estimate_change_rate,
+        revisit_schedule,
+    )
 
     d = _t(spark, sf_dir, "documents")
     url = F.concat(F.lit("https://c"), (F.col("doc_id") % 41).cast("string"),
@@ -1696,7 +1704,36 @@ def q45_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 3 == 0, F.concat("text", F.lit(" v2")))
         .otherwise(F.col("text")).alias("text"),
     )
-    return change_stats(detect_changes(old, new))
+    statuses = detect_changes(old, new)
+
+    did = F.col("doc_id")
+    visits = d.select(
+        url.alias("url"), did.alias("doc_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("i"),
+    ).select(
+        "url",
+        (F.lit(1700000000.0)
+         + F.col("i") * ((did % 3 + 1) * 3600).cast("double")).alias("ts"),
+        (
+            (((did + F.col("i")) % 3 == 0) | (did % 97 == 0))
+            & ~(did % 7 == 3)
+        ).alias("changed"),
+    )
+    sched = revisit_schedule(
+        estimate_change_rate(visits),
+        min_interval_s=3600.0, max_interval_s=30 * 24 * 3600.0,
+    )
+    return (
+        statuses.join(sched, "url")
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.round(F.avg(F.col("lambda_hat") * 86400.0), 6)
+            .alias("avg_lambda_per_day"),
+            F.round(F.avg(F.col("revisit_interval_s") / 3600.0), 6)
+            .alias("avg_revisit_h"),
+        )
+    )
 
 
 _Q45_SQL = """
@@ -1711,15 +1748,45 @@ n AS (
   FROM documents WHERE doc_id % 7 <> 0
 ),
 j AS (
-  SELECT COALESCE(o.url, n.url) AS url, o.old_hash, n.new_hash
+  SELECT COALESCE(o.url, n.url) AS url,
+         CASE WHEN o.old_hash IS NULL THEN 'new'
+              WHEN n.new_hash IS NULL THEN 'gone'
+              WHEN o.old_hash = n.new_hash THEN 'unchanged'
+              ELSE 'changed' END AS status
   FROM o FULL OUTER JOIN n ON o.url = n.url
+),
+visits AS (
+  SELECT 'https://c' || (doc_id % 41) || '.example.org/' || doc_id AS url,
+         1700000000.0 + r.i * ((doc_id % 3 + 1) * 3600) AS ts,
+         (((doc_id + r.i) % 3 = 0) OR (doc_id % 97 = 0))
+           AND NOT (doc_id % 7 = 3) AS changed
+  FROM documents, unnest(range(5)) AS r(i)
+),
+g AS (
+  SELECT url, COUNT(*) AS n, SUM(changed::INT) AS x,
+         (MAX(ts) - MIN(ts)) / (COUNT(*) - 1) AS avg_i,
+         MAX(ts) AS last_ts
+  FROM visits GROUP BY url
+),
+rates AS (
+  SELECT url,
+         CASE WHEN n > 1 AND avg_i > 0
+              THEN -ln((n - x + 0.5) / (n + 0.5)) / avg_i END AS lam
+  FROM g
+),
+sched AS (
+  SELECT url, lam,
+         LEAST(GREATEST(
+           COALESCE(CASE WHEN lam > 0 THEN 1.0 / lam END, 2592000.0),
+           3600.0), 2592000.0) AS interval_s
+  FROM rates
 )
-SELECT CASE WHEN old_hash IS NULL THEN 'new'
-            WHEN new_hash IS NULL THEN 'gone'
-            WHEN old_hash = new_hash THEN 'unchanged'
-            ELSE 'changed' END AS status,
-       COUNT(*) AS n_urls
-FROM j GROUP BY 1
+SELECT j.status,
+       COUNT(*) AS n_urls,
+       ROUND(AVG(sched.lam * 86400.0), 6) AS avg_lambda_per_day,
+       ROUND(AVG(sched.interval_s / 3600.0), 6) AS avg_revisit_h
+FROM j JOIN sched USING (url)
+GROUP BY j.status
 """
 
 

@@ -213,3 +213,64 @@ def test_detect_changes(spark):
     assert ch == {"u1": "unchanged", "u2": "changed", "u3": "gone", "u4": "new"}
     stats = {r.status: r.n_urls for r in change_stats(detect_changes(old, new)).collect()}
     assert stats == {"unchanged": 1, "changed": 1, "gone": 1, "new": 1}
+
+
+def test_estimate_change_rate_hand_computed(spark):
+    import math
+    from datetime import datetime, timedelta
+
+    from metadata_crawler_spark.operators.changes import estimate_change_rate
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    # url A: 5 checks, hourly, 2 changes
+    for i, ch in enumerate([True, False, True, False, False]):
+        rows.append(("A", t0 + timedelta(hours=i), ch))
+    # url B: single check -> no estimate
+    rows.append(("B", t0, True))
+    # url C: 4 checks, every 2h, ALL changed (X=n boundary must stay finite)
+    for i in range(4):
+        rows.append(("C", t0 + timedelta(hours=2 * i), True))
+    df = spark.createDataFrame(rows, ["url", "ts", "changed"])
+    got = {r.url: r for r in estimate_change_rate(df).collect()}
+
+    lam_a = -math.log((5 - 2 + 0.5) / (5 + 0.5)) / 3600.0
+    assert abs(got["A"].lambda_hat - lam_a) < 1e-15
+    assert got["A"].n_checks == 5 and got["A"].n_changed == 2
+    assert got["A"].avg_interval_s == 3600.0
+    assert got["B"].lambda_hat is None and got["B"].avg_interval_s is None
+    lam_c = -math.log(0.5 / 4.5) / 7200.0
+    assert abs(got["C"].lambda_hat - lam_c) < 1e-15
+
+
+def test_revisit_schedule_clamps_and_defaults(spark):
+    from datetime import datetime, timedelta
+
+    from metadata_crawler_spark.operators.changes import (
+        estimate_change_rate,
+        revisit_schedule,
+    )
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    # hot: changes every check, 1-min interval -> clamps to min
+    for i in range(6):
+        rows.append(("hot", t0 + timedelta(minutes=i), True))
+    # cold: never changed -> lambda 0-ish is NULL-free but raw huge -> max
+    for i in range(6):
+        rows.append(("cold", t0 + timedelta(hours=i), False))
+    # single-check: no estimate -> max
+    rows.append(("one", t0, True))
+    df = spark.createDataFrame(rows, ["url", "ts", "changed"])
+    sched = {
+        r.url: r
+        for r in revisit_schedule(
+            estimate_change_rate(df), min_interval_s=600.0,
+            max_interval_s=86400.0,
+        ).collect()
+    }
+    assert sched["hot"].revisit_interval_s == 600.0
+    assert sched["cold"].revisit_interval_s == 86400.0
+    assert sched["one"].revisit_interval_s == 86400.0
+    assert (sched["hot"].next_due_ts - sched["hot"].last_check_ts
+            ).total_seconds() == 600.0
