@@ -1,0 +1,166 @@
+"""Training-set export: the end-to-end path from a raw document corpus to
+packed, sampled, token-budgeted training sequences — the composition a
+pretraining data team runs AFTER cleaning:
+
+    clean_corpus (RefinedWeb stages, plans/corpus_pipeline)
+      -> optional exact-substring span dedup  (operators/dedup.span_dedup)
+      -> optional DSIR importance resampling  (operators/sampling)
+      -> optional domain temperature mix      (operators/sampling)
+      -> token counting (learned BPE via operators/bpe, or whitespace)
+      -> concat-and-chunk sequence packing    (operators/packing)
+      -> parquet export + one-row packing summary
+
+Everything inherits the component operators' scale shapes (documented at
+each): the composition itself adds only id-keyed semi joins and narrow
+projections; the single corpus-order dependence (packing offsets) uses
+the two-phase prefix scan, never a global single-partition window.
+
+Reference analog: the reference's end state is a queryable catalogue
+(api/run.py ingest -> store); this engine's end state for the LLM
+pipeline is the packed training table — same "pipeline ends in a
+persisted, consumable artifact" contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.packing import pack_concat_chunk, packing_summary
+from ..operators.sampling import (
+    bernoulli_importance_sample,
+    dsir_logratio,
+    dsir_score,
+    temperature_sample,
+)
+
+
+def export_training_set(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_dir: str | None = None,
+    seq_len: int = 2048,
+    clean_kwargs: dict | None = None,
+    span_window: int | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_temperature: float = 1.0,
+    dsir_center: float | None = None,
+    dsir_n_buckets: int = 1 << 20,
+    domain_map: DataFrame | None = None,
+    mix_alpha: float = 0.7,
+    bpe_merges: list | None = None,
+    seed: int = 0,
+    hasher: str = "xxhash64",
+    stage_counts: dict | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the full export; returns (packed_docs, summary).
+
+    ``packed_docs`` columns: (id, text, n_tokens, start_tok, first_seq,
+    last_seq, seq_offset, n_seqs_spanned) — the packing *plan*; a trainer
+    materializes sequence tensors from it with one ordered scan.
+    ``summary`` is the one-row (total_tokens, n_sequences, padding_frac).
+
+    - ``clean_kwargs`` forwards to :func:`clean_corpus` (quality gates,
+      dedup family, decontamination). ``{}`` runs its defaults; None
+      skips cleaning entirely (pre-cleaned input).
+    - ``span_window``: excise duplicated n-token spans corpus-wide
+      (Lee et al. 2022) from the CLEANED text before counting.
+    - ``dsir_target``: a small exemplar corpus; raw docs are thinned by
+      deterministic Bernoulli importance sampling toward it.
+      ``dsir_center`` defaults to the corpus median log-weight (one
+      approxQuantile sketch — no sort/collect).
+    - ``domain_map``: (id, domain) table; multinomial ``mix_alpha``
+      temperature rebalancing after DSIR.
+    - ``bpe_merges``: learned rules from :func:`train_bpe` — counts use
+      the real tokenizer; None counts whitespace tokens (cheap proxy).
+    - ``stage_counts``: same contract as clean_corpus — pass a dict to
+      collect per-stage survivor counts (keys: the clean_corpus stages,
+      then span_dedup / dsir / domain_mix as enabled).
+    """
+    from ..operators.common import checkpoint_observed
+
+    def _stage(name: str, stage_df: DataFrame) -> DataFrame:
+        if stage_counts is None:
+            return stage_df
+        out, n = checkpoint_observed(stage_df, F.count(F.lit(1)))
+        stage_counts[name] = int(n)
+        return out
+
+    if clean_kwargs is not None:
+        from .corpus_pipeline import clean_corpus
+
+        docs = clean_corpus(
+            df, text_col, id_col,
+            hasher=hasher, stage_counts=stage_counts, **clean_kwargs,
+        )
+    else:
+        docs = df.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("text")
+        )
+
+    if span_window is not None:
+        from ..operators.dedup import span_dedup
+
+        docs = _stage(
+            "span_dedup",
+            span_dedup(docs, "text", "id", window_tokens=span_window)
+            .filter(F.col("n_tokens") > F.col("n_removed"))
+            .select("id", F.col("dedup_text").alias("text")),
+        )
+
+    if dsir_target is not None:
+        lr = dsir_logratio(
+            dsir_target, docs, "text", n_buckets=dsir_n_buckets, hasher=hasher
+        )
+        scored = dsir_score(
+            docs, "text", lr, n_buckets=dsir_n_buckets, hasher=hasher
+        )
+        if dsir_center is None:
+            scored = scored.persist()
+            dsir_center = scored.approxQuantile("dsir_logw", [0.5], 0.001)[0]
+        docs = _stage(
+            "dsir",
+            bernoulli_importance_sample(
+                scored, "dsir_logw", "id",
+                temperature=dsir_temperature, center=dsir_center,
+                seed=seed, hasher=hasher,
+            )
+            .filter("keep")
+            .select("id", "text"),
+        )
+
+    if domain_map is not None:
+        with_domain = docs.join(domain_map, "id", "left").fillna(
+            {"domain": "unknown"}
+        )
+        docs = _stage(
+            "domain_mix",
+            temperature_sample(
+                with_domain, "domain", "id", alpha=mix_alpha,
+                seed=seed + 1, hasher=hasher,
+            )
+            .filter("keep")
+            .select("id", "text"),
+        )
+
+    if bpe_merges is not None:
+        from ..operators.bpe import bpe_encode
+
+        counted = bpe_encode(docs, "text", bpe_merges).select(
+            "id", "text", F.col("bpe_tokens_n").cast("long").alias("n_tokens")
+        )
+    else:
+        toks = F.when(
+            F.trim("text") == "", F.array().cast("array<string>")
+        ).otherwise(F.split(F.trim("text"), r"\s+"))
+        counted = docs.select(
+            "id", "text", F.size(toks).cast("long").alias("n_tokens")
+        )
+
+    packed = pack_concat_chunk(counted, "id", "n_tokens", seq_len)
+    summary = packing_summary(packed, "n_tokens", seq_len)
+    if out_dir is not None:
+        packed.write.mode("overwrite").parquet(out_dir)
+        packed = packed.sparkSession.read.parquet(out_dir)
+    return packed, summary

@@ -1,0 +1,89 @@
+"""End-to-end training-set export: clean -> span dedup -> DSIR -> domain
+mix -> BPE count -> pack, on a planted corpus."""
+
+from __future__ import annotations
+
+import os
+import random
+
+from pyspark.sql import functions as F
+
+from metadata_crawler_spark.plans.training_export import export_training_set
+
+WORDS = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+         "kilo lima mike november oscar papa quebec romeo sierra tango").split()
+
+
+def _corpus(spark, n=80, seed=3):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        text = " ".join(rng.choice(WORDS) for _ in range(40))
+        rows.append((i, text, "web" if i % 4 else "books"))
+    # plant exact duplicates (die at exact dedup)
+    for i in range(0, n, 10):
+        rows.append((1000 + i, rows[i][1], "web"))
+    return spark.createDataFrame(rows, ["doc_id", "text", "domain"])
+
+
+def test_export_end_to_end(spark, tmp_path):
+    df = _corpus(spark)
+    target = df.filter("doc_id % 5 = 0").select("text")
+    domains = df.select(F.col("doc_id").alias("id"), "domain")
+    counts: dict = {}
+    out = str(tmp_path / "packed")
+    packed, summary = export_training_set(
+        df, "text", "doc_id",
+        out_dir=out,
+        seq_len=64,
+        clean_kwargs={},
+        span_window=8,
+        dsir_target=target,
+        domain_map=domains,
+        mix_alpha=0.5,
+        seed=11,
+        stage_counts=counts,
+    )
+    rows = sorted(packed.collect(), key=lambda r: r.id)
+    assert rows, "pipeline must keep documents"
+    # stage counts are monotone non-increasing along the pipeline
+    order = [k for k in ("input", "quality_gate", "exact_dedup",
+                         "fuzzy_dedup", "paragraph_dedup", "span_dedup",
+                         "dsir", "domain_mix") if k in counts]
+    vals = [counts[k] for k in order]
+    assert vals == sorted(vals, reverse=True)
+    assert counts["exact_dedup"] < counts["input"]  # planted dups died
+    # packing plan is contiguous: start_tok == running sum in id order
+    run = 0
+    for r in rows:
+        assert r.start_tok == run
+        assert r.seq_offset == run % 64
+        run += r.n_tokens
+    s = summary.collect()[0]
+    assert s.total_tokens == run
+    assert s.n_sequences == -(-run // 64)
+    assert os.path.isdir(out)  # parquet written
+    # determinism: same seed -> same kept set
+    packed2, _ = export_training_set(
+        df, "text", "doc_id", seq_len=64, clean_kwargs={}, span_window=8,
+        dsir_target=target, domain_map=domains, mix_alpha=0.5, seed=11,
+    )
+    assert sorted(r.id for r in packed2.collect()) == [r.id for r in rows]
+
+
+def test_export_precleaned_with_bpe(spark):
+    from metadata_crawler_spark.operators.bpe import train_bpe
+
+    df = _corpus(spark, n=30).select("doc_id", "text")
+    merges, _ = train_bpe(df, "text", num_merges=10)
+    packed, summary = export_training_set(
+        df, "text", "doc_id", seq_len=128,
+        clean_kwargs=None, bpe_merges=merges,
+    )
+    rows = packed.collect()
+    # no cleaning, no sampling -> all docs survive (30 + 3 planted dups)
+    assert len(rows) == 33
+    # BPE counts exceed word counts (sub-word units) for these texts
+    wc = {r.doc_id: len(r.text.split()) for r in df.collect()}
+    for r in rows:
+        assert r.n_tokens >= wc[r.id]
