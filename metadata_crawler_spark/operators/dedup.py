@@ -95,18 +95,11 @@ def lsh_candidate_pairs(
     rides separately as a join key in both).
     """
 
-    def _band_key(b: int):
-        rows = [
-            F.element_at("sig", b * rows_per_band + r + 1)
-            for r in range(rows_per_band)
-        ]
-        if hasher == "md5":
-            return F.md5(F.concat(*rows))
-        return F.xxhash64(F.concat_ws(",", *rows), F.lit(b))
-
-    band_keys = F.array(*[_band_key(b) for b in range(bands)])
     buckets = sigs.select(
-        "id", F.posexplode(band_keys).alias("band", "bucket")
+        "id",
+        F.posexplode(_lsh_band_keys(bands, rows_per_band, hasher)).alias(
+            "band", "bucket"
+        ),
     )
     small = (
         buckets.groupBy("band", "bucket")
@@ -686,3 +679,137 @@ def span_dedup(
             F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
         )
     )
+
+
+def _lsh_band_keys(
+    bands: int, rows_per_band: int, hasher: str
+) -> Column:
+    """Band-key array over a ``sig`` column (shared by the batch self-join
+    and the incremental index below — one builder, no drift)."""
+
+    def _band_key(b: int):
+        rows = [
+            F.element_at("sig", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        if hasher == "md5":
+            return F.md5(F.concat(*rows))
+        return F.xxhash64(F.concat_ws(",", *rows), F.lit(b))
+
+    return F.array(*[_band_key(b) for b in range(bands)])
+
+
+def lsh_buckets(
+    sigs: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """(id, band, bucket) — the persistable LSH index rows for a corpus.
+
+    This is the artifact a standing 100 TB corpus stores ONCE (bucketed
+    by (band, bucket) via sources.tables.write_bucketed so incremental
+    joins co-locate without a shuffle): every later snapshot deduplicates
+    against it by equi-join, never by re-reading or re-signing old text.
+    """
+    return sigs.select(
+        "id",
+        F.posexplode(_lsh_band_keys(bands, rows_per_band, hasher)).alias(
+            "band", "bucket"
+        ),
+    )
+
+
+def incremental_candidate_pairs(
+    new_buckets: DataFrame,
+    old_buckets: DataFrame,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Candidate near-dup pairs for an INCREMENTAL snapshot: every pair is
+    (new_id, other_id) where other is an old-corpus doc (``cross=true``)
+    or another new doc (``cross=false``, id_a < id_b within the batch).
+
+    Scale shape — the whole point of the incremental path: the standing
+    corpus contributes only its (id, band, bucket) index rows (~24 bytes
+    x bands per doc, written once); its text and signatures are never
+    recomputed. The join is (band, bucket)-keyed; with the index table
+    bucketed on those keys the shuffle is on the (small) new side only.
+    Hot buckets are capped per side exactly like the batch self-join
+    (boilerplate storms would otherwise go quadratic).
+    """
+    def _cap(b: DataFrame) -> DataFrame:
+        ok = (
+            b.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band", "bucket")
+        )
+        return b.join(ok, ["band", "bucket"], "left_semi")
+
+    new_b = _cap(new_buckets)
+    old_b = _cap(old_buckets)
+    cross = (
+        new_b.select("band", "bucket", F.col("id").alias("id_a"))
+        .join(
+            old_b.select("band", "bucket", F.col("id").alias("id_b")),
+            ["band", "bucket"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        .withColumn("cross", F.lit(True))
+    )
+    a = new_b.select("band", "bucket", F.col("id").alias("id_a"))
+    b = new_b.select("band", "bucket", F.col("id").alias("id_b"))
+    intra = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .withColumn("cross", F.lit(False))
+    )
+    return cross.unionByName(intra)
+
+
+def incremental_neardup(
+    new_df: DataFrame,
+    old_buckets: DataFrame,
+    old_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 32,
+    ngram: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket: int = 64,
+    threshold: float = 0.8,
+    hasher: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """Deduplicate a new snapshot against a standing corpus without
+    touching the standing corpus's signatures: sign the NEW docs only,
+    join their band keys against the persisted ``old_buckets`` index,
+    verify candidates with exact Jaccard, and return
+    (verified_pairs(id_a=new, id_b, jaccard, cross), new_buckets).
+
+    ``old_docs`` supplies text ONLY for verification and ONLY for the
+    old ids that appear in candidates (semi-joined first — with the
+    standing corpus id-partitioned this read is partition-pruned to the
+    candidate set, not a corpus scan). Append ``new_buckets`` to the
+    index table afterwards to absorb the snapshot.
+    """
+    sigs = minhash_signatures(new_df, text_col, id_col, k, ngram, hasher)
+    new_buckets = lsh_buckets(sigs, bands, rows_per_band, hasher)
+    cand = incremental_candidate_pairs(new_buckets, old_buckets, max_bucket)
+
+    old_ids = cand.filter("cross").select(F.col("id_b").alias("id")).distinct()
+    old_needed = (
+        old_docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .join(old_ids, "id", "left_semi")
+    )
+    new_texts = new_df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    universe = new_texts.unionByName(old_needed)
+    verified = jaccard_verify(
+        cand.select("id_a", "id_b"), universe, "text", "id", ngram, threshold
+    ).join(cand, ["id_a", "id_b"])
+    return verified, new_buckets

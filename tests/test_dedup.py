@@ -353,3 +353,85 @@ def test_span_dedup_empty_text(spark):
     rows = {r.id: r for r in span_dedup(df, "text", "doc_id", 3).collect()}
     assert rows[1].n_tokens == 0 and rows[1].removed_frac == 0.0
     assert rows[2].n_tokens == 0 and rows[2].dedup_text == ""
+
+
+def test_incremental_neardup_matches_batch(spark):
+    """Pairs found by the incremental path == batch LSH pairs restricted
+    to pairs touching a new doc (same params, caps not binding)."""
+    from metadata_crawler_spark.operators.dedup import (
+        incremental_neardup,
+        jaccard_verify,
+        lsh_buckets,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    old_rows = [(i, f"{base} chunk {i} " + "filler words here " * 3)
+                for i in range(20)]
+    new_rows = (
+        [(100 + i, old_rows[i][1]) for i in range(0, 6, 2)]       # dups of old
+        + [(200, "completely novel text about spark catalyst optimizer"),
+           (201, "completely novel text about spark catalyst optimizer"),  # intra-new dup
+           (202, "unique snowflake document with no relatives at all")]
+    )
+    old = spark.createDataFrame(old_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+
+    old_buckets = lsh_buckets(
+        minhash_signatures(old, "text", "doc_id"), 8, 4
+    )
+    verified, new_buckets = incremental_neardup(
+        new, old_buckets, old, "text", "doc_id", max_bucket=1000,
+        threshold=0.8,
+    )
+    got = {(r.id_a, r.id_b, r.cross) for r in verified.collect()}
+
+    # batch reference over the union corpus
+    both = old.unionByName(new)
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(both, "text", "doc_id"), 8, 4, max_bucket=1000
+    )
+    ref_pairs = jaccard_verify(pairs, both, "text", "doc_id", 3, 0.8)
+    new_ids = {r[0] for r in new_rows}
+    ref = set()
+    for r in ref_pairs.collect():
+        a_new, b_new = r.id_a in new_ids, r.id_b in new_ids
+        if not (a_new or b_new):
+            continue  # old-old pairs: not the incremental path's job
+        if a_new and b_new:
+            ref.add((min(r.id_a, r.id_b), max(r.id_a, r.id_b), False))
+        else:
+            nid = r.id_a if a_new else r.id_b
+            oid = r.id_b if a_new else r.id_a
+            ref.add((nid, oid, True))
+    assert got == ref
+    # planted cross dups and the intra-new dup were all found
+    assert (100, 0, True) in got and (201, 200, False) in {
+        (max(a, b), min(a, b), c) if not c else (a, b, c) for a, b, c in got
+    } or (200, 201, False) in got
+    # the new index rows are appendable: same schema as the old index
+    assert new_buckets.columns == old_buckets.columns
+
+
+def test_incremental_neardup_caps_hot_buckets(spark):
+    from metadata_crawler_spark.operators.dedup import (
+        incremental_candidate_pairs,
+        lsh_buckets,
+        minhash_signatures,
+    )
+
+    # identical boilerplate in every old doc -> one giant bucket
+    old = spark.createDataFrame(
+        [(i, "same boilerplate text repeated everywhere") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(100, "same boilerplate text repeated everywhere")], ["doc_id", "text"]
+    )
+    ob = lsh_buckets(minhash_signatures(old, "text", "doc_id"))
+    nb = lsh_buckets(minhash_signatures(new, "text", "doc_id"))
+    capped = incremental_candidate_pairs(nb, ob, max_bucket=8)
+    assert capped.count() == 0  # storm bucket dropped on the old side
+    uncapped = incremental_candidate_pairs(nb, ob, max_bucket=64)
+    assert uncapped.count() == 30
