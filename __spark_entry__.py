@@ -2188,18 +2188,25 @@ LEFT JOIN rec ON para.doc_id = rec.doc_id
 
 
 # ---------------------------------------------------------------------------
-# q53 — Gopher repetition filters (Rae et al. 2021 §A1.1): mean word
-# length, distinct-word fraction, top-2-gram char coverage, flag
-# (functions/quality.gopher_repetition).
+# q53 — document-quality family: Gopher repetition filters (Rae et al.
+# 2021 §A1.1: mean word length, distinct-word fraction, top-2-gram char
+# coverage, flag; functions/quality.gopher_repetition) merged with
+# RefinedWeb line-wise correction metrics (Penedo et al. 2023 §3.3:
+# shouting / numeric / social-counter / short-stub line fractions and
+# the removed-char flag; functions/quality.line_quality_metrics).
 # ---------------------------------------------------------------------------
 
-def q53_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q53_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
-    from metadata_crawler_spark.functions.quality import gopher_repetition
+    from metadata_crawler_spark.functions.quality import (
+        gopher_repetition,
+        line_quality_metrics,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    out = gopher_repetition(d, "text", "doc_id")
-    return out.select(
+    rep = gopher_repetition(d, "text", "doc_id")
+    lm = line_quality_metrics(d, "text", "doc_id")
+    return rep.join(lm, "id").select(
         F.col("id").alias("doc_id"),
         F.col("n_words").cast("long").alias("n_words"),
         "mean_word_len",
@@ -2207,6 +2214,12 @@ def q53_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_chunk_frac",
         "top2gram_char_frac",
         "flagged",
+        "n_lines",
+        "frac_upper_lines",
+        "frac_numeric_lines",
+        "frac_short_lines",
+        "removed_char_frac",
+        "line_flagged",
     )
 
 
@@ -2233,6 +2246,39 @@ cnt AS (
 top2 AS (
   SELECT doc_id, MAX(cnt * (len(bigram) - 1)) AS top2_chars
   FROM cnt GROUP BY doc_id
+),
+ln AS (
+  SELECT b.doc_id,
+         list_filter(CASE WHEN contains(d.text, chr(10))
+                          THEN string_split(d.text, chr(10))
+                          ELSE b.chunks END,
+                     c -> trim(c) <> '') AS ls
+  FROM base b JOIN documents d ON b.doc_id = d.doc_id
+),
+lm AS (
+  SELECT doc_id,
+         CAST(len(ls) AS BIGINT) AS n_lines,
+         CASE WHEN len(ls) > 0 THEN ROUND(
+           len(list_filter(ls, c -> upper(c) = c AND lower(c) <> c))
+           / len(ls), 6) ELSE 0.0 END AS frac_upper_lines,
+         CASE WHEN len(ls) > 0 THEN ROUND(
+           len(list_filter(ls, c -> regexp_matches(trim(c),
+                                                   '^[0-9 .,%]+$')))
+           / len(ls), 6) ELSE 0.0 END AS frac_numeric_lines,
+         CASE WHEN len(ls) > 0 THEN ROUND(
+           len(list_filter(ls, c -> len(trim(c)) <= 10))
+           / len(ls), 6) ELSE 0.0 END AS frac_short_lines,
+         COALESCE(list_sum(list_transform(ls, c -> len(c))), 0)
+           AS tot_chars,
+         COALESCE(list_sum(list_transform(
+           list_filter(ls, c ->
+             (upper(c) = c AND lower(c) <> c)
+             OR regexp_matches(trim(c), '^[0-9 .,%]+$')
+             OR regexp_matches(trim(c),
+                '(?i)^[0-9]+ (likes?|views?|comments?|shares?|upvotes?)$')
+             OR len(trim(c)) <= 10),
+           c -> len(c))), 0) AS rem_chars
+  FROM ln
 )
 SELECT b.doc_id, b.n_words,
        ROUND(b.n_chars / b.n_words, 6) AS mean_word_len,
@@ -2243,8 +2289,17 @@ SELECT b.doc_id, b.n_words,
          AS top2gram_char_frac,
        (ROUND(b.n_distinct / b.n_words, 6) < 0.3
         OR ROUND(COALESCE(t2.top2_chars, 0) / b.n_chars, 6) > 0.20)
-         AS flagged
+         AS flagged,
+       lm.n_lines, lm.frac_upper_lines, lm.frac_numeric_lines,
+       lm.frac_short_lines,
+       CASE WHEN lm.tot_chars > 0
+            THEN ROUND(lm.rem_chars / lm.tot_chars, 6)
+            ELSE 0.0 END AS removed_char_frac,
+       CASE WHEN lm.tot_chars > 0
+            THEN (lm.rem_chars / lm.tot_chars) > 0.05
+            ELSE FALSE END AS line_flagged
 FROM base b LEFT JOIN top2 t2 ON b.doc_id = t2.doc_id
+JOIN lm ON b.doc_id = lm.doc_id
 """
 
 
@@ -2723,7 +2778,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q50_stats_rules": q50_stats_rules,
     "q51_catalog_walk": q51_catalog_walk,
     "q52_paragraph_dedup": q52_paragraph_dedup,
-    "q53_gopher_repetition": q53_gopher_repetition,
+    "q53_doc_quality": q53_doc_quality,
     "q54_pii_redaction": q54_pii_redaction,
     "q55_model_quality": q55_model_quality,
     "q56_clean_corpus": q56_clean_corpus,
@@ -2774,7 +2829,7 @@ _ORACLES: dict[str, str] = {
     "q50_stats_rules": _Q50_SQL,
     "q51_catalog_walk": _Q51_SQL,
     "q52_paragraph_dedup": _Q52_SQL,
-    "q53_gopher_repetition": _Q53_SQL,
+    "q53_doc_quality": _Q53_SQL,
     "q54_pii_redaction": _Q54_SQL,
     "q55_model_quality": _Q55_SQL,
     "q56_clean_corpus": _Q56_SQL,

@@ -485,3 +485,90 @@ def gopher_quality_flags(
             F.lit(True),
         ).alias("flagged"),
     )
+
+
+def line_quality_metrics(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_words: int = 10,
+    max_removed_frac: float = 0.05,
+    line_sep: str | None = "\n",
+    append: bool = False,
+) -> DataFrame:
+    """RefinedWeb line-wise correction metrics (Penedo et al. 2023 §3.3):
+    lines that are all-uppercase shouting, purely numeric, social
+    counters ("3 likes"), or short navigation stubs are removal
+    candidates; a document whose removed lines exceed
+    ``max_removed_frac`` of its characters is flagged entirely.
+
+    Lines are ``line_sep`` splits when the text has real newlines; with
+    ``line_sep=None`` (or no newline present) the same fixed-width
+    pseudo-lines as paragraph_dedup stand in, so the operator works on
+    the newline-free fixture corpus too.
+
+    Per doc: (id, n_lines, frac_upper_lines, frac_numeric_lines,
+    frac_short_lines, removed_char_frac, line_flagged). ONE zero-shuffle
+    struct of array expressions — same execution shape as
+    gopher_quality_flags. With ``append=True`` the metric columns are
+    added to ``df`` in place (all input columns kept) — the 100 TB path:
+    fold line metrics into the same scan as the rest of the quality
+    stage instead of re-reading the corpus and joining on id.
+    """
+    from ..operators.dedup import paragraph_chunks_expr
+
+    text = F.col(text_col)
+    if line_sep is None:
+        lines = paragraph_chunks_expr(text, chunk_words)
+    else:
+        lines = F.when(
+            text.contains(line_sep), F.split(text, line_sep)
+        ).otherwise(paragraph_chunks_expr(text, chunk_words))
+    lines = F.filter(lines, lambda ln: F.trim(ln) != "")
+
+    def is_upper(ln: Column) -> Column:
+        return (F.upper(ln) == ln) & (F.lower(ln) != ln)
+
+    def is_numeric(ln: Column) -> Column:
+        return F.trim(ln).rlike(r"^[0-9 .,%]+$")
+
+    def is_counter(ln: Column) -> Column:
+        return F.trim(ln).rlike(
+            r"(?i)^[0-9]+ (likes?|views?|comments?|shares?|upvotes?)$"
+        )
+
+    def is_short(ln: Column) -> Column:
+        return F.length(F.trim(ln)) <= 10
+
+    def is_removed(ln: Column) -> Column:
+        return is_upper(ln) | is_numeric(ln) | is_counter(ln) | is_short(ln)
+
+    def _frac(pred) -> Column:
+        return F.when(
+            F.size(lines) > 0,
+            F.size(F.filter(lines, pred)) / F.size(lines),
+        ).otherwise(F.lit(0.0))
+
+    def _chars(arr: Column) -> Column:
+        return F.aggregate(arr, F.lit(0.0), lambda a, ln: a + F.length(ln))
+
+    removed_frac = F.when(
+        _chars(lines) > 0,
+        _chars(F.filter(lines, is_removed)) / _chars(lines),
+    ).otherwise(F.lit(0.0))
+    metrics = {
+        "n_lines": F.size(lines).cast("long"),
+        "frac_upper_lines": F.round(_frac(is_upper), 6),
+        "frac_numeric_lines": F.round(_frac(is_numeric), 6),
+        "frac_short_lines": F.round(_frac(is_short), 6),
+        "removed_char_frac": F.round(removed_frac, 6),
+        "line_flagged": F.coalesce(
+            removed_frac > F.lit(float(max_removed_frac)), F.lit(False)
+        ),
+    }
+    if append:
+        return df.withColumns(metrics)
+    return df.select(
+        F.col(id_col).alias("id"),
+        *[c.alias(n) for n, c in metrics.items()],
+    )

@@ -522,3 +522,82 @@ def test_quality_classifier_null_text_scores_bias(spark):
     assert abs(got[1] - 0.5) < 1e-12
     assert abs(got[2] - 0.5) < 1e-12
     assert got[3] is not None
+
+
+def test_line_quality_metrics_hand_computed(spark):
+    """RefinedWeb line-wise correction: planted shouting / numeric /
+    social-counter / short-stub lines drive the fracs exactly."""
+    from metadata_crawler_spark.functions.quality import (
+        line_quality_metrics,
+    )
+
+    shout = "THIS IS AN ALL CAPS SHOUTING LINE THAT KEEPS GOING"
+    numeric = "123 456.78 %"
+    counter = "42 likes"
+    stub = "Home"
+    prose = "a perfectly ordinary line of prose long enough to survive"
+    doc1 = "\n".join([shout, numeric, counter, stub, prose])
+    doc0 = "\n".join([prose, "another calm and unremarkable line of text"])
+    rows = [(0, doc0), (1, doc1), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r
+        for r in line_quality_metrics(df, "text", "doc_id").collect()
+    }
+
+    assert out[0]["n_lines"] == 2
+    assert out[0]["removed_char_frac"] == 0.0
+    assert out[0]["line_flagged"] is False
+
+    r1 = out[1]
+    assert r1["n_lines"] == 5
+    assert r1["frac_upper_lines"] == 0.2
+    assert r1["frac_numeric_lines"] == 0.2
+    # counter (len 8) and stub (len 4) are both <= 10 chars
+    assert r1["frac_short_lines"] == 0.4
+    removed = [shout, numeric, counter, stub]
+    want = round(
+        sum(len(x) for x in removed)
+        / sum(len(x) for x in removed + [prose]),
+        6,
+    )
+    assert r1["removed_char_frac"] == want
+    assert r1["line_flagged"] is True
+
+    # empty doc: zero lines, concrete zeros, NOT flagged and NOT NULL
+    assert out[2]["n_lines"] == 0
+    assert out[2]["removed_char_frac"] == 0.0
+    assert out[2]["line_flagged"] is False
+
+
+def test_line_quality_metrics_pseudo_line_fallback(spark):
+    """Newline-free text falls back to 10-word pseudo-lines (the fixture
+    corpus shape): a 20-word doc yields 2 lines."""
+    from metadata_crawler_spark.functions.quality import (
+        line_quality_metrics,
+    )
+
+    words = " ".join(f"w{i:02d}" for i in range(20))
+    df = spark.createDataFrame([(0, words)], "doc_id long, text string")
+    r = line_quality_metrics(df, "text", "doc_id").first()
+    assert r["n_lines"] == 2
+    # pseudo-lines are 10 x 4-char words + 9 spaces = 49 chars: not short
+    assert r["frac_short_lines"] == 0.0
+
+
+def test_line_quality_metrics_append_zero_shuffle(spark):
+    """append=True keeps every input column, adds the six metric
+    columns, and stays a pure projection — no Exchange in the plan."""
+    from metadata_crawler_spark.functions.quality import (
+        line_quality_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "some text", "k")], "doc_id long, text string, keep string"
+    )
+    out = line_quality_metrics(df, "text", "doc_id", append=True)
+    assert set(df.columns) <= set(out.columns)
+    assert "removed_char_frac" in out.columns
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert out.first()["keep"] == "k"
