@@ -2683,9 +2683,21 @@ SELECT id AS doc_id, md5(text) AS text_md5 FROM s5 WHERE kf >= 0.1
 # transitively (data_collector.py:156-169).
 # ---------------------------------------------------------------------------
 
-def q57_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q57_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-dedup family: transitive text near-dup connected
+    components ('textdup' rows, as before) merged with SemDeDup
+    (Abbas et al. 2023) embedding-space dedup ('semdedup' rows:
+    nearest-centroid cluster, similarity to centroid, and the
+    keep-farthest-from-centroid duplicate flag). Centroids for the
+    oracle are the deterministic seed rows vec_id < 8 — the production
+    path feeds similarity.train_ivf_centroids output instead."""
     _prep(spark)
-    from metadata_crawler_spark.operators.dedup import neardup_clusters
+    import numpy as np
+
+    from metadata_crawler_spark.operators.dedup import (
+        neardup_clusters,
+        semantic_dedup,
+    )
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
     m10 = F.col("doc_id") % 10
@@ -2703,9 +2715,30 @@ def q57_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_e(m10 == 6, 2))           # star edge (b+6, b+8)
         .unionByName(_e((m100 >= 90) & (m100 <= 97), 1))  # long chain
     )
-    return neardup_clusters(pairs).select(
-        F.col("id").alias("doc_id"), "cluster_id"
+    text_part = neardup_clusters(pairs).select(
+        F.lit("textdup").alias("part"),
+        F.col("id").cast("long").alias("id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.lit(-1.0).alias("cent_sim"),
+        F.lit(False).alias("is_dup"),
     )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    C = np.array([r["embedding"] for r in seeds], dtype=np.float64)
+    sem = semantic_dedup(emb, "vec_id", "embedding", C, eps=0.30).select(
+        F.lit("semdedup").alias("part"),
+        F.col("id"),
+        F.col("cluster").cast("long").alias("cluster_id"),
+        F.col("cent_sim"),
+        F.col("is_dup"),
+    )
+    return text_part.unionByName(sem)
 
 
 _Q57_SQL = """
@@ -2727,8 +2760,44 @@ reach AS (
   SELECT src AS id, src AS r FROM edges
   UNION
   SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+asg AS (
+  SELECT v.vec_id, cent.cid, v.e,
+         ROUND(list_dot_product(v.e, cent.ce)
+               / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(cent.ce, cent.ce))), 6) AS cs,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY ROUND(list_dot_product(v.e, cent.ce)
+                          / (sqrt(list_dot_product(v.e, v.e))
+                             * sqrt(list_dot_product(cent.ce, cent.ce))), 6)
+                    DESC, cent.cid ASC) AS rn
+  FROM v CROSS JOIN cent
+),
+a1 AS (SELECT vec_id, cid AS cluster, cs AS cent_sim, e
+       FROM asg WHERE rn = 1),
+sem AS (
+  SELECT a.vec_id, a.cluster, a.cent_sim,
+         COALESCE(BOOL_OR(
+           ROUND(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.30
+         ), FALSE) AS is_dup
+  FROM a1 a LEFT JOIN a1 b
+    ON a.cluster = b.cluster
+   AND (b.cent_sim < a.cent_sim
+        OR (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id))
+  GROUP BY a.vec_id, a.cluster, a.cent_sim
 )
-SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+SELECT 'textdup' AS part, id, MIN(r) AS cluster_id,
+       -1.0 AS cent_sim, FALSE AS is_dup
+FROM reach GROUP BY id
+UNION ALL
+SELECT 'semdedup' AS part, vec_id AS id, cluster::BIGINT AS cluster_id,
+       cent_sim, is_dup
+FROM sem
 """
 
 
@@ -2782,7 +2851,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_pii_redaction": q54_pii_redaction,
     "q55_model_quality": q55_model_quality,
     "q56_clean_corpus": q56_clean_corpus,
-    "q57_neardup_clusters": q57_neardup_clusters,
+    "q57_dedup_clusters": q57_dedup_clusters,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2833,7 +2902,7 @@ _ORACLES: dict[str, str] = {
     "q54_pii_redaction": _Q54_SQL,
     "q55_model_quality": _Q55_SQL,
     "q56_clean_corpus": _Q56_SQL,
-    "q57_neardup_clusters": _Q57_SQL,
+    "q57_dedup_clusters": _Q57_SQL,
 }
 
 

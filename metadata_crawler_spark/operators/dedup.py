@@ -20,6 +20,8 @@ are capped by ``max_bucket`` exactly like hot hosts in the frontier.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -813,3 +815,90 @@ def incremental_neardup(
         cand.select("id_a", "id_b"), universe, "text", "id", ngram, threshold
     ).join(cand, ["id_a", "id_b"])
     return verified, new_buckets
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids,
+    eps: float = 0.30,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-level semantic dedup.
+    Assign every vector to its nearest centroid by cosine, then within
+    each cluster drop items that are semantic duplicates of a
+    higher-priority item. Priority = similarity to centroid ASCENDING
+    (the paper keeps the item FARTHEST from the centroid in a duplicate
+    pair — centroid-near items are the redundant "prototypical" copies);
+    ties break on smaller id. Item i is a duplicate iff some item j with
+    (cent_sim_j, id_j) < (cent_sim_i, id_i) in the same cluster has
+    round(cos(i, j), 6) >= eps.
+
+    Returns (id, cluster, cent_sim, is_dup). ``centroids`` is a
+    (k, dim) ndarray — ``similarity.train_ivf_centroids`` output in
+    production, or any deterministic seed rows for testing. All compared
+    cosines are rounded to 6 places so the rule is reproducible across
+    engines (the driver's DuckDB oracle replicates it exactly).
+
+    Plan shape (the 100 TB path): centroid assignment is one Arrow
+    batch matmul against the broadcast (k, dim) matrix — zero shuffle;
+    the dedup is ONE shuffle keyed on cluster, then a per-cluster numpy
+    sim matrix inside ``applyInPandas`` (one matmul per cluster, no
+    pairwise row explosion through the shuffle). Cluster count k is the
+    knob that bounds per-group memory: k ~ N / target_cluster_size, the
+    same sizing rule as the paper's 50k clusters for LAION-440M.
+    Reference analog: dataset-level duplicate grouping
+    (data_collector.py:156-169) — this is its embedding-space twin.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+
+    @pandas_udf("struct<cluster: int, cent_sim: double>")
+    def _assign(vs: pd.Series) -> pd.DataFrame:
+        V = np.stack(vs.to_numpy()).astype(np.float64)
+        sims = np.round(
+            (V @ C.T)
+            / (np.linalg.norm(V, axis=1)[:, None] * cn[None, :]),
+            6,
+        )
+        cl = sims.argmax(axis=1)  # first max -> smallest centroid id
+        return pd.DataFrame(
+            {"cluster": cl.astype("int32"),
+             "cent_sim": sims[np.arange(len(cl)), cl]}
+        )
+
+    assigned = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("v"),
+        _assign(F.col(vec_col)).alias("a"),
+    ).select("id", "v", "a.cluster", "a.cent_sim")
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("cent_sim", T.DoubleType()),
+            T.StructField("is_dup", T.BooleanType()),
+        ]
+    )
+
+    def _dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["cent_sim", "id"]).reset_index(drop=True)
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(V, axis=1)
+        S = np.round((V @ V.T) / (n[:, None] * n[None, :]), 6)
+        # j strictly earlier in priority order than i <=> j < i row-wise
+        dup = (np.tril(S, -1) >= eps).any(axis=1)
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "cluster": pdf["cluster"],
+                "cent_sim": pdf["cent_sim"],
+                "is_dup": dup,
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(_dedup, schema)

@@ -435,3 +435,69 @@ def test_incremental_neardup_caps_hot_buckets(spark):
     assert capped.count() == 0  # storm bucket dropped on the old side
     uncapped = incremental_candidate_pairs(nb, ob, max_bucket=64)
     assert uncapped.count() == 30
+
+
+def test_semantic_dedup_hand_computed(spark):
+    """SemDeDup keep-farthest-from-centroid rule on a planted 2-cluster
+    layout: the centroid-nearest member of each duplicate pair is the
+    one dropped; cross-cluster near-vectors are never compared."""
+    import numpy as np
+
+    from metadata_crawler_spark.operators.dedup import semantic_dedup
+
+    dim = 8
+    e = np.eye(dim)
+    C = np.stack([e[0], e[1]])          # two orthogonal centroids
+
+    def v(*pairs):
+        x = np.zeros(dim)
+        for i, w in pairs:
+            x[i] = w
+        return (x / np.linalg.norm(x)).tolist()
+
+    rows = [
+        (0, v((0, 1.0))),                 # cluster 0, cent_sim 1.0
+        (1, v((0, 0.98), (2, 0.2))),      # cluster 0, near-dup of 0
+        (2, v((0, 0.5), (3, 0.86))),      # cluster 0, far from both
+        (3, v((1, 1.0))),                 # cluster 1, cos(3,4) high
+        (4, v((1, 0.97), (4, 0.24))),     # cluster 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["id"]: r
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", C, eps=0.9
+        ).collect()
+    }
+    assert {i: out[i]["cluster"] for i in range(5)} == {
+        0: 0, 1: 0, 2: 0, 3: 1, 4: 1,
+    }
+    # pair (0,1): cos ~0.98 >= eps; 1 is farther from the centroid, so 0
+    # (cent_sim 1.0, the prototypical copy) is the duplicate
+    assert out[0]["is_dup"] is True
+    assert out[1]["is_dup"] is False
+    assert out[2]["is_dup"] is False     # cos(2, others) < eps
+    # pair (3,4) likewise: 3 has cent_sim 1.0 -> dropped
+    assert out[3]["is_dup"] is True
+    assert out[4]["is_dup"] is False
+
+
+def test_semantic_dedup_priority_tiebreak_and_singletons(spark):
+    """Equal cent_sim ties break on smaller id (it survives); singleton
+    clusters are never duplicates."""
+    import numpy as np
+
+    from metadata_crawler_spark.operators.dedup import semantic_dedup
+
+    dim = 4
+    C = np.stack([np.eye(dim)[0], np.eye(dim)[1]])
+    a = [1.0, 0.0, 0.0, 0.0]
+    rows = [(10, a), (11, a), (12, [0.0, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["id"]: r
+        for r in semantic_dedup(df, "vec_id", "embedding", C, eps=0.99).collect()
+    }
+    assert out[10]["is_dup"] is False    # identical pair: smaller id kept
+    assert out[11]["is_dup"] is True
+    assert out[12]["is_dup"] is False    # singleton cluster
