@@ -120,13 +120,20 @@ FROM budgeted WHERE rank <= budget
 
 
 # ---------------------------------------------------------------------------
-# q02 — URL canonicalization, builtin-expression tier (SURVEY §2.5 P14).
-# Oracle constructs the expected canonical form directly (ground truth).
+# q02 — URL canonicalization + crawler-trap detection family (SURVEY §2.5
+# P14 + the Heritrix/Nutch trap heuristics). Oracle constructs the expected
+# canonical form directly (ground truth) and re-implements the template /
+# loop / calendar trap logic in SQL over the same canonical URLs. Planted:
+# a calendar-walk trap (one hot date template, ~1/7 of docs) and a link
+# loop (/a/b repeated, ~1/13 of docs); the messy-URL population stays cold.
 # ---------------------------------------------------------------------------
 
 def q02_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
-    from metadata_crawler_spark.functions.urls import canonicalize_expr
+    from metadata_crawler_spark.functions.urls import (
+        canonicalize_expr,
+        detect_url_traps,
+    )
 
     d = _t(spark, sf_dir, "documents")
     messy = d.select(
@@ -156,26 +163,82 @@ def q02_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("raw_url"),
     )
-    return messy.select(
+    cal = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("https://trap.example/2021/"),
+            (1 + F.col("doc_id") % 12).cast("string"),
+            F.lit("/"),
+            (1 + F.col("doc_id") % 28).cast("string"),
+        ).alias("raw_url"),
+    )
+    loop = d.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.lit("https://loop.example/a/b/a/b/a/b").alias("raw_url"),
+    )
+    urls = messy.unionByName(cal).unionByName(loop)
+    canon = urls.select(
         "doc_id", "raw_url", canonicalize_expr(F.col("raw_url")).alias("canon_url")
+    )
+    return detect_url_traps(
+        canon, url_col="canon_url", max_template_urls=40, calendar_divisor=4
     )
 
 
 _Q02_SQL = """
-SELECT doc_id,
-  CASE
-    WHEN doc_id % 4 = 0 THEN 'HTTP://H' || (doc_id % 50) || '.EXAMPLE.COM:80/' || source || '?b=2&a=' || (doc_id % 7) || '#x'
-    WHEN doc_id % 4 = 1 THEN 'https://h' || (doc_id % 50) || '.example.com'
-    WHEN doc_id % 4 = 2 THEN 'HTTPS://h' || (doc_id % 50) || '.Example.com:443/' || source || '/' || lang
-    ELSE 'https://h' || (doc_id % 50) || '.example.com/' || lang || '?z=9&y=8&x=' || (doc_id % 5)
-  END AS raw_url,
-  CASE
-    WHEN doc_id % 4 = 0 THEN 'http://h' || (doc_id % 50) || '.example.com/' || source || '?a=' || (doc_id % 7) || '&b=2'
-    WHEN doc_id % 4 = 1 THEN 'https://h' || (doc_id % 50) || '.example.com/'
-    WHEN doc_id % 4 = 2 THEN 'https://h' || (doc_id % 50) || '.example.com/' || source || '/' || lang
-    ELSE 'https://h' || (doc_id % 50) || '.example.com/' || lang || '?x=' || (doc_id % 5) || '&y=8&z=9'
-  END AS canon_url
-FROM documents
+WITH urls AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 4 = 0 THEN 'HTTP://H' || (doc_id % 50) || '.EXAMPLE.COM:80/' || source || '?b=2&a=' || (doc_id % 7) || '#x'
+      WHEN doc_id % 4 = 1 THEN 'https://h' || (doc_id % 50) || '.example.com'
+      WHEN doc_id % 4 = 2 THEN 'HTTPS://h' || (doc_id % 50) || '.Example.com:443/' || source || '/' || lang
+      ELSE 'https://h' || (doc_id % 50) || '.example.com/' || lang || '?z=9&y=8&x=' || (doc_id % 5)
+    END AS raw_url,
+    CASE
+      WHEN doc_id % 4 = 0 THEN 'http://h' || (doc_id % 50) || '.example.com/' || source || '?a=' || (doc_id % 7) || '&b=2'
+      WHEN doc_id % 4 = 1 THEN 'https://h' || (doc_id % 50) || '.example.com/'
+      WHEN doc_id % 4 = 2 THEN 'https://h' || (doc_id % 50) || '.example.com/' || source || '/' || lang
+      ELSE 'https://h' || (doc_id % 50) || '.example.com/' || lang || '?x=' || (doc_id % 5) || '&y=8&z=9'
+    END AS canon_url
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id,
+    'https://trap.example/2021/' || (1 + doc_id % 12) || '/' || (1 + doc_id % 28) AS raw_url,
+    'https://trap.example/2021/' || (1 + doc_id % 12) || '/' || (1 + doc_id % 28) AS canon_url
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id,
+    'https://loop.example/a/b/a/b/a/b' AS raw_url,
+    'https://loop.example/a/b/a/b/a/b' AS canon_url
+  FROM documents WHERE doc_id % 13 = 0
+), parts AS (
+  SELECT *,
+    lower(regexp_extract(canon_url, '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^@/]*@)?([^:/?#]*)', 1)) AS host,
+    coalesce(regexp_extract(canon_url, '^[a-z][a-z0-9+.-]*://[^/]+(/[^?#]*)?', 1), '') AS path,
+    coalesce(regexp_extract(canon_url, '\\?([^#]*)', 1), '') AS query
+  FROM urls
+), tmpl AS (
+  SELECT *,
+    host || regexp_replace(regexp_replace(path, '[0-9a-fA-F]{8,}', 'H', 'g'), '[0-9]+', 'D', 'g') || '?' ||
+      CASE WHEN query = '' THEN ''
+           ELSE array_to_string(list_sort(list_transform(string_split(query, '&'), p -> string_split(p, '=')[1])), ',')
+      END AS template,
+    len(list_filter(string_split(path, '/'), s -> s <> ''))
+      - len(list_distinct(list_filter(string_split(path, '/'), s -> s <> ''))) AS n_rep,
+    regexp_matches(path, '/(19|20)[0-9]{2}/[0-9]{1,2}(/[0-9]{1,2})?(/|$)') AS calendar_path
+  FROM parts
+), counted AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY template) AS cnt FROM tmpl
+)
+SELECT doc_id, raw_url, canon_url, template,
+  CASE WHEN cnt > 10 THEN cnt END AS n_template_urls,
+  n_rep >= 3 AS path_loop,
+  calendar_path,
+  COALESCE(CASE WHEN cnt > 10 THEN cnt END
+             > CASE WHEN calendar_path THEN 10 ELSE 40 END, FALSE) AS template_explosion,
+  (n_rep >= 3) OR COALESCE(CASE WHEN cnt > 10 THEN cnt END
+             > CASE WHEN calendar_path THEN 10 ELSE 40 END, FALSE) AS trap
+FROM counted
 """
 
 

@@ -329,3 +329,134 @@ def filter_blocked_hosts(
     if hits_broadcast:
         return df.join(F.broadcast(blocked), url_col, "left_anti")
     return df.join(blocked.distinct(), url_col, "left_anti")
+
+
+def url_template_expr(url: Column) -> Column:
+    """Collapse a URL to its crawl-trap template (Heritrix/Nutch-style
+    URI-uniqueness shape): host + path with long-hex runs -> 'H' and
+    digit runs -> 'D' + '?' + the SORTED query key set (values dropped).
+    A link-generated trap (calendar pages, session permutations,
+    faceted-search grids) emits millions of distinct URLs but only a
+    handful of templates — counting URLs per template exposes it.
+    Pure JVM expressions, zero shuffle."""
+    host = host_expr(url)
+    path = F.coalesce(
+        F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/]+(/[^?#]*)?", 1),
+        F.lit(""),
+    )
+    shape = F.regexp_replace(path, r"[0-9a-fA-F]{8,}", "H")
+    shape = F.regexp_replace(shape, r"[0-9]+", "D")
+    query = F.coalesce(F.regexp_extract(url, r"\?([^#]*)", 1), F.lit(""))
+    keys = F.when(
+        query == "", F.lit("")
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.transform(
+                    F.split(query, "&"),
+                    lambda p: F.element_at(F.split(p, "="), 1),
+                )
+            ),
+        )
+    )
+    return F.concat(host, shape, F.lit("?"), keys)
+
+
+def path_cycle_count(url: Column) -> Column:
+    """Repeated path-segment count: #segments - #distinct segments.
+    A symlink/relative-link loop (/a/b/a/b/a/b...) grows this linearly
+    while a legitimate deep path stays near 0. Builtin array ops."""
+    path = F.coalesce(
+        F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/]+(/[^?#]*)?", 1),
+        F.lit(""),
+    )
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    return (F.size(segs) - F.size(F.array_distinct(segs))).cast("int")
+
+
+def calendar_path_expr(url: Column) -> Column:
+    """True for date-walk paths (/2024/01/31, /archive/1999/7) — the
+    classic infinite-calendar trap shape. Flag is per-URL; it becomes a
+    trap signal when its template also explodes in URL count."""
+    return F.coalesce(
+        F.regexp_extract(
+            url, r"^[a-z][a-z0-9+.-]*://[^/]+(/[^?#]*)?", 1
+        ).rlike(r"/(19|20)[0-9]{2}/[0-9]{1,2}(/[0-9]{1,2})?(/|$)"),
+        F.lit(False),
+    )
+
+
+def detect_url_traps(
+    df: DataFrame,
+    url_col: str = "url",
+    max_template_urls: int = 1000,
+    min_cycle_repeats: int = 3,
+    calendar_divisor: int = 10,
+    hot_broadcast: bool | None = None,
+    hot_broadcast_max_rows: int = 2_000_000,
+) -> DataFrame:
+    """Crawler-trap detection over a frontier/corpus of URLs. Appends
+    per-URL columns (template, n_template_urls, path_loop,
+    calendar_path, template_explosion, trap):
+
+    - ``path_loop``: >= ``min_cycle_repeats`` repeated path segments
+      (link loops) — zero-shuffle array expr.
+    - ``template_explosion``: the URL's template carries more than
+      ``max_template_urls`` URLs; calendar-shaped templates explode at
+      the lower bar ``max_template_urls // calendar_divisor`` (a date
+      walk is suspicious far earlier than a product grid).
+    - ``trap`` = path_loop OR template_explosion.
+    - ``n_template_urls`` is the count for HOT templates (those above
+      the lower bar) and NULL for cold ones — the trap decision never
+      needs cold counts, and materializing them would force a
+      corpus-sized join (below).
+
+    Plan (the 10^10-URL path): template is computed map-side; the only
+    shuffle of corpus rows is the (template) count aggregation —
+    partial-agg friendly, so the hot keys (exactly the traps) are
+    absorbed map-side. The counts table is then FILTERED to over-bar
+    templates before joining back: a near-unique corpus makes the full
+    counts table corpus-sized, but the over-bar slice is tiny by
+    construction (each hot template represents > bar URLs), so the join
+    back is a broadcast with no second shuffle of the corpus. The
+    broadcast is still gated on a bounded size probe (a pathological
+    all-trap corpus could have many hot templates) with a shuffle-join
+    fallback. Complements url_quality_flags (per-URL shape junk) and
+    the frontier's per-host caps (operators/frontier.py): traps are
+    caught even when spread across polite per-round batches.
+    """
+    u = F.col(url_col)
+    low_bar = max(1, max_template_urls // calendar_divisor)
+    t = df.withColumn("template", url_template_expr(u))
+    hot = (
+        t.groupBy("template")
+        .agg(F.count(F.lit(1)).alias("n_template_urls"))
+        .filter(F.col("n_template_urls") > low_bar)
+    )
+    if hot_broadcast is None:
+        from ..operators.frontier import small_enough_to_broadcast
+
+        hot_broadcast = small_enough_to_broadcast(
+            hot, hot_broadcast_max_rows
+        )
+    out = t.join(
+        F.broadcast(hot) if hot_broadcast else hot, "template", "left"
+    )
+    loop = path_cycle_count(u) >= min_cycle_repeats
+    cal = calendar_path_expr(u)
+    explode_bar = F.when(cal, F.lit(low_bar)).otherwise(
+        F.lit(max_template_urls)
+    )
+    explosion = F.coalesce(
+        F.col("n_template_urls") > explode_bar, F.lit(False)
+    )
+    return out.select(
+        *df.columns,
+        "template",
+        "n_template_urls",
+        loop.alias("path_loop"),
+        cal.alias("calendar_path"),
+        explosion.alias("template_explosion"),
+        (loop | explosion).alias("trap"),
+    )

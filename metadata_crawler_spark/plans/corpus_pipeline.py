@@ -61,6 +61,11 @@ def clean_corpus(
     max_bucket: int = 64,
     hasher: str = "xxhash64",
     transitive: bool = False,
+    embeddings: DataFrame | None = None,
+    semdedup_centroids=None,
+    semdedup_eps: float = 0.95,
+    emb_id_col: str = "id",
+    emb_vec_col: str = "vec",
     clf_weights: DataFrame | None = None,
     clf_bias: float = 0.0,
     clf_threshold: float = 0.5,
@@ -102,8 +107,12 @@ def clean_corpus(
     count() pass, and no double-count hazard from branched consumers
     (the checkpoint is the single materialization; downstream reuse
     reads the materialized blocks). Keys land in pipeline order:
-    input, quality_gate, clf_gate, exact_dedup, fuzzy_dedup,
-    paragraph_dedup, decontamination. Default ``None`` leaves the plan
+    input, quality_gate, clf_gate, exact_dedup, fuzzy_dedup, semdedup,
+    paragraph_dedup, decontamination.
+
+    SemDeDup stage (``embeddings`` + ``semdedup_centroids``, r5):
+    embedding-space dedup after the text-level dedups — see
+    :func:`~metadata_crawler_spark.operators.dedup.semantic_dedup`. Default ``None`` leaves the plan
     untouched (q56's oracle checks the uninstrumented plan). At 100 TB
     the checkpoint boundaries are where a production run would persist
     to storage anyway — the counters piggyback on that materialization
@@ -195,6 +204,27 @@ def clean_corpus(
     else:
         dup_b = verified.select(F.col("id_b").alias("id")).distinct()
     red = _stage("fuzzy_dedup", red.join(dup_b, "id", "left_anti"))
+
+    # 4b. optional SemDeDup (Abbas et al. 2023): embedding-space
+    # duplicates on top of the text-level dedups (the DCLM stage order).
+    # ``embeddings`` maps id -> vector; docs without a vector pass
+    # through untouched. Vectors are semi-joined to the CURRENT
+    # survivors first so cluster priority is decided only among living
+    # docs, then semantic_dedup's is_dup rows are anti-joined away.
+    if embeddings is not None and semdedup_centroids is not None:
+        from ..operators.dedup import semantic_dedup
+
+        alive = embeddings.select(
+            F.col(emb_id_col).alias("id"),
+            F.col(emb_vec_col).alias("vec"),
+        ).join(red.select("id"), "id", "left_semi")
+        sem_dups = (
+            semantic_dedup(alive, "id", "vec", semdedup_centroids,
+                           eps=semdedup_eps)
+            .filter(F.col("is_dup"))
+            .select("id")
+        )
+        red = _stage("semdedup", red.join(sem_dups, "id", "left_anti"))
 
     # 5. corpus-wide paragraph dedup + recompose; drop hollowed-out docs
     para = paragraph_dedup(red, "text", "id", chunk_words=chunk_words)

@@ -601,3 +601,48 @@ def test_line_quality_metrics_append_zero_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert out.first()["keep"] == "k"
+
+
+def test_clean_corpus_semdedup_stage(spark):
+    """The optional SemDeDup stage drops the centroid-nearest member of
+    an embedding duplicate pair among SURVIVORS; docs without a vector
+    and docs whose twin already died upstream pass through."""
+    import numpy as np
+
+    from metadata_crawler_spark.plans.corpus_pipeline import clean_corpus
+
+    def doc(seed):
+        return " ".join(f"s{seed}w{i}" for i in range(30))
+
+    rows = [(i, doc(i)) for i in range(4)]
+    rows.append((4, doc(0)))  # exact copy of doc 0 -> dies at exact dedup
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    e = np.eye(4)
+    C = np.stack([e[0], e[1]])
+    emb = spark.createDataFrame(
+        [
+            (0, e[0].tolist()),                       # cluster 0, cent_sim 1.0
+            (1, (0.98 * e[0] + 0.2 * e[2]).tolist()),  # dup pair with 0
+            (2, e[1].tolist()),                        # cluster 1 singleton
+            # doc 4's vector duplicates doc 0's — but doc 4 is already
+            # dead (exact dedup), so it must NOT influence the clusters
+            (4, e[0].tolist()),
+            # doc 3 has no vector at all
+        ],
+        "id long, vec array<double>",
+    )
+    counts: dict = {}
+    out = {
+        r["id"]
+        for r in clean_corpus(
+            df, "text", "doc_id",
+            embeddings=emb, semdedup_centroids=C, semdedup_eps=0.9,
+            stage_counts=counts,
+        ).collect()
+    }
+    # doc 0 (cent_sim 1.0, the prototypical copy) is the semantic dup;
+    # doc 1 survives, as do the vectorless doc 3 and singleton doc 2
+    assert out == {1, 2, 3}
+    assert counts["fuzzy_dedup"] == 4
+    assert counts["semdedup"] == 3

@@ -285,3 +285,81 @@ def test_filter_blocked_hosts_shuffle_fallback_same_result(spark):
     slow = {r["id"] for r in
             filter_blocked_hosts(df, bl, hits_broadcast=False).collect()}
     assert fast == slow == {i for i in range(40) if i % 2 == 0}
+
+
+def test_url_template_expr_shapes(spark):
+    """Templates collapse digit/hex runs and sort query KEYS (values
+    dropped), so trap permutations of the same page land on one key."""
+    from metadata_crawler_spark.functions.urls import url_template_expr
+
+    rows = [
+        (1, "https://a.example/item/123?b=2&a=1"),
+        (2, "https://a.example/item/999?a=9&b=0"),   # same template as 1
+        (3, "https://a.example/item/123"),           # no query -> '?'
+        (4, "https://a.example/s/deadbeefcafe1234/x"),  # hex run -> H
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {
+        r["id"]: r["t"]
+        for r in df.select(
+            "id", url_template_expr(F.col("url")).alias("t")
+        ).collect()
+    }
+    assert got[1] == got[2] == "a.example/item/D?a,b"
+    assert got[3] == "a.example/item/D?"
+    assert got[4] == "a.example/s/H/x?"
+
+
+def test_detect_url_traps_planted(spark):
+    """A planted calendar walk (40 URLs, one template) and a path loop
+    are both flagged; the legitimate long-tail site is not. The only
+    partition-keyed shuffle in the plan is the template count agg."""
+    import re
+
+    from metadata_crawler_spark.functions.urls import detect_url_traps
+
+    rows = (
+        # calendar trap: 40 distinct date pages, one template
+        [(f"cal{i}", f"https://trap.example/2020/{1 + i % 12}/{1 + i % 28}")
+         for i in range(40)]
+        # link loop: /a/b repeated 4 times
+        + [("loop0", "https://loop.example/a/b/a/b/a/b/a/b")]
+        # healthy site: 30 URLs, 30 templates
+        + [(f"ok{i}", f"https://ok.example/page-{chr(97 + i % 26)}{chr(97 + i // 26)}")
+           for i in range(30)]
+    )
+    df = spark.createDataFrame(rows, "id string, url string")
+    out = detect_url_traps(df, max_template_urls=100, calendar_divisor=10)
+    by_id = {r["id"]: r for r in out.collect()}
+    # calendar bar = 100 // 10 = 10 < 40 -> explosion despite being
+    # far under the generic 100-URL bar
+    assert all(by_id[f"cal{i}"]["trap"] for i in range(40))
+    assert by_id["cal0"]["calendar_path"] is True
+    assert by_id["cal0"]["template_explosion"] is True
+    assert by_id["cal0"]["path_loop"] is False
+    # the loop page trips on repeated segments alone (count 1 template)
+    assert by_id["loop0"]["path_loop"] is True
+    assert by_id["loop0"]["trap"] is True
+    # healthy rows untouched
+    assert not any(by_id[f"ok{i}"]["trap"] for i in range(30))
+    assert by_id["ok0"]["n_template_urls"] is None  # cold: count elided
+    assert by_id["cal0"]["n_template_urls"] == 40
+    assert out.filter(F.col("trap")).count() == 41
+    # plan hygiene: the template count agg is the ONLY shuffle of corpus
+    # rows; the hot-template set joins back broadcast
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if re.search(r"\bExchange hashpartitioning", ln)
+    ]
+    assert len(shuffles) <= 2, shuffles  # partial+final agg pair at most
+    assert "BroadcastHashJoin" in plan
+    # the gated fallback path drops/keeps identical rows
+    from metadata_crawler_spark.functions.urls import detect_url_traps as d
+
+    slow = d(df, max_template_urls=100, calendar_divisor=10,
+             hot_broadcast=False)
+    assert {r["id"] for r in slow.filter(F.col("trap")).collect()} == {
+        r["id"] for r in out.filter(F.col("trap")).collect()
+    }
