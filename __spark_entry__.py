@@ -1946,23 +1946,76 @@ FROM events
 """
 
 
-def q48_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary building (training-data pipeline op): global word
-    counts -> deterministic top-200 (count DESC, token ASC). Map-side
-    partial aggregation makes this one shuffle of (token, count) pairs —
-    the 100 TB plan never moves document bodies."""
+def q48_vocab_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-statistics family: (a) corpus vocabulary building — global
+    word counts -> deterministic top-200 (count DESC, token ASC), one
+    (token, count) partial-agg shuffle, document bodies never move; (b)
+    BM25 full-text retrieval (operators/search.py) — inverted-index
+    postings + lexicon, a 3-term query scored with the Lucene BM25
+    formula in pure column expressions, top-200 docs by (rounded score
+    DESC, doc_id ASC). The rank window orders on the ROUND(...,6) score
+    so the k-boundary is decided on the exact same grid both engines
+    hash. Reference analog: the crawl exists so the populated index can
+    be searched (solr.py:214-268 facet/query surface)."""
     _prep(spark)
     from pyspark.sql import Window as W
+
+    from metadata_crawler_spark.operators.search import (
+        bm25_score_expr,
+        build_lexicon,
+        build_postings,
+        corpus_stats,
+    )
 
     d = _t(spark, sf_dir, "documents")
     words = d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
     counts = words.groupBy("token").agg(F.count("*").alias("n"))
     w = W.orderBy(F.col("n").desc(), F.col("token").asc())
-    return (
+    vocab = (
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 200)
-        .select("token", "n", F.col("rank").cast("long").alias("rank"))
+        .select(
+            F.lit("vocab").alias("section"),
+            F.col("token").alias("key"),
+            "n",
+            F.col("rank").cast("long").alias("rank"),
+            F.lit(None).cast("double").alias("score"),
+        )
     )
+
+    terms = ["vector", "merge", "stream"]
+    post = build_postings(d, "text", "doc_id")
+    lex = build_lexicon(post)
+    n_docs, avgdl = corpus_stats(d)
+    hits = post.filter(F.col("token").isin(terms))
+    lexq = lex.filter(F.col("token").isin(terms))
+    scored = hits.join(F.broadcast(lexq), "token").select(
+        "id",
+        bm25_score_expr(
+            F.col("tf").cast("double"),
+            F.col("df").cast("double"),
+            F.col("dl").cast("double"),
+            n_docs,
+            avgdl,
+        ).alias("s"),
+    )
+    agg = scored.groupBy("id").agg(
+        F.round(F.sum("s"), 6).alias("score"),
+        F.count(F.lit(1)).alias("n_hit"),
+    )
+    w2 = W.orderBy(F.col("score").desc(), F.col("id").asc())
+    bm25 = (
+        agg.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 200)
+        .select(
+            F.lit("bm25").alias("section"),
+            F.col("id").cast("string").alias("key"),
+            F.col("n_hit").cast("long").alias("n"),
+            F.col("rank").cast("long").alias("rank"),
+            "score",
+        )
+    )
+    return vocab.unionByName(bm25)
 
 
 _Q48_SQL = r"""
@@ -1972,8 +2025,54 @@ WITH w AS (
 c AS (SELECT token, COUNT(*) AS n FROM w GROUP BY token),
 r AS (SELECT token, n,
              ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rank
-      FROM c)
-SELECT token, n, rank FROM r WHERE rank <= 200
+      FROM c),
+vocab AS (
+  SELECT 'vocab' AS section, token AS key, n, rank,
+         CAST(NULL AS DOUBLE) AS score
+  FROM r WHERE rank <= 200
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     tk -> tk <> '') AS l
+  FROM documents
+),
+post AS (
+  SELECT doc_id, token, dl, COUNT(*) AS tf
+  FROM (SELECT doc_id, len(l) AS dl, unnest(l) AS token FROM toks)
+  GROUP BY doc_id, token, dl
+),
+lex AS (SELECT token, COUNT(*) AS df FROM post GROUP BY token),
+stats AS (
+  SELECT COUNT(*)::DOUBLE AS n_docs, AVG(len(l))::DOUBLE AS avgdl FROM toks
+),
+sc AS (
+  SELECT p.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (s.n_docs - p.df_d + 0.5) / (p.df_d + 0.5))
+             * p.tf_d * 2.2::DOUBLE
+             / (p.tf_d + 1.2::DOUBLE
+                * (0.25::DOUBLE + 0.75::DOUBLE * p.dl_d / s.avgdl))
+         ), 6) AS score,
+         COUNT(*) AS n_hit
+  FROM (
+    SELECT p0.doc_id, p0.tf::DOUBLE AS tf_d, l0.df::DOUBLE AS df_d,
+           p0.dl::DOUBLE AS dl_d
+    FROM post p0 JOIN lex l0 USING (token)
+    WHERE p0.token IN ('vector', 'merge', 'stream')
+  ) p, stats s
+  GROUP BY p.doc_id
+),
+br AS (
+  SELECT doc_id, score, n_hit,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM sc
+)
+SELECT section, key, n, rank, score FROM vocab
+UNION ALL
+SELECT 'bm25' AS section, CAST(doc_id AS VARCHAR) AS key, n_hit AS n,
+       rank, score
+FROM br WHERE rank <= 200
 """
 
 
@@ -2905,7 +3004,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_change_detection": q45_change_detection,
     "q46_robots_parse": q46_robots_parse,
     "q47_timestamp_ladder": q47_timestamp_ladder,
-    "q48_vocab_topk": q48_vocab_topk,
+    "q48_vocab_bm25": q48_vocab_bm25,
     "q49_contamination": q49_contamination,
     "q50_stats_rules": q50_stats_rules,
     "q51_catalog_walk": q51_catalog_walk,
@@ -2956,7 +3055,7 @@ _ORACLES: dict[str, str] = {
     "q45_change_detection": _Q45_SQL,
     "q46_robots_parse": _Q46_SQL,
     "q47_timestamp_ladder": _Q47_SQL,
-    "q48_vocab_topk": _Q48_SQL,
+    "q48_vocab_bm25": _Q48_SQL,
     "q49_contamination": _Q49_SQL,
     "q50_stats_rules": _Q50_SQL,
     "q51_catalog_walk": _Q51_SQL,
