@@ -104,6 +104,17 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             except Exception:
                 kinds.append("unknown"); ws.append(0); hs.append(0)
                 frs.append(0); oks.append(False)
+        elif fmt in ("webp", "ogg", "flac", "mp3"):  # header probe, no decode
+            from .media_probe import probe_media
+
+            p = probe_media(b)
+            kinds.append(
+                ("video" if p["n_frames"] > 1 else "image")
+                if fmt == "webp"
+                else "audio"
+            )
+            ws.append(p["width"]); hs.append(p["height"])
+            frs.append(min(p["n_frames"], 2**31 - 1)); oks.append(p["ok"])
         else:
             kinds.append("unknown"); ws.append(0); hs.append(0)
             frs.append(0); oks.append(False)
@@ -504,6 +515,14 @@ def sniff_format(blob: bytes) -> str:
         return "gif"
     if blob[:4] == MAGIC:
         return "mcsf"
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        return "webp"
+    if blob[:4] == b"OggS":
+        return "ogg"
+    if blob[:4] == b"fLaC":
+        return "flac"
+    if blob[:3] == b"ID3" or blob[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2"):
+        return "mp3"
     return "unknown"
 
 
