@@ -246,6 +246,76 @@ def ngram_contamination(
     )
 
 
+def bloom_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+    n_shards: int = 32,
+    fpr: float = 0.01,
+    broadcast_bloom: bool = True,
+    exact_verify: bool = True,
+) -> DataFrame:
+    """`ngram_contamination` for benchmark sets too big to broadcast as a
+    plain shingle list (10^9+ shingles: a full eval-suite union).
+
+    Reuses the crawl's sharded-Bloom infrastructure (operators/seen.py —
+    the keys are just (xxhash64(sh), xxhash64(sh, salt)) instead of URL
+    hashes): build the filter over the benchmark's distinct shingles ONCE,
+    probe every corpus shingle map-side (broadcast bitmaps, or cogrouped
+    per-shard above the memory threshold), and only the ~fpr maybe-slice
+    pays an exact semi-join against the real shingle set — so the exact
+    join's build side shrinks from |corpus shingles| x |bench shingles|
+    to |maybe| rows while keeping ZERO false positives in the output
+    (bloom false positives are killed by the verify join; bloom false
+    negatives don't exist). With ``exact_verify=False`` the maybe-slice
+    is counted as contaminated directly: approximate, join-free, the
+    cheapest sweep when ~fpr over-flagging is acceptable.
+
+    Output schema and semantics identical to `ngram_contamination` (every
+    input id gets a row).
+    """
+    from .seen import bloom_build, probe_cogrouped, probe_with_broadcast
+
+    def keys(df: DataFrame, *extra: str) -> DataFrame:
+        return df.select(
+            *extra,
+            F.explode(
+                F.array_distinct(shingles_expr(F.col(text_col), ngram))
+            ).alias("sh"),
+        ).select(
+            *extra,
+            "sh",
+            F.xxhash64("sh").alias("url_hash_hi"),
+            F.xxhash64("sh", F.lit(0x5EED)).alias("url_hash_lo"),
+        )
+
+    bench_keys = keys(benchmark).select("sh", "url_hash_hi", "url_hash_lo").distinct()
+    bloom = bloom_build(bench_keys, n_shards=n_shards, fpr=fpr)
+    corpus = keys(docs.select(F.col(id_col).alias("id"), text_col), "id")
+    probed = (
+        probe_with_broadcast(corpus, bloom)
+        if broadcast_bloom
+        else probe_cogrouped(corpus, bloom, n_shards)
+    )
+    maybe = probed.filter(F.col("maybe_seen")).select("id", "sh")
+    if exact_verify:
+        maybe = maybe.join(bench_keys.select("sh"), "sh", "left_semi")
+    hits = maybe.groupBy("id").agg(F.count("*").alias("n_contaminated_ngrams"))
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_contaminated_ngrams", F.lit(0)).alias(
+                "n_contaminated_ngrams"
+            ),
+            (F.coalesce("n_contaminated_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def _pair_cosine() -> Column:
     dot = F.aggregate(
         F.zip_with("v", "v_b", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x

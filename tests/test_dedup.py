@@ -501,3 +501,57 @@ def test_semantic_dedup_priority_tiebreak_and_singletons(spark):
     assert out[10]["is_dup"] is False    # identical pair: smaller id kept
     assert out[11]["is_dup"] is True
     assert out[12]["is_dup"] is False    # singleton cluster
+
+
+def test_bloom_contamination_matches_exact(spark):
+    """The sharded-bloom scale path (bloom prefilter + exact verify of the
+    maybe-slice) returns EXACTLY ngram_contamination's rows, on both the
+    broadcast-bitmap and cogrouped probe paths; exact_verify=False only
+    ever over-flags (bloom has no false negatives)."""
+    from metadata_crawler_spark.operators.dedup import (
+        bloom_contamination,
+        ngram_contamination,
+    )
+
+    rng_docs = [
+        (i, f"unique words number {i} spread over several tokens {i * 7}")
+        for i in range(40)
+    ]
+    rng_docs += [
+        (100, "the quick brown fox jumps over the lazy dog"),
+        (101, "prefix words then the quick brown fox appears"),
+    ]
+    corpus = spark.createDataFrame(rng_docs, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [("benchmark says the quick brown fox is overused",)], "text string"
+    )
+    want = sorted(
+        ngram_contamination(corpus, bench, "text", "doc_id", ngram=3).collect()
+    )
+    for bc in (True, False):
+        got = sorted(
+            bloom_contamination(
+                corpus, bench, "text", "doc_id", ngram=3, broadcast_bloom=bc
+            ).collect()
+        )
+        assert got == want, f"broadcast_bloom={bc}"
+    approx = {
+        r.doc_id: r.contaminated
+        for r in bloom_contamination(
+            corpus, bench, "text", "doc_id", ngram=3, exact_verify=False
+        ).collect()
+    }
+    for r in want:  # approximate path is a superset of true flags
+        if r.contaminated:
+            assert approx[r.doc_id]
+
+
+def test_bloom_contamination_empty_benchmark(spark):
+    from metadata_crawler_spark.operators.dedup import bloom_contamination
+
+    corpus = spark.createDataFrame(
+        [(1, "some words here for the test")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([], "text string")
+    rows = bloom_contamination(corpus, bench, "text", "doc_id", ngram=3).collect()
+    assert len(rows) == 1 and not rows[0].contaminated
