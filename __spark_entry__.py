@@ -739,10 +739,30 @@ def q16_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r5 merge: GPT-style concat-and-chunk packing plan (seq_len=512) over
     # the ws token counts — start_tok is the scalable two-phase prefix
     # scan, NOT a single-partition global window (operators/packing.py).
-    return pack_concat_chunk(metrics, "doc_id", "ws_tokens", 512).select(
+    packed = pack_concat_chunk(metrics, "doc_id", "ws_tokens", 512)
+    # r5 merge #2: trained Cavnar-Trenkle char-ngram language ID
+    # (functions/langid.py) bootstrapped from the marker heuristic's
+    # labels (distant supervision) — per-doc argmin out-of-place distance.
+    from metadata_crawler_spark.functions.langid import (
+        classify_lang,
+        train_lang_profiles,
+    )
+
+    labeled = d.select(
+        lang_id_expr(F.col("text")).alias("lang"), "text"
+    ).filter(F.col("lang") != "unknown")
+    profiles = train_lang_profiles(labeled, "text", "lang", top_n=100)
+    ct = classify_lang(d, profiles, "text", "doc_id", top_n=100).select(
+        "doc_id",
+        F.col("lang").alias("ct_lang"),
+        F.col("dist").alias("ct_dist"),
+    )
+    return packed.join(ct, "doc_id", "left").select(
         "doc_id", "ws_tokens", "bpe_ish_tokens", "n_chars_actual",
         "quality", "pred_lang", "fingerprint",
         "start_tok", "first_seq", "last_seq", "seq_offset",
+        F.coalesce("ct_lang", F.lit("unknown")).alias("ct_lang"),
+        F.coalesce("ct_dist", F.lit(-1)).cast("long").alias("ct_dist"),
     )
 
 
@@ -805,15 +825,72 @@ p AS (
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            AS start_tok
   FROM m
+),
+-- r5 merge #2: trained Cavnar-Trenkle lang-id (functions/langid.py twin)
+base AS (
+  SELECT d.doc_id,
+         regexp_replace('_' || regexp_replace(lower(coalesce(d.text, '')),
+                                              '[^a-z]+', '_', 'g') || '_',
+                        '_+', '_', 'g') AS nrm,
+         m.pred_lang
+  FROM documents d JOIN m ON m.doc_id = d.doc_id
+),
+g AS (
+  SELECT doc_id, pred_lang,
+    [substr(nrm, i, 1) FOR i IN range(1, length(nrm) + 1)]
+    || CASE WHEN length(nrm) >= 2
+            THEN [substr(nrm, i, 2) FOR i IN range(1, length(nrm))]
+            ELSE []::VARCHAR[] END
+    || CASE WHEN length(nrm) >= 3
+            THEN [substr(nrm, i, 3) FOR i IN range(1, length(nrm) - 1)]
+            ELSE []::VARCHAR[] END AS gl
+  FROM base
+),
+lg AS (SELECT pred_lang AS lang, unnest(gl) AS gram FROM g
+       WHERE pred_lang <> 'unknown'),
+lcnt AS (SELECT lang, gram, COUNT(*) AS n FROM lg GROUP BY 1, 2),
+prof AS (
+  SELECT lang, gram, rank FROM (
+    SELECT lang, gram,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY n DESC, gram ASC) AS rank
+    FROM lcnt) WHERE rank <= 100
+),
+dg AS (SELECT doc_id, unnest(gl) AS gram FROM g),
+dcnt AS (SELECT doc_id, gram, COUNT(*) AS n FROM dg GROUP BY 1, 2),
+drank AS (
+  SELECT doc_id, gram, doc_rank FROM (
+    SELECT doc_id, gram,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY n DESC, gram ASC) AS doc_rank
+    FROM dcnt) WHERE doc_rank <= 100
+),
+langs AS (SELECT DISTINCT lang FROM prof),
+dist AS (
+  SELECT dr.doc_id, l.lang,
+         CAST(SUM(COALESCE(ABS(dr.doc_rank - pr.rank), 100)) AS BIGINT)
+           AS dist
+  FROM drank dr CROSS JOIN langs l
+  LEFT JOIN prof pr ON pr.lang = l.lang AND pr.gram = dr.gram
+  GROUP BY 1, 2
+),
+ct AS (
+  SELECT doc_id, lang AS ct_lang, dist AS ct_dist FROM (
+    SELECT doc_id, lang, dist,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY dist ASC, lang ASC) AS rr
+    FROM dist) WHERE rr = 1
 )
-SELECT doc_id, ws_tokens, bpe_ish_tokens, n_chars_actual, quality,
+SELECT p.doc_id, ws_tokens, bpe_ish_tokens, n_chars_actual, quality,
        pred_lang, fingerprint,
        CAST(start_tok AS BIGINT) AS start_tok,
        CAST(start_tok // 512 AS BIGINT) AS first_seq,
        CAST(CASE WHEN ws_tokens > 0 THEN (start_tok + ws_tokens - 1) // 512
                  ELSE start_tok // 512 END AS BIGINT) AS last_seq,
-       CAST(start_tok % 512 AS BIGINT) AS seq_offset
-FROM p
+       CAST(start_tok % 512 AS BIGINT) AS seq_offset,
+       COALESCE(ct.ct_lang, 'unknown') AS ct_lang,
+       CAST(COALESCE(ct.ct_dist, -1) AS BIGINT) AS ct_dist
+FROM p LEFT JOIN ct ON ct.doc_id = p.doc_id
 """
 
 
@@ -2079,16 +2156,20 @@ FROM br WHERE rank <= 200
 def q49_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (training-data pipeline op): flag corpus
     documents sharing any word 3-gram with a benchmark set (docs with
-    doc_id % 50 == 0). Broadcast the benchmark's distinct shingles; the
-    corpus text column never shuffles (operators/dedup.py:
-    ngram_contamination)."""
+    doc_id % 50 == 0), via the production sharded-Bloom path
+    (operators/dedup.py: bloom_contamination — benchmark shingles build
+    the filter, corpus shingles probe map-side, only the maybe-slice
+    pays the exact verify join; corpus text never shuffles)."""
     _prep(spark)
-    from metadata_crawler_spark.operators.dedup import ngram_contamination
+    from metadata_crawler_spark.operators.dedup import bloom_contamination
 
     d = _t(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") % 50 != 0).select("doc_id", "text")
     bench = d.filter(F.col("doc_id") % 50 == 0).select("text")
-    out = ngram_contamination(corpus, bench, "text", "doc_id", ngram=3)
+    # r5: the production 10^9-shingle path (sharded-Bloom prefilter +
+    # exact verify of the maybe-slice) IS what the oracle now checks —
+    # with exact_verify on it returns exactly ngram_contamination's rows.
+    out = bloom_contamination(corpus, bench, "text", "doc_id", ngram=3)
     return out.select(
         "doc_id",
         F.col("n_contaminated_ngrams").cast("long").alias("n_contaminated_ngrams"),

@@ -48,12 +48,15 @@ def char_ngrams_expr(text: Column, n_lo: int = 1, n_hi: int = 3) -> Column:
     norm = normalize_expr(text)
 
     def grams_of(n: int) -> Column:
-        return F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.length(norm) - F.lit(n - 1), F.lit(0))
+        # guard: sequence(1, 0) DESCENDS in Spark, so short strings must
+        # yield an explicit empty array, not a phantom [1, 0] walk
+        return F.when(
+            F.length(norm) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length(norm) - F.lit(n - 1)),
+                lambda i: norm.substr(i, F.lit(n)),
             ),
-            lambda i: norm.substr(i, F.lit(n)),
-        )
+        ).otherwise(F.array().cast("array<string>"))
 
     return F.flatten(F.array(*[grams_of(n) for n in range(n_lo, n_hi + 1)]))
 
