@@ -739,30 +739,10 @@ def q16_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r5 merge: GPT-style concat-and-chunk packing plan (seq_len=512) over
     # the ws token counts — start_tok is the scalable two-phase prefix
     # scan, NOT a single-partition global window (operators/packing.py).
-    packed = pack_concat_chunk(metrics, "doc_id", "ws_tokens", 512)
-    # r5 merge #2: trained Cavnar-Trenkle char-ngram language ID
-    # (functions/langid.py) bootstrapped from the marker heuristic's
-    # labels (distant supervision) — per-doc argmin out-of-place distance.
-    from metadata_crawler_spark.functions.langid import (
-        classify_lang,
-        train_lang_profiles,
-    )
-
-    labeled = d.select(
-        lang_id_expr(F.col("text")).alias("lang"), "text"
-    ).filter(F.col("lang") != "unknown")
-    profiles = train_lang_profiles(labeled, "text", "lang", top_n=100)
-    ct = classify_lang(d, profiles, "text", "doc_id", top_n=100).select(
-        "doc_id",
-        F.col("lang").alias("ct_lang"),
-        F.col("dist").alias("ct_dist"),
-    )
-    return packed.join(ct, "doc_id", "left").select(
+    return pack_concat_chunk(metrics, "doc_id", "ws_tokens", 512).select(
         "doc_id", "ws_tokens", "bpe_ish_tokens", "n_chars_actual",
         "quality", "pred_lang", "fingerprint",
         "start_tok", "first_seq", "last_seq", "seq_offset",
-        F.coalesce("ct_lang", F.lit("unknown")).alias("ct_lang"),
-        F.coalesce("ct_dist", F.lit(-1)).cast("long").alias("ct_dist"),
     )
 
 
@@ -825,72 +805,15 @@ p AS (
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            AS start_tok
   FROM m
-),
--- r5 merge #2: trained Cavnar-Trenkle lang-id (functions/langid.py twin)
-base AS (
-  SELECT d.doc_id,
-         regexp_replace('_' || regexp_replace(lower(coalesce(d.text, '')),
-                                              '[^a-z]+', '_', 'g') || '_',
-                        '_+', '_', 'g') AS nrm,
-         m.pred_lang
-  FROM documents d JOIN m ON m.doc_id = d.doc_id
-),
-g AS (
-  SELECT doc_id, pred_lang,
-    [substr(nrm, i, 1) FOR i IN range(1, length(nrm) + 1)]
-    || CASE WHEN length(nrm) >= 2
-            THEN [substr(nrm, i, 2) FOR i IN range(1, length(nrm))]
-            ELSE []::VARCHAR[] END
-    || CASE WHEN length(nrm) >= 3
-            THEN [substr(nrm, i, 3) FOR i IN range(1, length(nrm) - 1)]
-            ELSE []::VARCHAR[] END AS gl
-  FROM base
-),
-lg AS (SELECT pred_lang AS lang, unnest(gl) AS gram FROM g
-       WHERE pred_lang <> 'unknown'),
-lcnt AS (SELECT lang, gram, COUNT(*) AS n FROM lg GROUP BY 1, 2),
-prof AS (
-  SELECT lang, gram, rank FROM (
-    SELECT lang, gram,
-           ROW_NUMBER() OVER (PARTITION BY lang
-                              ORDER BY n DESC, gram ASC) AS rank
-    FROM lcnt) WHERE rank <= 100
-),
-dg AS (SELECT doc_id, unnest(gl) AS gram FROM g),
-dcnt AS (SELECT doc_id, gram, COUNT(*) AS n FROM dg GROUP BY 1, 2),
-drank AS (
-  SELECT doc_id, gram, doc_rank FROM (
-    SELECT doc_id, gram,
-           ROW_NUMBER() OVER (PARTITION BY doc_id
-                              ORDER BY n DESC, gram ASC) AS doc_rank
-    FROM dcnt) WHERE doc_rank <= 100
-),
-langs AS (SELECT DISTINCT lang FROM prof),
-dist AS (
-  SELECT dr.doc_id, l.lang,
-         CAST(SUM(COALESCE(ABS(dr.doc_rank - pr.rank), 100)) AS BIGINT)
-           AS dist
-  FROM drank dr CROSS JOIN langs l
-  LEFT JOIN prof pr ON pr.lang = l.lang AND pr.gram = dr.gram
-  GROUP BY 1, 2
-),
-ct AS (
-  SELECT doc_id, lang AS ct_lang, dist AS ct_dist FROM (
-    SELECT doc_id, lang, dist,
-           ROW_NUMBER() OVER (PARTITION BY doc_id
-                              ORDER BY dist ASC, lang ASC) AS rr
-    FROM dist) WHERE rr = 1
 )
-SELECT p.doc_id, ws_tokens, bpe_ish_tokens, n_chars_actual, quality,
+SELECT doc_id, ws_tokens, bpe_ish_tokens, n_chars_actual, quality,
        pred_lang, fingerprint,
        CAST(start_tok AS BIGINT) AS start_tok,
        CAST(start_tok // 512 AS BIGINT) AS first_seq,
        CAST(CASE WHEN ws_tokens > 0 THEN (start_tok + ws_tokens - 1) // 512
                  ELSE start_tok // 512 END AS BIGINT) AS last_seq,
-       CAST(start_tok % 512 AS BIGINT) AS seq_offset,
-       COALESCE(ct.ct_lang, 'unknown') AS ct_lang,
-       CAST(COALESCE(ct.ct_dist, -1) AS BIGINT) AS ct_dist
-FROM p LEFT JOIN ct ON ct.doc_id = p.doc_id
+       CAST(start_tok % 512 AS BIGINT) AS seq_offset
+FROM p
 """
 
 
@@ -2449,7 +2372,27 @@ def q53_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     rep = gopher_repetition(d, "text", "doc_id")
     lm = line_quality_metrics(d, "text", "doc_id")
-    return rep.join(lm, "id").select(
+    # r5 merge: trained Cavnar-Trenkle char-ngram language ID
+    # (functions/langid.py), bootstrapped from the marker heuristic's
+    # labels (distant supervision). Kept OUT of headline-bench q16: the
+    # CT gram pipeline is a document-quality stage, and this family is
+    # where per-doc quality metrics live.
+    from metadata_crawler_spark.functions.langid import (
+        classify_lang,
+        train_lang_profiles,
+    )
+    from metadata_crawler_spark.functions.text import lang_id_expr
+
+    labeled = d.select(
+        lang_id_expr(F.col("text")).alias("lang"), "text"
+    ).filter(F.col("lang") != "unknown")
+    profiles = train_lang_profiles(labeled, "text", "lang", top_n=100)
+    ct = classify_lang(d, profiles, "text", "doc_id", top_n=100).select(
+        F.col("doc_id").alias("id"),
+        F.col("lang").alias("ct_lang"),
+        F.col("dist").alias("ct_dist"),
+    )
+    return rep.join(lm, "id").join(ct, "id", "left").select(
         F.col("id").alias("doc_id"),
         F.col("n_words").cast("long").alias("n_words"),
         "mean_word_len",
@@ -2463,6 +2406,8 @@ def q53_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frac_short_lines",
         "removed_char_frac",
         "line_flagged",
+        F.coalesce("ct_lang", F.lit("unknown")).alias("ct_lang"),
+        F.coalesce("ct_dist", F.lit(-1)).cast("long").alias("ct_dist"),
     )
 
 
@@ -2544,6 +2489,102 @@ SELECT b.doc_id, b.n_words,
 FROM base b LEFT JOIN top2 t2 ON b.doc_id = t2.doc_id
 JOIN lm ON b.doc_id = lm.doc_id
 """
+
+# r5: trained Cavnar-Trenkle lang-id (functions/langid.py twin) spliced
+# into the document-quality family oracle: heuristic marker labels
+# (distant supervision, same CASE as q16's pred_lang) train per-lang
+# char-1..3-gram rank profiles; each doc scores by out-of-place distance.
+_Q53_CT_CTES = rf""",
+cthd AS (SELECT doc_id, text FROM documents),
+ctsc AS (
+  SELECT doc_id,
+         ({_lang_score_sql(['der', 'und', 'nicht'])}) AS s_de,
+         ({_lang_score_sql(['the', 'and', 'of'])}) AS s_en,
+         ({_lang_score_sql(['el', 'que', 'los'])}) AS s_es,
+         ({_lang_score_sql(['le', 'et', 'les'])}) AS s_fr
+  FROM cthd
+),
+ctlab AS (
+  SELECT doc_id,
+         CASE
+           WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'unknown'
+           WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+           WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+           WHEN s_es >= s_fr THEN 'es'
+           ELSE 'fr' END AS lang
+  FROM ctsc
+),
+ctbase AS (
+  SELECT h.doc_id,
+         regexp_replace('_' || regexp_replace(lower(coalesce(h.text, '')),
+                                              '[^a-z]+', '_', 'g') || '_',
+                        '_+', '_', 'g') AS nrm,
+         ctlab.lang
+  FROM cthd h JOIN ctlab ON ctlab.doc_id = h.doc_id
+),
+ctg AS (
+  SELECT doc_id, lang,
+    [substr(nrm, i, 1) FOR i IN range(1, length(nrm) + 1)]
+    || CASE WHEN length(nrm) >= 2
+            THEN [substr(nrm, i, 2) FOR i IN range(1, length(nrm))]
+            ELSE []::VARCHAR[] END
+    || CASE WHEN length(nrm) >= 3
+            THEN [substr(nrm, i, 3) FOR i IN range(1, length(nrm) - 1)]
+            ELSE []::VARCHAR[] END AS gl
+  FROM ctbase
+),
+ctlg AS (SELECT lang, unnest(gl) AS gram FROM ctg WHERE lang <> 'unknown'),
+ctlcnt AS (SELECT lang, gram, COUNT(*) AS n FROM ctlg GROUP BY 1, 2),
+ctprof AS (
+  SELECT lang, gram, rank FROM (
+    SELECT lang, gram,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY n DESC, gram ASC) AS rank
+    FROM ctlcnt) WHERE rank <= 100
+),
+ctdg AS (SELECT doc_id, unnest(gl) AS gram FROM ctg),
+ctdcnt AS (SELECT doc_id, gram, COUNT(*) AS n FROM ctdg GROUP BY 1, 2),
+ctdrank AS (
+  SELECT doc_id, gram, doc_rank FROM (
+    SELECT doc_id, gram,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY n DESC, gram ASC) AS doc_rank
+    FROM ctdcnt) WHERE doc_rank <= 100
+),
+ctlangs AS (SELECT DISTINCT lang FROM ctprof),
+ctdist AS (
+  SELECT dr.doc_id, l.lang,
+         CAST(SUM(COALESCE(ABS(dr.doc_rank - pr.rank), 100)) AS BIGINT)
+           AS dist
+  FROM ctdrank dr CROSS JOIN ctlangs l
+  LEFT JOIN ctprof pr ON pr.lang = l.lang AND pr.gram = dr.gram
+  GROUP BY 1, 2
+),
+ct AS (
+  SELECT doc_id, lang AS ct_lang, dist AS ct_dist FROM (
+    SELECT doc_id, lang, dist,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY dist ASC, lang ASC) AS rr
+    FROM ctdist) WHERE rr = 1
+)
+"""
+assert "\nSELECT b.doc_id" in _Q53_SQL
+_Q53_SQL = _Q53_SQL.replace(
+    "\nSELECT b.doc_id", _Q53_CT_CTES + "\nSELECT b.doc_id", 1
+)
+_Q53_SQL = _Q53_SQL.replace(
+    "JOIN lm ON b.doc_id = lm.doc_id",
+    "JOIN lm ON b.doc_id = lm.doc_id\n"
+    "LEFT JOIN ct ON b.doc_id = ct.doc_id",
+    1,
+)
+_Q53_SQL = _Q53_SQL.replace(
+    "            ELSE FALSE END AS line_flagged",
+    "            ELSE FALSE END AS line_flagged,\n"
+    "       COALESCE(ct.ct_lang, 'unknown') AS ct_lang,\n"
+    "       CAST(COALESCE(ct.ct_dist, -1) AS BIGINT) AS ct_dist",
+    1,
+)
 
 
 # ---------------------------------------------------------------------------

@@ -61,6 +61,41 @@ def char_ngrams_expr(text: Column, n_lo: int = 1, n_hi: int = 3) -> Column:
     return F.flatten(F.array(*[grams_of(n) for n in range(n_lo, n_hi + 1)]))
 
 
+def exploded_grams(
+    df: DataFrame,
+    keys: list[str],
+    text_col: str,
+    n_lo: int = 1,
+    n_hi: int = 3,
+) -> DataFrame:
+    """(keys..., gram) rows — the char-n-gram explode both the trainer
+    and the classifier run on.
+
+    NOT written as ``explode(char_ngrams_expr(...))``: Catalyst performs
+    no common-subexpression elimination inside higher-order-function
+    lambdas, so the normalize regexes would re-evaluate once PER GRAM
+    (measured 60x slowdown). Instead the normalized string crosses a
+    Generate barrier as a materialized column (explode of the position
+    sequence), and each output row does only constant-time substrs."""
+    base = df.select(*keys, normalize_expr(F.col(text_col)).alias("_norm"))
+    idx = base.select(
+        *keys,
+        "_norm",
+        F.explode(F.sequence(F.lit(1), F.length("_norm"))).alias("_i"),
+    )
+    gram_cols = [
+        F.when(
+            F.col("_i") + F.lit(n - 1) <= F.length("_norm"),
+            F.col("_norm").substr(F.col("_i"), F.lit(n)),
+        )
+        for n in range(n_lo, n_hi + 1)
+    ]
+    return (
+        idx.select(*keys, F.explode(F.array(*gram_cols)).alias("gram"))
+        .filter(F.col("gram").isNotNull())
+    )
+
+
 def train_lang_profiles(
     labeled: DataFrame,
     text_col: str = "text",
@@ -70,9 +105,8 @@ def train_lang_profiles(
     """(lang, gram, rank) profile table from a labeled sample: per-lang
     gram counts (one partial-agg shuffle), rank by (count DESC, gram ASC)
     for determinism, keep the top ``top_n``."""
-    grams = labeled.select(
-        F.col(lang_col).alias("lang"),
-        F.explode(char_ngrams_expr(F.col(text_col))).alias("gram"),
+    grams = exploded_grams(
+        labeled.select(F.col(lang_col).alias("lang"), text_col), ["lang"], text_col
     )
     counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("gram").asc())
@@ -95,9 +129,8 @@ def classify_lang(
     Docs whose normalized text has no grams beyond the padding still get
     a row (the padding ``_`` n-grams are real grams), so every input id
     appears in the output. Ties break on lang ascending."""
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(char_ngrams_expr(F.col(text_col))).alias("gram"),
+    grams = exploded_grams(
+        df.select(F.col(id_col).alias("id"), text_col), ["id"], text_col
     )
     counts = grams.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("id").orderBy(F.col("n").desc(), F.col("gram").asc())
