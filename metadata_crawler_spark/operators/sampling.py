@@ -237,3 +237,44 @@ def temperature_sample(
     p = F.coalesce(F.element_at(pmap, F.col(domain_col)), F.lit(0.0))
     u = hash_uniform(F.col(id_col), seed, hasher)
     return df.withColumn("keep_prob", p).withColumn(keep_col, u < p)
+
+
+def split_by_group(
+    df: DataFrame,
+    group_col: str,
+    fracs: dict[str, float],
+    seed: int = 0,
+    hasher: str = "xxhash64",
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-free train/val/test assignment: every row of a GROUP (host,
+    domain, cluster id) lands in the SAME split, so near-duplicates and
+    same-site pages can never straddle the train/eval boundary — the
+    standard contamination-safe split for web corpora (split by host, or
+    by near-dup cluster id from `neardup_clusters`).
+
+    Deterministic and cluster-size-independent: the group key hashes to
+    uniform(0,1) (`hash_uniform`, seeded) and the CDF over ``fracs``
+    (entries in sorted-key order) picks the split — a pure map-side
+    column expression, zero shuffles, reproducible on any executor count
+    and recomputable by a SQL oracle via the md5 hasher.
+
+    ``fracs`` must sum to ~1 (validated); rows with NULL group go to the
+    LAST split in sorted order (deterministic, never silently dropped).
+    """
+    total = sum(fracs.values())
+    if not fracs or abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fracs must sum to 1, got {fracs!r} (sum={total})")
+    u = hash_uniform(F.col(group_col), seed, hasher)
+    names = sorted(fracs)
+    expr = None
+    cdf = 0.0
+    for name in names[:-1]:
+        cdf += fracs[name]
+        cond = u < F.lit(cdf)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(
+        split_col, F.when(F.col(group_col).isNull(), last).otherwise(out)
+    )

@@ -167,3 +167,51 @@ def test_temperature_sample_alpha_zero_equalizes(spark):
     probs = {r.domain: r.keep_prob for r in out}
     assert probs["b"] == 1.0  # smallest domain fully kept
     assert abs(probs["a"] - 100 / 400) < 1e-9  # equal absolute share
+
+
+def test_split_by_group_host_disjoint(spark):
+    """Same host -> same split, proportions ~fracs, deterministic under
+    repartitioning (cluster-size independence), NULL group -> last split."""
+    from metadata_crawler_spark.operators.sampling import split_by_group
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"host{i % 200}.example.com") for i in range(2000)]
+    rows += [(9000, None), (9001, None)]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    fracs = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_by_group(df, "host", fracs, seed=7)
+    # host-disjoint: one split per host
+    per_host = out.filter(F.col("host").isNotNull()).groupBy("host").agg(
+        F.countDistinct("split").alias("k")
+    )
+    assert per_host.filter(F.col("k") != 1).count() == 0
+    # proportions within tolerance of the group-level expectation
+    got = {r["split"]: r["c"] for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert 0.7 < got["train"] / 2002 < 0.9
+    assert got.get("val", 0) > 0 and got.get("test", 0) > 0
+    # NULLs deterministically land in the sorted-last split ('val')
+    nulls = {r["split"] for r in out.filter(F.col("host").isNull()).collect()}
+    assert nulls == {sorted(fracs)[-1]}
+    # identical assignment at different parallelism
+    again = split_by_group(df.repartition(17), "host", fracs, seed=7)
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in again.collect()}
+    assert a == b
+    # different seed reshuffles hosts
+    other = split_by_group(df, "host", fracs, seed=8)
+    c = {r["doc_id"]: r["split"] for r in other.collect()}
+    assert a != c
+    # map-side only
+    plan = split_by_group(df, "host", fracs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_split_by_group_validates_fracs(spark):
+    import pytest as _pytest
+    from metadata_crawler_spark.operators.sampling import split_by_group
+
+    df = spark.createDataFrame([(1, "h")], "doc_id long, host string")
+    with _pytest.raises(ValueError):
+        split_by_group(df, "host", {"train": 0.5, "val": 0.4})
+    one = split_by_group(df, "host", {"all": 1.0})
+    assert one.collect()[0]["split"] == "all"
