@@ -2,6 +2,9 @@
 data team actually runs, built from this repo's operators in the
 RefinedWeb/CCNet stage order:
 
+0. language gate     — optional trained Cavnar-Trenkle lang-id keep-set
+                       (functions/langid, r5) — first, so off-language
+                       docs never pay for any later stage
 1. quality gate      — Gopher repetition flags (functions/quality)
 1b. model gate       — optional fastText/DCLM-style hashed-ngram linear
                        classifier threshold (functions/quality, r5)
@@ -73,6 +76,9 @@ def clean_corpus(
     clf_n_buckets: int = 1 << 20,
     clf_ngram_sizes: tuple[int, ...] = (1, 2),
     clf_hasher: str = "xxhash64",
+    lang_profiles: DataFrame | None = None,
+    lang_keep: set[str] | None = None,
+    lang_top_n: int = 100,
     stage_counts: dict | None = None,
 ) -> DataFrame:
     """Returns the surviving documents as (id, text) where ``text`` is
@@ -107,7 +113,7 @@ def clean_corpus(
     count() pass, and no double-count hazard from branched consumers
     (the checkpoint is the single materialization; downstream reuse
     reads the materialized blocks). Keys land in pipeline order:
-    input, quality_gate, clf_gate, exact_dedup, fuzzy_dedup, semdedup,
+    input, lang_gate, quality_gate, clf_gate, exact_dedup, fuzzy_dedup, semdedup,
     paragraph_dedup, decontamination.
 
     SemDeDup stage (``embeddings`` + ``semdedup_centroids``, r5):
@@ -130,6 +136,21 @@ def clean_corpus(
 
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     base = _stage("input", base)
+
+    # 0. optional language gate (r5) — FIRST, the CCNet/RefinedWeb order:
+    # dropping off-language docs before any other stage saves all their
+    # downstream compute. Trained Cavnar-Trenkle profiles
+    # (functions/langid.train_lang_profiles) classify every doc; only
+    # ``lang_keep`` languages survive. Stage key: lang_gate.
+    if lang_profiles is not None and lang_keep:
+        from ..functions.langid import classify_lang
+
+        kept = (
+            classify_lang(base, lang_profiles, "text", "id", top_n=lang_top_n)
+            .filter(F.col("lang").isin(sorted(lang_keep)))
+            .select("id")
+        )
+        base = _stage("lang_gate", base.join(kept, "id", "left_semi"))
 
     # 1. quality gate (metrics keyed by id; keep unflagged)
     good_ids = (

@@ -646,3 +646,34 @@ def test_clean_corpus_semdedup_stage(spark):
     assert out == {1, 2, 3}
     assert counts["fuzzy_dedup"] == 4
     assert counts["semdedup"] == 3
+
+
+def test_clean_corpus_lang_gate(spark):
+    """The optional language gate drops off-language docs FIRST and
+    stage_counts records the attrition; default-off leaves the plan
+    untouched (same survivors as without the args)."""
+    from metadata_crawler_spark.functions.langid import train_lang_profiles
+    from metadata_crawler_spark.plans.corpus_pipeline import clean_corpus
+
+    en = "the quick brown fox jumps over a lazy dog while birds sing in trees"
+    de = "der hund und die katze sind in dem haus mit ihnen und den voegeln"
+    docs = [(i, en + f" extra word number {i} appended here uniquely") for i in range(8)]
+    docs += [(100, de + " eins"), (101, de + " zwei")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    labeled = spark.createDataFrame(
+        [("en", en), ("de", de)], "lang string, text string"
+    )
+    profiles = train_lang_profiles(labeled, top_n=100)
+    counts = {}
+    out = clean_corpus(
+        df, "text", "doc_id",
+        lang_profiles=profiles, lang_keep={"en"},
+        stage_counts=counts,
+    )
+    ids = {r["id"] for r in out.collect()}
+    assert ids and ids.isdisjoint({100, 101})
+    assert counts["input"] == 10 and counts["lang_gate"] == 8
+    # default off: german docs reach the later stages (101 still dies
+    # there — to FUZZY dedup against 100, not to any language gate)
+    base = {r["id"] for r in clean_corpus(df, "text", "doc_id").collect()}
+    assert 100 in base and 101 not in base
