@@ -381,6 +381,76 @@ def pagerank(
     return pr
 
 
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) over the accumulated link
+    graph — PageRank's complement for crawl scheduling: ``authority``
+    ranks pages worth FETCHING (pointed at by good hubs), ``hub`` ranks
+    pages worth RE-PARSING for outlinks (pointing at good authorities).
+    A directory/sitemap page is a hub long before it accrues PageRank.
+
+      a_{k+1}(v) = sum_{(u,v) in E} h_k(u);  h_{k+1}(u) = sum_{(u,v)} a_{k+1}(v)
+    with sum-normalization after each half-step (the scalar rides an
+    Observation on the iteration's checkpoint — no extra jobs; L1 instead
+    of the classical L2 so an unrolled SQL oracle can recompute exactly,
+    and scale-invariant for ordering either way).
+
+    Same scale shape as :func:`pagerank`: edges checkpoint once, every
+    iteration moves only (url, score) pairs through src-/dst-keyed
+    partial-agg joins, localCheckpoint bounds lineage. Returns
+    (url, authority, hub) for every vertex (dangling sides score 0.0).
+    """
+    from .common import checkpoint_observed
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    verts = (
+        e.select(F.col("src").alias("url"))
+        .unionByName(e.select(F.col("dst").alias("url")))
+        .distinct()
+    )
+    verts, n = checkpoint_observed(verts, F.count(F.lit(1)))
+    if float(n) == 0:
+        return verts.select(
+            "url", F.lit(0.0).alias("authority"), F.lit(0.0).alias("hub")
+        )
+    e = e.localCheckpoint()
+    hub = verts.select("url", F.lit(1.0).alias("h"))
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hub, e["src"] == hub["url"])
+            .groupBy(F.col("dst").alias("url"))
+            .agg(F.sum("h").alias("a"))
+        )
+        a_all = verts.join(a_raw, "url", "left").select(
+            "url", F.coalesce("a", F.lit(0.0)).alias("a")
+        )
+        auth, a_sum = checkpoint_observed(a_all, F.sum("a"))
+        auth = auth.select("url", (F.col("a") / F.lit(float(a_sum))).alias("a"))
+        h_raw = (
+            e.join(auth, e["dst"] == auth["url"])
+            .groupBy(F.col("src").alias("url"))
+            .agg(F.sum("a").alias("h"))
+        )
+        h_all = verts.join(h_raw, "url", "left").select(
+            "url", F.coalesce("h", F.lit(0.0)).alias("h")
+        )
+        hub, h_sum = checkpoint_observed(h_all, F.sum("h"))
+        hub = hub.select("url", (F.col("h") / F.lit(float(h_sum))).alias("h"))
+    return (
+        auth.join(hub, "url")
+        .select(
+            "url",
+            F.col("a").alias("authority"),
+            F.col("h").alias("hub"),
+        )
+    )
+
+
 def rescore_frontier(
     frontier: DataFrame,
     edges: DataFrame,
