@@ -246,6 +246,54 @@ def ngram_contamination(
     )
 
 
+def lsh_probability(s: float, bands: int, rows: int) -> float:
+    """P(candidate | Jaccard = s) for banded MinHash-LSH:
+    1 - (1 - s^rows)^bands — the S-curve (Mining of Massive Datasets
+    ch.3, public)."""
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
+def lsh_tuning(
+    threshold: float,
+    k: int,
+    fp_weight: float = 0.5,
+) -> tuple[int, int]:
+    """(bands, rows_per_band) for ``k`` MinHash rows that best
+    approximates a step at ``threshold`` — so callers of
+    `minhash_signatures`/`lsh_candidate_pairs` can derive parameters
+    from the ONE number they actually choose (the Jaccard cut) instead
+    of hand-picking bands.
+
+    Standard S-curve integration (the public datasketch recipe): for
+    every divisor split b*r = k, integrate the false-positive area below
+    the threshold and the false-negative area above it; minimize
+    fp_weight*FP + (1-fp_weight)*FN. Driver-side math on O(k) divisors —
+    no Spark work.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    best, best_err = None, float("inf")
+    steps = 200
+    for rows in range(1, k + 1):
+        if k % rows:
+            continue
+        bands = k // rows
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = lsh_probability(s, bands, rows)
+            if s < threshold:
+                fp += p / steps
+            else:
+                fn += (1.0 - p) / steps
+        err = fp_weight * fp + (1.0 - fp_weight) * fn
+        if err < best_err:
+            best, best_err = (bands, rows), err
+    return best
+
+
 def bloom_contamination(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -555,3 +555,55 @@ def test_bloom_contamination_empty_benchmark(spark):
     bench = spark.createDataFrame([], "text string")
     rows = bloom_contamination(corpus, bench, "text", "doc_id", ngram=3).collect()
     assert len(rows) == 1 and not rows[0].contaminated
+
+
+def test_lsh_tuning_s_curve():
+    """Higher thresholds -> more rows per band (sharper curve, fewer
+    FPs); lower thresholds -> more bands (higher recall); the chosen
+    split always multiplies back to k and lands the curve's midpoint
+    near the threshold ((1/b)^(1/r) heuristic)."""
+    import pytest as _pytest
+
+    from metadata_crawler_spark.operators.dedup import (
+        lsh_probability,
+        lsh_tuning,
+    )
+
+    b_hi, r_hi = lsh_tuning(0.9, 32)
+    b_lo, r_lo = lsh_tuning(0.4, 32)
+    assert b_hi * r_hi == 32 and b_lo * r_lo == 32
+    assert r_hi > r_lo and b_lo > b_hi
+    for thr in (0.4, 0.6, 0.8, 0.9):
+        b, r = lsh_tuning(thr, 32)
+        midpoint = (1.0 / b) ** (1.0 / r)
+        assert abs(midpoint - thr) < 0.25, (thr, b, r, midpoint)
+    # s-curve sanity: monotone in s, ~0 far below cut, ~1 far above
+    b, r = lsh_tuning(0.8, 32)
+    assert lsh_probability(0.2, b, r) < 0.05
+    assert lsh_probability(0.98, b, r) > 0.95
+    with _pytest.raises(ValueError):
+        lsh_tuning(1.5, 32)
+    with _pytest.raises(ValueError):
+        lsh_tuning(0.5, 1)
+
+
+def test_lsh_tuning_drives_pipeline_params(spark):
+    """The tuned (bands, rows) plug straight into the signature/LSH ops."""
+    from metadata_crawler_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_tuning,
+        minhash_signatures,
+    )
+
+    k = 16
+    bands, rows = lsh_tuning(0.8, k)
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over the lazy dog tonight"),
+         (3, "completely different content with other words entirely")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(df, "text", "doc_id", k=k)
+    pairs = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and not any(3 in p for p in got)
