@@ -278,3 +278,44 @@ def split_by_group(
     return df.withColumn(
         split_col, F.when(F.col(group_col).isNull(), last).otherwise(out)
     )
+
+
+def select_by_budget(
+    df: DataFrame,
+    score_col: str,
+    tokens_col: str,
+    budget: int,
+    id_col: str,
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Greedy token-budget selection: keep the highest-``score_col`` docs
+    whose cumulative ``tokens_col`` stays within ``budget`` — the "train
+    on the best N tokens" selection step (FineWeb-Edu-style classifier-
+    score ranking meets a fixed compute budget).
+
+    Distributed greedy without a global sort bottleneck: rows range-
+    partition on the composite key (score DESC via negation with NULLs
+    coalesced to -inf so they rank last, id ASC for deterministic ties),
+    each partition scans locally, and one bounded #partitions-row collect
+    chains the offsets (`packing.with_prefix_sum` — the same two-phase
+    prefix scan the sequence packer uses). A doc is kept iff its
+    INCLUSIVE cumulative token count <= budget, so the output never
+    overshoots; the first over-budget doc and everything ranked below it
+    get ``keep = false``.
+
+    Appends (cum_tokens_before, keep); all input columns survive.
+    """
+    from .packing import with_prefix_sum
+
+    key = F.struct(
+        (-F.coalesce(F.col(score_col), F.lit(float("-inf")))).alias("ns"),
+        F.col(id_col).alias("i"),
+    )
+    scanned = with_prefix_sum(
+        df.withColumn("_ord", key), "_ord", tokens_col,
+        out_col="cum_tokens_before",
+    )
+    return scanned.withColumn(
+        keep_col,
+        (F.col("cum_tokens_before") + F.col(tokens_col)) <= F.lit(int(budget)),
+    ).drop("_ord")

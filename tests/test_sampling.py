@@ -215,3 +215,32 @@ def test_split_by_group_validates_fracs(spark):
         split_by_group(df, "host", {"train": 0.5, "val": 0.4})
     one = split_by_group(df, "host", {"all": 1.0})
     assert one.collect()[0]["split"] == "all"
+
+
+def test_select_by_budget_greedy_prefix(spark):
+    """Exactly the top-scored prefix that fits the budget is kept, ties
+    break on id, NULL scores rank last, no overshoot, and the result is
+    invariant to input partitioning."""
+    from metadata_crawler_spark.operators.sampling import select_by_budget
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 0.9, 100), (2, 0.8, 200), (3, 0.8, 150), (4, 0.5, 300),
+        (5, None, 10), (6, 0.95, 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, toks long")
+    out = select_by_budget(df, "score", "toks", budget=500, id_col="doc_id")
+    kept = {r["doc_id"] for r in out.filter(F.col("keep")).collect()}
+    # order: 6(50) 1(100) 2(200) 3(150) -> cum 50,150,350,500; 4 and 5 out
+    assert kept == {6, 1, 2, 3}
+    total = (
+        out.filter(F.col("keep")).agg(F.sum("toks").alias("t")).collect()[0]["t"]
+    )
+    assert total == 500  # never overshoots
+    again = select_by_budget(
+        df.repartition(13), "score", "toks", budget=500, id_col="doc_id"
+    )
+    assert {r["doc_id"] for r in again.filter(F.col("keep")).collect()} == kept
+    # tiny budget keeps nothing but still returns every row
+    none = select_by_budget(df, "score", "toks", budget=10, id_col="doc_id")
+    assert none.count() == 6 and none.filter(F.col("keep")).count() == 0
