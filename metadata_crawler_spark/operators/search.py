@@ -145,6 +145,69 @@ def bm25_topk(
     )
 
 
+def bm25_topk_batch(
+    postings: DataFrame,
+    lexicon: DataFrame,
+    queries: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    text_col: str = "query",
+) -> DataFrame:
+    """Top-``k`` per query for a whole QUERY TABLE at once — the batch
+    path a query workload (eval suites, router training, mining) needs:
+    scoring 10^4 queries one `bm25_topk` at a time would launch 10^4
+    jobs; this is ONE plan.
+
+    (query_id, token) pairs explode map-side from the query table and
+    semi-select the postings via a BROADCAST join (the query table is
+    small next to a 10^10-doc index — Catalyst broadcasts it; the big
+    postings side never shuffles for the match). The matched slice then
+    makes exactly ONE exchange, keyed query_id: hashpartitioning on the
+    query alone satisfies both the (query_id, id) sum (grouping keys may
+    be a superset of the partitioning) AND the per-query rank window
+    (whose required clustering is query_id exactly — partitioning on
+    (query_id, id) would NOT satisfy it, which is why the repartition
+    comes first instead of letting the agg pick its own keys).
+    Returns (query_id, id, score, n_hit, rank).
+    """
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(tokens_expr(F.col(text_col))).alias("token"),
+    ).distinct()
+    lex_b = F.broadcast(
+        qt.join(lexicon, "token").select("query_id", "token", "df")
+    )
+    scored = postings.join(lex_b, "token").select(
+        "query_id",
+        "id",
+        bm25_score_expr(
+            F.col("tf").cast("double"),
+            F.col("df").cast("double"),
+            F.col("dl").cast("double"),
+            n_docs,
+            avgdl,
+            k1=k1,
+            b=b,
+        ).alias("s"),
+    )
+    agg = scored.repartition("query_id").groupBy("query_id", "id").agg(
+        F.sum("s").alias("score"), F.count(F.lit(1)).alias("n_hit")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def write_search_index(
     postings: DataFrame, path: str, n_parts: int = 256
 ) -> None:

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from metadata_crawler_spark.operators.search import (
     bm25_topk,
+    bm25_topk_batch,
     build_lexicon,
     build_postings,
     corpus_stats,
@@ -127,3 +128,54 @@ def test_bm25_plan_hygiene(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert not re.search(r"Exchange rangepartitioning", plan)
+
+
+def test_bm25_batch_matches_single_query_path(spark):
+    """bm25_topk_batch row-for-row equals per-query bm25_topk, and the
+    per-query window reuses the (query_id, id) agg partitioning (no
+    exchange between the sum and the rank)."""
+    _, post, lex, n, avgdl = _fixture(spark)
+    queries = [(10, "spark join"), (11, "vector"), (12, "table scan filter")]
+    qdf = spark.createDataFrame(queries, "query_id long, query string")
+    batch = {
+        (r["query_id"], r["id"]): (round(r["score"], 9), r["n_hit"], r["rank"])
+        for r in bm25_topk_batch(post, lex, qdf, n, avgdl, k=5).collect()
+    }
+    single = {}
+    for qid, q in queries:
+        for i, r in enumerate(
+            bm25_topk(post, lex, q.split(), n, avgdl, k=5).collect()
+        ):
+            single[(qid, r["id"])] = (round(r["score"], 9), r["n_hit"], i + 1)
+    assert batch == single
+    plan = (
+        bm25_topk_batch(post, lex, qdf, n, avgdl, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the query side makes ONE exchange, keyed query_id alone — the agg
+    # AND the rank window both reuse it (a (query_id, id)-keyed exchange
+    # would satisfy only the agg and force a second shuffle for the
+    # window)
+    import re
+
+    parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    # ignore the tiny (query_id, token) distinct inside the broadcast
+    # build side; the big-side exchanges are the ones that matter
+    q_parts = [p for p in parts if "query_id" in p and "token" not in p]
+    assert len(q_parts) == 1, q_parts
+    assert ", id#" not in q_parts[0], q_parts  # keyed query_id ALONE
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_batch_duplicate_query_terms(spark):
+    """Repeated terms in a query count once (bag semantics at the doc
+    side, set semantics at the query side — same as bm25_topk's isin)."""
+    _, post, lex, n, avgdl = _fixture(spark)
+    qdf = spark.createDataFrame(
+        [(1, "spark spark spark")], "query_id long, query string"
+    )
+    got = bm25_topk_batch(post, lex, qdf, n, avgdl, k=10).collect()
+    want = bm25_topk(post, lex, ["spark"], n, avgdl, k=10).collect()
+    assert [(r["id"], round(r["score"], 9)) for r in got] == [
+        (r["id"], round(r["score"], 9)) for r in want
+    ]
