@@ -89,6 +89,47 @@ def extract_meta_lang_udf(html: pd.Series) -> pd.Series:
     return out.fillna("unknown").str.lower()
 
 
+def ccnet_normalize_py(text: str) -> str:
+    """CCNet-style hash normalization (public recipe, Wenzek et al.
+    2019): lowercase, NFD-decompose and strip combining marks (accents),
+    every digit -> 0, collapse whitespace. Used BEFORE dedup hashing so
+    'Café 2024' and 'cafe 2025' collide — never for the text that ships."""
+    import unicodedata
+
+    s = unicodedata.normalize("NFD", (text or "").lower())
+    s = "".join("0" if c.isdigit() else c for c in s if not unicodedata.combining(c))
+    return _WS_RE.sub(" ", s).strip()
+
+
+@F.pandas_udf(T.StringType())
+def ccnet_normalize_udf(text: pd.Series) -> pd.Series:
+    """Arrow-batched CCNet normalization: the lowercase/NFD/whitespace
+    steps run as vectorized pandas str ops; only the combining-mark +
+    digit fold is per-char Python (no vectorized Unicode-category op
+    exists), applied after NFD so the hot path stays in C."""
+    import unicodedata
+
+    s = text.fillna("").str.lower().str.normalize("NFD")
+
+    def fold(x: str) -> str:
+        return "".join(
+            "0" if c.isdigit() else c
+            for c in x
+            if not unicodedata.combining(c)
+        )
+
+    return s.map(fold).str.replace(_WS_RE, " ", regex=True).str.strip()
+
+
+def with_normalized(
+    df, text_col: str = "text", out_col: str = "norm_text"
+):
+    """Append the CCNet-normalized shadow column — feed THIS to
+    minhash_signatures / exact-dedup hashing while keeping the original
+    text for the corpus. Map-side only."""
+    return df.withColumn(out_col, ccnet_normalize_udf(F.col(text_col)))
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (training-data-pipeline ops) — pure column expressions so
 # they stay in whole-stage codegen AND are expressible 1:1 in the DuckDB

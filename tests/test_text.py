@@ -84,3 +84,33 @@ def test_fingerprint_order_insensitive(spark):
     fps = [r.fp for r in df.select(fingerprint_expr(F.col("text")).alias("fp")).collect()]
     assert fps[0] == fps[1]
     assert fps[0] != fps[2]
+
+
+def test_ccnet_normalize(spark):
+    """Accent strip, digit fold, case fold, whitespace collapse — UDF
+    matches the Python reference, idempotent, NULL-safe; normalized
+    shadow makes accent/digit variants hash-equal for dedup."""
+    from pyspark.sql import functions as F
+
+    from metadata_crawler_spark.functions.text import (
+        ccnet_normalize_py,
+        with_normalized,
+    )
+
+    ref = ccnet_normalize_py("Café  Opened\n2024")
+    assert ref == "cafe opened 0000"
+    assert ccnet_normalize_py(ref) == ref  # idempotent
+    rows = [
+        (1, "Café  Opened\n2024"),
+        (2, "cafe opened 2025"),
+        (3, None),
+        (4, "Ångström units: 10"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["norm_text"] for r in with_normalized(df).collect()}
+    for i, t in rows:
+        assert out[i] == ccnet_normalize_py(t or "")
+    assert out[1] == out[2] == "cafe opened 0000"  # dedup collision intended
+    assert out[4] == "angstrom units: 00"
+    plan = with_normalized(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
