@@ -31,7 +31,7 @@ Spark expressions (frontier.apply_robots), never per-row Python.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -168,3 +168,86 @@ def render_robots_txt(
         lines.append(f"Crawl-delay: {crawl_delay_ms / 1000:g}")
     lines += ["", "User-agent: SomebodyElseBot", "Disallow: /everything-else"]
     return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# Page-level robots directives (r5): robots.txt governs FETCHING; the
+# page's own <meta name="robots"> / rel="nofollow" markup governs what an
+# index may KEEP and which links a crawler may FOLLOW (the de-facto
+# standard all major engines honor). Reference analog: per-object opt-out
+# attributes the extraction stage must respect, not the transport layer.
+# ---------------------------------------------------------------------------
+
+_ROBOTS_META_RE = (
+    r"""(?is)<meta\b[^>]*?name\s*=\s*["'](?:robots|googlebot)["']"""
+    r"""[^>]*?content\s*=\s*["']([^"']*)["']"""
+)
+
+
+def page_robots_flags(html_col: Column) -> Column:
+    """struct(noindex, nofollow, noarchive) from the page's robots meta
+    tag — pure JVM regexp exprs (no UDF): the directive list is matched
+    case-insensitively, `none` implies noindex+nofollow per the spec.
+    Missing/NULL html -> all false (index by default)."""
+    content = F.lower(
+        F.regexp_extract(
+            F.coalesce(html_col.cast("string"), F.lit("")),
+            _ROBOTS_META_RE,
+            1,
+        )
+    )
+    def has(d: str) -> Column:
+        return content.rlike(rf"(^|[\s,]){d}([\s,]|$)")
+
+    none = has("none")
+    return F.struct(
+        (has("noindex") | none).alias("noindex"),
+        (has("nofollow") | none).alias("nofollow"),
+        has("noarchive").alias("noarchive"),
+    )
+
+
+def followable_links_udf_factory():
+    """Pandas UDF returning only the hrefs of <a> tags WITHOUT
+    rel=nofollow/sponsored/ugc — the link set frontier expansion may
+    legally follow (extract_outlinks_udf returns ALL hrefs; at 100 TB the
+    difference is the link-spam graph)."""
+    import re as _re
+
+    import pandas as pd  # noqa: F811
+
+    from metadata_crawler_spark.functions.text import _decode
+
+    a_re = _re.compile(r"<a\b[^>]*>", _re.I | _re.S)
+    href_re = _re.compile(r"""href\s*=\s*["']([^"']+)["']""", _re.I)
+    rel_re = _re.compile(r"""rel\s*=\s*["']([^"']*)["']""", _re.I)
+
+    @F.pandas_udf("array<string>")
+    def followable_links(html: pd.Series) -> pd.Series:
+        def one(doc: str) -> list[str]:
+            out = []
+            for tag in a_re.findall(doc):
+                h = href_re.search(tag)
+                if not h:
+                    continue
+                rel = rel_re.search(tag)
+                if rel and _re.search(
+                    r"(^|\s)(nofollow|sponsored|ugc)(\s|$)", rel.group(1), _re.I
+                ):
+                    continue
+                out.append(h.group(1))
+            return out
+
+        return _decode(html).map(one)
+
+    return followable_links
+
+
+def indexable_pages(
+    pages: DataFrame, html_col: str = "html", flags_col: str = "robots_flags"
+) -> DataFrame:
+    """Append the robots-flag struct and drop noindex pages — the filter
+    an index sink must apply before q-style facet queries ever see the
+    row. Map-side only."""
+    out = pages.withColumn(flags_col, page_robots_flags(F.col(html_col)))
+    return out.filter(~F.col(f"{flags_col}.noindex"))
