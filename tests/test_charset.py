@@ -1,0 +1,61 @@
+"""Charset sniffing + robust decode (functions/charset.py): BOMs, meta
+declarations (incl. the latin-1 -> windows-1252 spec mapping and bogus
+labels), UTF-8 trial, cp1252 fallback, Spark surface."""
+
+from metadata_crawler_spark.functions.charset import (
+    decode_html_py,
+    decode_pages,
+    sniff_charset_py,
+)
+
+EURO_1252 = "café — €5".encode("windows-1252")
+
+
+def test_bom_wins():
+    assert sniff_charset_py("﻿hi".encode("utf-8")) == "utf-8-sig"
+    assert sniff_charset_py("hi".encode("utf-16-le")) != "utf-16-le"  # no BOM
+    assert sniff_charset_py("﻿hi".encode("utf-16-le")) == "utf-16-le"
+    assert sniff_charset_py("﻿hi".encode("utf-32-be")) == "utf-32-be"
+    cs, text = decode_html_py("﻿hé".encode("utf-16-le"))
+    assert (cs, text) == ("utf-16-le", "hé")  # BOM never reaches the text
+    assert decode_html_py("﻿hé".encode())[1] == "hé"  # utf-8-sig strips too
+
+
+def test_meta_declaration_and_aliases():
+    page = b'<html><meta charset="Shift_JIS"><body>' + "テスト".encode("shift_jis")
+    assert sniff_charset_py(page) == "shift_jis"
+    assert "テスト" in decode_html_py(page)[1]
+    httpequiv = (
+        b'<meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-1">'
+        + EURO_1252
+    )
+    # spec: declared latin-1 means windows-1252 on the web
+    assert sniff_charset_py(httpequiv) == "windows-1252"
+    assert "€5" in decode_html_py(httpequiv)[1]
+    bogus = b'<meta charset="not-a-real-charset">hello'
+    assert sniff_charset_py(bogus) == "utf-8"  # falls through to trial
+
+
+def test_utf8_trial_and_cp1252_fallback():
+    assert sniff_charset_py("naïve utf-8 ✓".encode()) == "utf-8"
+    assert sniff_charset_py(EURO_1252) == "windows-1252"
+    assert decode_html_py(EURO_1252)[1] == "café — €5"
+    assert decode_html_py(None) == ("utf-8", "")
+    assert decode_html_py(b"") == ("utf-8", "")
+
+
+def test_spark_decode_pages(spark):
+    rows = [
+        (1, "plain utf-8 é".encode()),
+        (2, EURO_1252),
+        (3, b'<meta charset="shift_jis">' + "日本".encode("shift_jis")),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, html binary")
+    got = {r["id"]: r["decoded"] for r in decode_pages(df).collect()}
+    assert got[1]["charset"] == "utf-8" and "é" in got[1]["text"]
+    assert got[2]["charset"] == "windows-1252" and "€5" in got[2]["text"]
+    assert got[3]["charset"] == "shift_jis" and "日本" in got[3]["text"]
+    assert got[4]["text"] == ""
+    plan = decode_pages(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
