@@ -31,8 +31,10 @@ config.py:405-458) — derived per-object columns a sink filters on.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # email + NANP phone, deliberately simple and RE2-compatible so the same
 # pattern string runs unchanged in Spark and the DuckDB oracle
@@ -571,4 +573,37 @@ def line_quality_metrics(
     return df.select(
         F.col(id_col).alias("id"),
         *[c.alias(n) for n, c in metrics.items()],
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def compression_ratio_udf(text: pd.Series) -> pd.Series:
+    """zlib-compressed size / raw size per document (level 6) — the
+    compressibility quality signal: highly repetitive or templated text
+    compresses far below normal prose, random/encrypted gibberish
+    compresses above it, so pipelines band-pass on this one number
+    (cheap, language-agnostic, catches what word-level rules miss).
+    Empty/NULL docs -> 1.0 (neutral). Arrow-batched; zlib runs in C."""
+    import zlib
+
+    def one(t) -> float:
+        if not t:
+            return 1.0
+        raw = t.encode("utf-8", "replace")
+        return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+    return text.map(one)
+
+
+def compressibility_band(
+    text: Column, lo: float = 0.25, hi: float = 0.70
+) -> Column:
+    """struct(compression_ratio, too_repetitive, too_random) — the
+    band-pass flags over `compression_ratio_udf` (defaults tuned for
+    English prose, which sits ~0.3-0.6)."""
+    r = compression_ratio_udf(text)
+    return F.struct(
+        r.alias("compression_ratio"),
+        (r < F.lit(lo)).alias("too_repetitive"),
+        (r > F.lit(hi)).alias("too_random"),
     )

@@ -677,3 +677,42 @@ def test_clean_corpus_lang_gate(spark):
     # there — to FUZZY dedup against 100, not to any language gate)
     base = {r["id"] for r in clean_corpus(df, "text", "doc_id").collect()}
     assert 100 in base and 101 not in base
+
+
+def test_compression_ratio_band(spark):
+    """Repetitive text compresses hard (low ratio), high-entropy junk
+    doesn't (high ratio), prose sits between; flags band-pass; NULL/empty
+    neutral; map-side only."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from metadata_crawler_spark.functions.quality import compressibility_band
+
+    rng = random.Random(7)
+    junk = "".join(rng.choice(string.ascii_letters + string.digits) for _ in range(4000))
+    # prose stand-in with realistic entropy (~0.38): random draws from a
+    # 1000-word vocabulary — a repeated real sentence would itself be
+    # (correctly!) flagged as too_repetitive
+    vocab = [f"w{chr(97 + i % 26)}{chr(97 + (i * 7) % 26)}{i % 100}" for i in range(1000)]
+    prose = " ".join(rng.choice(vocab) for _ in range(500))
+    rep = "spam " * 800
+    df = spark.createDataFrame(
+        [(1, rep), (2, prose), (3, junk), (4, None), (5, "")],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: r["b"]
+        for r in df.select("id", compressibility_band(F.col("text")).alias("b")).collect()
+    }
+    assert out[1]["compression_ratio"] < out[2]["compression_ratio"] < out[3]["compression_ratio"]
+    assert out[1]["too_repetitive"] and not out[1]["too_random"]
+    assert out[3]["too_random"] and not out[3]["too_repetitive"]
+    assert not out[2]["too_repetitive"] and not out[2]["too_random"]
+    assert out[4]["compression_ratio"] == 1.0 and out[5]["compression_ratio"] == 1.0
+    plan = (
+        df.select(compressibility_band(F.col("text")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
