@@ -54,8 +54,9 @@ def sniff_charset_py(blob: bytes | None) -> str:
         declared = m.group(1).decode("ascii", "replace").lower()
         try:
             info = codecs.lookup(declared)
-            # the spec maps declared latin-1/ascii to windows-1252
-            if info.name in ("iso8859-1", "ascii", "latin-1", "latin_1"):
+            # the spec maps declared latin-1/ascii to windows-1252; report
+            # cp1252 under its WHATWG name for a consistent charset column
+            if info.name in ("iso8859-1", "ascii", "latin-1", "latin_1", "cp1252"):
                 return "windows-1252"
             return info.name
         except LookupError:

@@ -1,0 +1,98 @@
+"""The page-ingest plan: raw fetched (url, html bytes) -> the typed
+`documents`-shaped row everything downstream consumes.
+
+This is the glue between the crawl loop (plans/round_loop.py produces
+fetched pages) and the corpus pipeline (plans/corpus_pipeline.py expects
+clean text): one composed pass per page through the r5 ingest operators —
+
+  charset sniff + decode   functions/charset.decode_pages
+  page metadata            functions/metadata.extract_meta_udf (+ OG time)
+  robots directives        functions/robots.page_robots_flags (JVM exprs)
+  boilerplate removal      functions/boilerplate.extract_main_udf
+  heuristic lang + tokens  functions/text (pure exprs)
+  compressibility band     functions/quality.compressibility_band
+
+Scale shape: EVERY stage is map-side (Arrow UDFs + JVM exprs over the
+scan) — the whole plan has ZERO exchanges (plan-asserted in tests), so
+at 100 TB it is one pass over the page store at input-split parallelism;
+page bytes never move. Dropping noindex pages and empty extractions
+happens inside the same pass.
+
+Reference parity: this is the reference's open -> extract -> translate
+stage chain (storage_backend.py:102-149 dispatch feeding config.py
+DataSpecs extraction, then the translate step) re-expressed as one
+composed Spark projection over web pages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.boilerplate import extract_main_udf
+from ..functions.charset import decode_html_udf
+from ..functions.metadata import extract_meta_udf
+from ..functions.quality import compressibility_band
+from ..functions.robots import page_robots_flags
+from ..functions.text import bpe_ish_token_count, lang_id_expr, ws_token_count
+from ..functions.urls import host_expr
+
+
+def ingest_pages(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    min_words: int = 1,
+    respect_noindex: bool = True,
+    boilerplate: bool = True,
+) -> DataFrame:
+    """(url, host, charset, title, canonical, published_ts, noindex,
+    nofollow, text, n_blocks, boilerplate_frac, lang, ws_tokens,
+    bpe_ish_tokens, compression_ratio, too_repetitive, too_random) —
+    one map-side pass; `boilerplate=False` keeps the flat tag-strip text
+    instead of the jusText main content (for corpora where chrome is
+    wanted, e.g. link-graph mining)."""
+    d = pages.withColumn("_dec", decode_html_udf(F.col(html_col)))
+    d = d.withColumn("_meta", extract_meta_udf(F.col("_dec.text")))
+    d = d.withColumn("_rb", page_robots_flags(F.col("_dec.text")))
+    if boilerplate:
+        d = d.withColumn("_main", extract_main_udf(F.col("_dec.text")))
+        text = F.col("_main.main_text")
+        n_blocks = F.col("_main.n_blocks")
+        bp_frac = F.col("_main.boilerplate_frac")
+    else:
+        from ..functions.text import extract_text_udf
+
+        d = d.withColumn("_flat", extract_text_udf(F.col("_dec.text")))
+        text = F.col("_flat")
+        n_blocks = F.lit(None).cast("int")
+        bp_frac = F.lit(None).cast("double")
+    d = d.select(
+        F.col(url_col).alias("url"),
+        host_expr(F.col(url_col)).alias("host"),
+        F.col("_dec.charset").alias("charset"),
+        F.col("_meta.title").alias("title"),
+        F.col("_meta.canonical").alias("canonical"),
+        F.try_to_timestamp(
+            F.element_at(F.col("_meta.tags"), "article:published_time")
+        ).alias("published_ts"),
+        F.col("_rb.noindex").alias("noindex"),
+        F.col("_rb.nofollow").alias("nofollow"),
+        text.alias("text"),
+        n_blocks.alias("n_blocks"),
+        bp_frac.alias("boilerplate_frac"),
+    )
+    d = d.withColumn("lang", lang_id_expr(F.col("text"))).withColumn(
+        "ws_tokens", ws_token_count(F.col("text")).cast("long")
+    ).withColumn(
+        "bpe_ish_tokens", bpe_ish_token_count(F.col("text")).cast("long")
+    ).withColumn("_cb", compressibility_band(F.col("text")))
+    d = d.select(
+        "*",
+        F.col("_cb.compression_ratio").alias("compression_ratio"),
+        F.col("_cb.too_repetitive").alias("too_repetitive"),
+        F.col("_cb.too_random").alias("too_random"),
+    ).drop("_cb")
+    if respect_noindex:
+        d = d.filter(~F.col("noindex"))
+    return d.filter(F.col("ws_tokens") >= F.lit(int(min_words)))

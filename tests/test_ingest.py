@@ -1,0 +1,79 @@
+"""Page-ingest plan (plans/ingest.py): the composed charset -> metadata
+-> robots -> boilerplate -> quality pass, end-to-end on synthetic pages
+and plan-asserted zero-exchange."""
+
+from pyspark.sql import functions as F
+
+from metadata_crawler_spark.plans.ingest import ingest_pages
+
+ARTICLE = (
+    "This is the main article body and it talks at length about the "
+    "subject of the page with plenty of the usual English stopwords in it "
+    "so the content classifier keeps it around for the corpus."
+)
+
+GOOD = f"""
+<html><head><title>A Good Page</title>
+<link rel="canonical" href="https://www.example.com/good">
+<meta property="article:published_time" content="2026-02-03T04:05:06">
+</head><body>
+<nav><a href="/a">Home</a> <a href="/b">About</a> <a href="/c">Contact</a> <a href="/d">More</a></nav>
+<p>{ARTICLE}</p>
+</body></html>
+""".encode()
+
+CP1252 = (
+    '<html><head><meta charset="windows-1252"><title>Café Page</title></head>'
+    f"<body><p>{ARTICLE} Prix: €9 café.</p></body></html>"
+).encode("windows-1252")
+
+NOINDEX = (
+    f'<meta name="robots" content="noindex"><p>{ARTICLE}</p>'
+).encode()
+
+
+def _pages(spark):
+    rows = [
+        ("https://a.example.com/good", GOOD),
+        ("https://b.example.com/cafe", CP1252),
+        ("https://c.example.com/private", NOINDEX),
+        ("https://d.example.com/empty", b"<html></html>"),
+    ]
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+def test_ingest_end_to_end(spark):
+    out = {r["url"]: r for r in ingest_pages(_pages(spark), min_words=5).collect()}
+    g = out["https://a.example.com/good"]
+    assert g["title"] == "A Good Page"
+    assert g["canonical"] == "https://www.example.com/good"
+    assert g["published_ts"].year == 2026 and g["published_ts"].month == 2
+    assert g["host"] == "a.example.com" and g["charset"] == "utf-8"
+    assert ARTICLE in g["text"] and "Home" not in g["text"]  # chrome gone
+    assert g["lang"] == "en" and g["ws_tokens"] > 20
+    assert not g["too_repetitive"]
+    c = out["https://b.example.com/cafe"]
+    assert c["charset"] == "windows-1252" and "€9 café" in c["text"]
+    # noindex page dropped; empty page dropped by min_words
+    assert "https://c.example.com/private" not in out
+    assert "https://d.example.com/empty" not in out
+    assert len(out) == 2
+
+
+def test_ingest_noindex_optional_and_flat_mode(spark):
+    out = ingest_pages(
+        _pages(spark), min_words=5, respect_noindex=False, boilerplate=False
+    )
+    rows = {r["url"]: r for r in out.collect()}
+    pr = rows["https://c.example.com/private"]
+    assert pr["noindex"] is True
+    g = rows["https://a.example.com/good"]
+    assert "Home" in g["text"]  # flat mode keeps chrome
+    assert g["n_blocks"] is None and g["boilerplate_frac"] is None
+
+
+def test_ingest_plan_zero_exchange(spark):
+    plan = (
+        ingest_pages(_pages(spark))._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
