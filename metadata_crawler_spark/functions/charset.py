@@ -61,8 +61,24 @@ def sniff_charset_py(blob: bytes | None) -> str:
             return info.name
         except LookupError:
             pass  # bogus declaration: fall through to content sniff
+    window = b[:_PRESCAN]
+    if len(b) > _PRESCAN:
+        # The hard slice can cut a multibyte sequence in half; a strict
+        # decode would then misclassify a perfectly valid UTF-8 page as
+        # cp1252 (whole-page mojibake). Trim the incomplete tail first.
+        cut = len(window)
+        for i in range(1, min(4, cut) + 1):
+            byte = window[cut - i]
+            if byte & 0xC0 == 0xC0:  # lead byte of a multibyte sequence
+                need = 2 if byte < 0xE0 else 3 if byte < 0xF0 else 4
+                if i < need:
+                    window = window[: cut - i]
+                break
+            if byte & 0x80 == 0:  # ascii tail: nothing straddles the cut
+                break
+            # else: continuation byte (10xxxxxx) — keep walking back
     try:
-        b[:_PRESCAN].decode("utf-8", "strict")
+        window.decode("utf-8", "strict")
         return "utf-8"
     except UnicodeDecodeError:
         return "windows-1252"

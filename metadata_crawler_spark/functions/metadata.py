@@ -77,9 +77,16 @@ def extract_meta_udf(html: pd.Series) -> pd.DataFrame:
         c = _CANON_RE.search(doc)
         canons.append(c.group(1).strip() if c else None)
         tags: dict[str, str] = {}
-        for k, v in _META_PC.findall(doc):
-            tags.setdefault(k.strip().lower(), v.strip())
-        for v, k in _META_CP.findall(doc):
+        # FIRST occurrence in DOCUMENT order wins, across both attribute
+        # orders: merging by match position (not pattern-by-pattern) keeps
+        # the rule honest when a page mixes name-first and content-first
+        # tags for the same key.
+        occurrences = [
+            (m.start(), m.group(1), m.group(2)) for m in _META_PC.finditer(doc)
+        ] + [
+            (m.start(), m.group(2), m.group(1)) for m in _META_CP.finditer(doc)
+        ]
+        for _, k, v in sorted(occurrences, key=lambda t: t[0]):
             tags.setdefault(k.strip().lower(), v.strip())
         tag_maps.append(tags)
     return pd.DataFrame({"title": titles, "canonical": canons, "tags": tag_maps})

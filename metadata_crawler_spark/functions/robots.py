@@ -178,22 +178,32 @@ def render_robots_txt(
 # attributes the extraction stage must respect, not the transport layer.
 # ---------------------------------------------------------------------------
 
-_ROBOTS_META_RE = (
+_ROBOTS_META_NC = (
     r"""(?is)<meta\b[^>]*?name\s*=\s*["'](?:robots|googlebot)["']"""
     r"""[^>]*?content\s*=\s*["']([^"']*)["']"""
+)
+_ROBOTS_META_CN = (
+    r"""(?is)<meta\b[^>]*?content\s*=\s*["']([^"']*)["']"""
+    r"""[^>]*?name\s*=\s*["'](?:robots|googlebot)["']"""
 )
 
 
 def page_robots_flags(html_col: Column) -> Column:
     """struct(noindex, nofollow, noarchive) from the page's robots meta
-    tag — pure JVM regexp exprs (no UDF): the directive list is matched
-    case-insensitively, `none` implies noindex+nofollow per the spec.
-    Missing/NULL html -> all false (index by default)."""
+    tags — pure JVM regexp exprs (no UDF). BOTH attribute orders are
+    matched (content= before name= is common in the wild) and ALL
+    robots/googlebot metas are consulted with the most-restrictive
+    directive winning on conflict (the documented engine behavior);
+    `none` implies noindex+nofollow per the spec. Missing/NULL html ->
+    all false (index by default)."""
+    doc = F.coalesce(html_col.cast("string"), F.lit(""))
     content = F.lower(
-        F.regexp_extract(
-            F.coalesce(html_col.cast("string"), F.lit("")),
-            _ROBOTS_META_RE,
-            1,
+        F.array_join(
+            F.concat(
+                F.regexp_extract_all(doc, F.lit(_ROBOTS_META_NC), F.lit(1)),
+                F.regexp_extract_all(doc, F.lit(_ROBOTS_META_CN), F.lit(1)),
+            ),
+            ",",
         )
     )
     def has(d: str) -> Column:

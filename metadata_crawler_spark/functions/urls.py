@@ -428,6 +428,14 @@ def detect_url_traps(
     """
     u = F.col(url_col)
     low_bar = max(1, max_template_urls // calendar_divisor)
+    # drop stale output columns so re-feeding a previous round's output
+    # (template/n_template_urls/... already present) can't raise
+    # AMBIGUOUS_REFERENCE or silently join on the old template values
+    _out_cols = (
+        "template", "n_template_urls", "path_loop", "calendar_path",
+        "template_explosion", "trap",
+    )
+    df = df.drop(*[c for c in _out_cols if c in df.columns])
     t = df.withColumn("template", url_template_expr(u))
     hot = (
         t.groupBy("template")

@@ -874,6 +874,9 @@ def incremental_candidate_pairs(
             old_b.select("band", "bucket", F.col("id").alias("id_b")),
             ["band", "bucket"],
         )
+        # a re-crawled page keeps its id across snapshots — without this
+        # guard it would pair with itself and be reported as its own dup
+        .filter(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
         .withColumn("cross", F.lit(True))
@@ -921,12 +924,16 @@ def incremental_neardup(
     cand = incremental_candidate_pairs(new_buckets, old_buckets, max_bucket)
 
     old_ids = cand.filter("cross").select(F.col("id_b").alias("id")).distinct()
+    new_texts = new_df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
     old_needed = (
         old_docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
         .join(old_ids, "id", "left_semi")
-    )
-    new_texts = new_df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+        # an id present in BOTH snapshots must appear once in the verify
+        # universe (the NEW text wins) — a duplicate id would fan the
+        # jaccard joins out to inconsistent multi-version rows
+        .join(new_texts.select("id"), "id", "left_anti")
     )
     universe = new_texts.unionByName(old_needed)
     verified = jaccard_verify(

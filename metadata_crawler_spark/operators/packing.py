@@ -39,12 +39,17 @@ def with_prefix_sum(
     """Exclusive prefix sum of ``count_col`` in global ``id_col`` ASC order,
     scalable: range-partition by id, per-partition window scan (parallel),
     then add broadcast per-partition offsets (one bounded collect of
-    #partitions rows). Correctness does not depend on where the range
-    boundaries land — only on ranges being ordered and disjoint, which
-    ``repartitionByRange`` guarantees."""
+    #partitions rows). The ranged frame is localCheckpoint-ed before the
+    totals job: ``repartitionByRange`` samples fresh boundaries per
+    execution, so without pinning, the offsets job and the final plan could
+    disagree on which partition a boundary row lands in, silently skewing
+    every downstream global offset. The checkpoint makes both jobs read the
+    exact same partitioning (and truncates lineage for the re-read)."""
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n_parts, F.col(id_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(n_parts, F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     w = Window.partitionBy("_pid").orderBy(id_col)
     scanned = ranged.withColumn(

@@ -57,11 +57,23 @@ def build_postings(
     scoring then never joins back to the corpus. One shuffle (the
     (token, id) count), partial-agg friendly; document bodies never move
     (tokens explode map-side off the scan)."""
-    toks = df.select(
+    # tokens_expr is materialized ONCE in a child projection: written as
+    # two sibling tokens_expr(...) calls, Catalyst treats them as separate
+    # trees and re-runs the split+trim over every full document body
+    # (the langid lambda-CSE hazard). CollapseProject refuses to inline a
+    # non-cheap alias used twice — and explode_OUTER (not explode) keeps
+    # InferFiltersFromGenerate from re-inlining the tokenizer into a
+    # pushed-down size()>0 filter; empty docs surface as one NULL-token
+    # row dropped by a cheap attribute filter instead.
+    tokarr = df.select(
         F.col(id_col).alias("id"),
-        F.explode(tokens_expr(F.col(text_col))).alias("token"),
-        F.size(tokens_expr(F.col(text_col))).alias("dl"),
+        tokens_expr(F.col(text_col)).alias("_toks"),
     )
+    toks = tokarr.select(
+        "id",
+        F.explode_outer("_toks").alias("token"),
+        F.size("_toks").alias("dl"),
+    ).filter(F.col("token").isNotNull())
     return toks.groupBy("token", "id", "dl").agg(
         F.count(F.lit(1)).alias("tf")
     )

@@ -117,7 +117,13 @@ def export_training_set(
             docs, "text", lr, n_buckets=dsir_n_buckets, hasher=hasher
         )
         if dsir_center is None:
-            scored = scored.persist()
+            # localCheckpoint, not persist(): the quantile sketch is an
+            # action, so a bare persist would (a) recompute the whole
+            # upstream pipeline again for the export pass and (b) stay
+            # pinned in the cache for the session. The checkpoint
+            # materializes scored exactly once, truncates lineage for
+            # both consumers, and is released on GC.
+            scored = scored.localCheckpoint()
             dsir_center = scored.approxQuantile("dsir_logw", [0.5], 0.001)[0]
         docs = _stage(
             "dsir",

@@ -83,7 +83,10 @@ def surt_key_expr(url):
 
     Shape: ``com,example,sub)/path?query`` — host lowercased, label
     order reversed, leading ``www.`` dropped, scheme and default ports
-    gone, path kept (lowercased, as cc-index does), query preserved.
+    gone, path kept (lowercased, as cc-index does), query params SORTED
+    alphabetically (the surt library behavior cc-index keys are built
+    with — without the sort, every multi-param URL whose args are not
+    already alphabetical would silently miss the equi-join).
     This targets canonical http(s) URLs (feed it the output of the
     canonicalize tier); exotic userinfo/port forms should be
     canonicalized first.
@@ -96,12 +99,22 @@ def surt_key_expr(url):
     rev_host = F.concat_ws(
         ",", F.reverse(F.split(host, r"\."))
     )
-    path_q = F.lower(
+    rest = F.lower(
         F.regexp_replace(
             F.regexp_extract(url, r"^[a-z][a-z0-9+.\-]*://[^/?#]*([^#]*)", 1),
             r"^$", "/",
         )
     )
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    path_q = F.when(
+        rest.contains("?"),
+        F.concat(
+            path,
+            F.lit("?"),
+            F.array_join(F.array_sort(F.split(query, "&")), "&"),
+        ),
+    ).otherwise(rest)
     return F.concat(rev_host, F.lit(")"), path_q)
 
 

@@ -284,7 +284,10 @@ def read_warc_records(
     """
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows: list[tuple] = []
+        # one yield per (input batch, segment) group — NEVER buffer the
+        # whole partition: a segment partition holds thousands of range
+        # reads of decompressed HTML, and a single end-of-partition list
+        # would hold all of them in task memory at once
         for pdf in batches:
             pdf = pdf.sort_values([file_col, offset_col])
             for fname, grp in pdf.groupby(file_col, sort=False):
@@ -293,6 +296,7 @@ def read_warc_records(
                     fh = _open_uri_raw(path)
                 except OSError:
                     continue
+                rows: list[tuple] = []
                 try:
                     for off, ln in zip(grp[offset_col], grp[length_col]):
                         try:
@@ -309,7 +313,10 @@ def read_warc_records(
                             continue  # bad pointer/record: data, not fail
                 finally:
                     fh.close()
-        yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "segment"])
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=["url", "warc_ts", "html", "segment"]
+                    )
 
     cap = captures.select(file_col, offset_col, length_col).where(
         F.col(file_col).isNotNull()

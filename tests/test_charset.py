@@ -59,3 +59,21 @@ def test_spark_decode_pages(spark):
     assert got[4]["text"] == ""
     plan = decode_pages(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_utf8_multibyte_straddling_prescan_window():
+    """A valid UTF-8 page whose multibyte char is cut in half by the
+    2048-byte prescan slice must still sniff as utf-8 (a strict decode of
+    the hard slice would raise and misclassify the page as cp1252,
+    mojibake-ing the whole document)."""
+    for mb in ("é", "€", "𝄞"):  # 2-, 3-, 4-byte sequences
+        enc = mb.encode("utf-8")
+        for split in range(1, len(enc)):
+            page = b"a" * (2048 - split) + enc + "tail — ok".encode("utf-8")
+            assert sniff_charset_py(page) == "utf-8", (mb, split)
+            assert mb in decode_html_py(page)[1]
+    # control: a real cp1252 page is still detected
+    page = b"a" * 2040 + "café — €".encode("windows-1252")
+    assert sniff_charset_py(page) == "windows-1252"
+    # all-continuation tail (invalid utf-8) must not loop past the walk cap
+    assert sniff_charset_py(b"a" * 2040 + b"\x80" * 600) == "windows-1252"

@@ -437,6 +437,40 @@ def test_incremental_neardup_caps_hot_buckets(spark):
     assert uncapped.count() == 30
 
 
+def test_incremental_neardup_recrawled_id(spark):
+    """A doc id present in BOTH the new snapshot and the standing corpus
+    (a re-crawled page) must not pair with itself, and the verify universe
+    must hold exactly one text version per id (the new one) — duplicate
+    ids would fan the jaccard joins out to inconsistent multi-version
+    rows."""
+    from metadata_crawler_spark.operators.dedup import (
+        incremental_neardup,
+        lsh_buckets,
+        minhash_signatures,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog by the river bank"
+    old = spark.createDataFrame(
+        [(1, shared), (2, "some other standing document about gardening tips")],
+        ["doc_id", "text"],
+    )
+    # id 1 re-crawled with near-identical text; id 3 is a true near-dup of 1
+    new = spark.createDataFrame(
+        [(1, shared + " today"), (3, shared)], ["doc_id", "text"]
+    )
+    ob = lsh_buckets(minhash_signatures(old, "text", "doc_id"))
+    verified, _ = incremental_neardup(
+        new, ob, old, "text", "doc_id", max_bucket=1000, threshold=0.5
+    )
+    rows = verified.collect()
+    assert all(r.id_a != r.id_b for r in rows)  # no self-pairs
+    # exactly one row per (id_a, id_b) pair — no multi-version fan-out
+    pairs = [(r.id_a, r.id_b) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    got = {(r.id_a, r.id_b, r.cross) for r in rows}
+    assert (3, 1, True) in got or (1, 3, False) in got or (3, 1, False) in got
+
+
 def test_semantic_dedup_hand_computed(spark):
     """SemDeDup keep-farthest-from-centroid rule on a planted 2-cluster
     layout: the centroid-nearest member of each duplicate pair is the

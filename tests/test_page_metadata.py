@@ -55,3 +55,24 @@ def test_meta_plan_map_side_only(spark):
     df = spark.createDataFrame([(1, PAGE)], "id long, html binary")
     plan = extract_page_meta(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_meta_first_occurrence_wins_across_attr_orders(spark):
+    """'First occurrence wins' must hold in DOCUMENT order even when the
+    page mixes content-first and name-first attribute orders for the same
+    key (pattern-by-pattern scanning would let the later name-first tag
+    win)."""
+    from pyspark.sql import functions as F
+
+    from metadata_crawler_spark.functions.metadata import extract_meta_udf
+
+    html = (
+        b'<meta content="A" name="og:title">'
+        b'<meta property="og:title" content="B">'
+        b'<meta name="author" content="C">'
+        b'<meta content="D" name="author">'
+    )
+    df = spark.createDataFrame([(html,)], "html binary")
+    tags = df.select(extract_meta_udf(F.col("html")).alias("m")).first()["m"]["tags"]
+    assert tags["og:title"] == "A"
+    assert tags["author"] == "C"

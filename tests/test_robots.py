@@ -54,3 +54,35 @@ def test_followable_links(spark):
     udf = followable_links_udf_factory()
     links = df.select(udf("html").alias("l")).collect()[0]["l"]
     assert links == ["/a", "/d"]
+
+
+def test_page_robots_flags_attr_order_and_multiple_tags(spark):
+    """content= before name= (common in the wild) must match, and when a
+    page carries several robots/googlebot metas the most-restrictive
+    directive wins — a permissive googlebot tag must not shadow a later
+    noindex robots tag."""
+    from pyspark.sql import functions as F
+
+    from metadata_crawler_spark.functions.robots import page_robots_flags
+
+    rows = [
+        (1, b'<meta content="noindex,nofollow" name="robots">x'),
+        (2, b'<meta content="NOARCHIVE" name="GoogleBot">x'),
+        (3, b'<meta name="googlebot" content="all">'
+            b'<meta name="robots" content="noindex">x'),
+        (4, b'<meta content="nofollow" name="robots">'
+            b'<meta name="robots" content="noarchive">x'),
+        (5, b'<meta content="all" name="robots">x'),
+    ]
+    df = spark.createDataFrame(rows, "id long, html binary")
+    got = {
+        r["id"]: (r["f"]["noindex"], r["f"]["nofollow"], r["f"]["noarchive"])
+        for r in df.select(
+            "id", page_robots_flags(F.col("html")).alias("f")
+        ).collect()
+    }
+    assert got[1] == (True, True, False)
+    assert got[2] == (False, False, True)
+    assert got[3] == (True, False, False)  # restrictive tag not shadowed
+    assert got[4] == (False, True, True)   # directives union across tags
+    assert got[5] == (False, False, False)

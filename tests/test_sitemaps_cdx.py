@@ -312,3 +312,29 @@ def test_surt_key_expr_joins_cc_index(spark, tmp_path):
     idx = read_cdxj(spark, str(tmp_path / "i.cdxj"))
     hits = df.withColumn("urlkey", surt_key_expr("url")).join(idx, "urlkey")
     assert hits.count() == 1
+
+
+def test_surt_key_sorts_query_params(spark):
+    """cc-index urlkeys are built with the surt library, which sorts query
+    args alphabetically — unsorted multi-param URLs must still produce the
+    index's key or the equi-join silently misses those captures."""
+    from metadata_crawler_spark.sources.cdx import surt_key_expr
+
+    df = spark.createDataFrame(
+        [
+            ("https://example.com/p?b=2&a=1",),
+            ("https://example.com/p?a=1&b=2",),  # already sorted: unchanged
+            ("https://example.com/p?z=9&a=1&m=5",),
+            ("https://example.com/p?",),  # empty query preserved
+            ("https://example.com/p",),   # no query at all
+        ],
+        "url string",
+    )
+    got = [r["k"] for r in df.select(surt_key_expr("url").alias("k")).collect()]
+    assert got == [
+        "com,example)/p?a=1&b=2",
+        "com,example)/p?a=1&b=2",
+        "com,example)/p?a=1&m=5&z=9",
+        "com,example)/p?",
+        "com,example)/p",
+    ]
