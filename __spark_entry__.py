@@ -2671,6 +2671,7 @@ _Q55_BUCKETS = 1 << 16
 def q55_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from metadata_crawler_spark.functions.quality import (
+        bigram_crossentropy,
         quality_classifier_score,
         train_quality_classifier,
         unigram_crossentropy,
@@ -2715,9 +2716,17 @@ def q55_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         "xent",
     )
-    return base.join(scored, "doc_id").join(dsir, "doc_id").select(
+    # r5 merge: Stupid-Backoff bigram cross-entropy (the next CCNet LM
+    # rung — word order visible; functions/quality.bigram_crossentropy)
+    bg = bigram_crossentropy(d, "text", "doc_id").select(
+        F.col("id").alias("doc_id"), "n_bigrams", "xent2"
+    )
+    return base.join(scored, "doc_id").join(dsir, "doc_id").join(
+        bg, "doc_id"
+    ).select(
         "doc_id", "n_tokens", "xent", "clf_score",
         "dsir_logw", "dsir_keep_prob", "dsir_keep",
+        "n_bigrams", "xent2",
     )
 
 
@@ -2797,12 +2806,49 @@ ds AS (
          ((('0x' || substr(md5(d.doc_id || ':7'), 1, 8))::BIGINT
             % 1073741824) + 0.5) / 1073741824.0 AS u
   FROM d LEFT JOIN dw USING (doc_id)
+),
+u2 AS (
+  SELECT tok, COUNT(*) AS ucnt
+  FROM d, unnest(l) AS uu(tok) GROUP BY tok
+),
+sc AS (
+  SELECT CAST(SUM(ucnt) AS DOUBLE) AS total,
+         CAST(COUNT(*) AS DOUBLE) AS vsize
+  FROM u2
+),
+bgs AS (
+  SELECT doc_id,
+         unnest([struct_pack(w1 := l[i], w2 := l[i+1])
+                 FOR i IN range(1, len(l))]) AS bg
+  FROM d
+),
+bt AS (
+  SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS bcnt FROM bgs GROUP BY 1, 2
+),
+sb AS (
+  SELECT bgs.doc_id,
+         CASE WHEN bt.bcnt IS NOT NULL AND COALESCE(c1.ucnt, 0) > 0
+              THEN bt.bcnt / CAST(c1.ucnt AS DOUBLE)
+              ELSE 0.4 * (COALESCE(c2.ucnt, 0) + 1) / (sc.total + sc.vsize)
+         END AS sbs
+  FROM bgs
+  LEFT JOIN bt ON bgs.bg.w1 = bt.w1 AND bgs.bg.w2 = bt.w2
+  LEFT JOIN u2 c1 ON bgs.bg.w1 = c1.tok
+  LEFT JOIN u2 c2 ON bgs.bg.w2 = c2.tok, sc
+),
+x2 AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+         ROUND(AVG(-log2(sbs)), 6) AS xent2
+  FROM sb GROUP BY doc_id
 )
 SELECT x.doc_id, x.n_tokens, x.xent, s.clf_score,
        ROUND(ds.logw, 6) AS dsir_logw,
        ROUND(ds.keep_p, 6) AS dsir_keep_prob,
-       ds.u < ds.keep_p AS dsir_keep
+       ds.u < ds.keep_p AS dsir_keep,
+       COALESCE(x2.n_bigrams, 0) AS n_bigrams,
+       x2.xent2
 FROM x JOIN s USING (doc_id) JOIN ds USING (doc_id)
+LEFT JOIN x2 USING (doc_id)
 """
 
 

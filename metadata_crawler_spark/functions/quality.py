@@ -218,6 +218,107 @@ def unigram_crossentropy(
     )
 
 
+def bigram_crossentropy(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    train_df: DataFrame | None = None,
+    alpha: float = 0.4,
+    vocab_broadcast: bool | None = None,
+) -> DataFrame:
+    """Stupid-Backoff bigram cross-entropy (Brants et al. 2007) — the
+    next rung of the CCNet LM-quality ladder above
+    :func:`unigram_crossentropy` (Wenzek et al. 2020 use 5-gram KenLM;
+    a backoff bigram captures local word order, which a unigram model is
+    blind to: shuffled boilerplate and fluent prose share a unigram
+    distribution but not a bigram one).
+
+    Per position i>=2:  S(w_i | w_{i-1}) =
+        count(w_{i-1} w_i) / count(w_{i-1})      if the bigram was seen,
+        alpha * (count(w_i)+1) / (total+V)       otherwise
+    (Laplace floor on the backoff so unseen words score finitely when
+    ``train_df`` is a held-out model corpus). Returns
+    (id, n_bigrams, xent2) with xent2 = mean -log2 S; docs with < 2
+    tokens get n_bigrams=0, xent2 NULL.
+
+    Plan: bigrams come straight off the token ARRAY (transform over
+    sequence -> one explode) — never a positional self-join; bigram and
+    unigram tables build with map-side combine; scoring joins broadcast
+    when the bounded probe says the model fits (Zipf vocabs at 100 TB
+    flip to shuffle joins AQE skew-splits on stop-word heads); the scalar
+    (total, V) rides a 1-row broadcast crossJoin, never a collect.
+    """
+    from ..operators.frontier import small_enough_to_broadcast
+
+    tdf = train_df if train_df is not None else df
+    ttoks_arr = _nonempty_tokens(F.col(text_col))
+
+    def bigram_structs(arr: Column) -> Column:
+        # guard: sequence(2, size) DESCENDS when size < 2 (step inferred
+        # -1) and element_at past the end throws under ANSI — short docs
+        # get an explicit empty array instead
+        pairs = F.transform(
+            F.sequence(F.lit(2), F.size(arr)),
+            lambda i: F.struct(
+                F.element_at(arr, i - 1).alias("w1"),
+                F.element_at(arr, i).alias("w2"),
+            ),
+        )
+        empty = F.array().cast("array<struct<w1:string,w2:string>>")
+        return F.when(F.size(arr) >= 2, pairs).otherwise(empty)
+
+    train_tok = tdf.select(F.explode(ttoks_arr).alias("tok"))
+    utab = train_tok.groupBy("tok").agg(F.count("*").alias("ucnt"))
+    btab = (
+        tdf.select(F.explode(bigram_structs(ttoks_arr)).alias("bg"))
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count("*").alias("bcnt"))
+    )
+    # scalars off ONE partial-agg scan of the training corpus: total
+    # tokens + distinct vocab (the latter needs the tok shuffle anyway,
+    # so derive both from utab — one extra agg over an already-built
+    # table, not a second corpus read)
+    scal = utab.agg(
+        F.sum("ucnt").cast("double").alias("total"),
+        F.count("*").cast("double").alias("vsize"),
+    )
+    if vocab_broadcast is None:
+        vocab_broadcast = small_enough_to_broadcast(utab)
+    u = F.broadcast(utab) if vocab_broadcast else utab
+    b = F.broadcast(btab) if vocab_broadcast else btab
+
+    doc_bg = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(bigram_structs(_nonempty_tokens(F.col(text_col)))).alias("bg"),
+    ).select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    scored = (
+        doc_bg.join(b, ["w1", "w2"], "left")
+        .join(u.select(F.col("tok").alias("w1"), F.col("ucnt").alias("c1")), "w1", "left")
+        .join(u.select(F.col("tok").alias("w2"), F.col("ucnt").alias("c2")), "w2", "left")
+        .crossJoin(F.broadcast(scal))
+    )
+    s = F.when(
+        F.col("bcnt").isNotNull() & (F.coalesce(F.col("c1"), F.lit(0)) > 0),
+        F.col("bcnt") / F.col("c1"),
+    ).otherwise(
+        F.lit(alpha)
+        * (F.coalesce(F.col("c2"), F.lit(0)) + 1)
+        / (F.col("total") + F.col("vsize"))
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg(-F.log2(s)), 6).alias("xent2"),
+    )
+    # docs with <2 tokens produce no bigram rows: restore them with
+    # n_bigrams=0 so the operator is total over its input
+    all_ids = df.select(F.col(id_col).alias("id")).distinct()
+    return all_ids.join(per_doc, "id", "left").select(
+        "id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.col("xent2"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Model-based quality scoring (fastText/DCLM-style linear classifier)
 # ---------------------------------------------------------------------------
