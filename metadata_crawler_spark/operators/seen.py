@@ -219,26 +219,39 @@ def dedup_against_seen(
     n_shards: int = 32,
     broadcast_bloom: bool = True,
     shuffle_exact_join: bool = False,
+    cuckoo: DataFrame | None = None,
 ) -> DataFrame:
     """Return only candidates NOT in the seen set (reference analog: the
     unique-index upsert D1/D2 turning re-crawls into no-ops).
 
-    Bloom pre-filter splits candidates into definitely-new (bloom says no;
-    no join at all — zero false negatives guarantee) and maybe-seen, which
-    alone pays the exact ``left_anti`` join. Without a bloom, plain anti.
+    An approximate pre-filter (``bloom``, or the deletable ``cuckoo``
+    tier — ``cuckoo`` wins when both are passed) splits candidates into
+    definitely-new (filter says no; no join at all — zero false negatives
+    guarantee) and maybe-seen, which alone pays the exact ``left_anti``
+    join. Without a filter, plain anti.
 
-    A bloom WITHOUT an exact tier cannot prove membership — treating its
-    'maybe' slice as seen would silently drop ~fpr of genuinely-new URLs —
-    so with ``seen_exact=None`` every candidate is returned unfiltered.
+    An approximate tier WITHOUT an exact tier cannot prove membership —
+    treating its 'maybe' slice as seen would silently drop ~fpr of
+    genuinely-new URLs — so with ``seen_exact=None`` every candidate is
+    returned unfiltered.
     """
     if seen_exact is None:
         return candidates
-    if bloom is not None:
+    if cuckoo is not None:
+        probed = (
+            cuckoo_probe_broadcast(candidates, cuckoo)
+            if broadcast_bloom
+            else cuckoo_probe_cogrouped(candidates, cuckoo, n_shards)
+        )
+    elif bloom is not None:
         probed = (
             probe_with_broadcast(candidates, bloom)
             if broadcast_bloom
             else probe_cogrouped(candidates, bloom, n_shards)
         )
+    else:
+        probed = None
+    if probed is not None:
         definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
         seen_keys = seen_exact.select("url_hash_hi", "url_hash_lo")
@@ -258,4 +271,364 @@ def dedup_against_seen(
         seen_exact.select("url_hash_hi", "url_hash_lo"),
         ["url_hash_hi", "url_hash_lo"],
         "left_anti",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cuckoo-filter tier (Fan et al. 2014, "Cuckoo Filter: Practically Better
+# Than Bloom"). The north-star membership design names BOTH structures:
+# the Bloom tier above is append-only (cross-round OR-union), while a
+# cuckoo filter supports DELETION — the missing half that pairs with the
+# stale sweep (D4) and delete-by-facet (D5): when rows are purged from
+# the catalogue their keys can be evicted from the approximate tier too,
+# so re-crawls of purged URLs aren't forced through the exact anti-join
+# forever. Same sharding contract as the Bloom tier (shard =
+# pmod(hash_hi, S)); same no-false-negative guarantee for present keys.
+#
+# Layout per shard: nb buckets x 4 slots of 16-bit fingerprints (0 =
+# empty slot; fingerprints are forced nonzero). i1 = hash_hi mod nb,
+# i2 = i1 XOR h(fp) with nb a power of two — the partial-key cuckoo
+# property that lets delete/probe recover both buckets from (index, fp)
+# alone. Build is VECTORIZED in two placement waves (rank-within-bucket
+# via lexsort, no per-item Python for the ~95% that fit) with the
+# classic eviction loop only for the residual tail; probe is one numpy
+# gather over both candidate buckets.
+# ---------------------------------------------------------------------------
+
+CUCKOO_SCHEMA = (
+    "shard int, ctable binary, n_items long, n_buckets long, slots int, "
+    "n_shards int"
+)
+_CK_SLOTS = 4
+_CK_MAXKICKS = 500
+_FP_MUL = np.uint64(0x5BD1E995)
+
+
+def cuckoo_params(expected_items: int, load: float = 0.84) -> int:
+    """Number of buckets (power of two) for 4-slot buckets at ``load``."""
+    n = max(1, expected_items)
+    nb = 1
+    while nb * _CK_SLOTS * load < n:
+        nb <<= 1
+    return max(nb, 2)
+
+
+def _ck_fp(lo: np.ndarray) -> np.ndarray:
+    """16-bit nonzero fingerprint from url_hash_lo."""
+    fp = (lo.astype(np.int64).view(np.uint64) & np.uint64(0xFFFF)).astype(np.uint16)
+    fp[fp == 0] = 1
+    return fp
+
+
+def _ck_i1(hi: np.ndarray, nb: int) -> np.ndarray:
+    return (hi.astype(np.int64).view(np.uint64) % np.uint64(nb)).astype(np.int64)
+
+
+def _ck_alt(idx: np.ndarray, fp: np.ndarray, nb: int) -> np.ndarray:
+    """Partial-key alternate bucket: i XOR h(fp), nb a power of two."""
+    h = (fp.astype(np.uint64) * _FP_MUL) & np.uint64(nb - 1)
+    return (idx.astype(np.uint64) ^ h).astype(np.int64)
+
+
+def _ck_place_wave(
+    table: np.ndarray, idx: np.ndarray, fp: np.ndarray
+) -> np.ndarray:
+    """Vectorized placement wave: for each item try bucket ``idx``; items
+    whose rank-within-bucket still fits a free slot are written. Returns
+    the boolean mask of items PLACED. table is (nb, SLOTS) uint16."""
+    if len(idx) == 0:
+        return np.zeros(0, dtype=bool)
+    free = (table[idx] == 0).sum(axis=1)  # free slots in my bucket
+    order = np.argsort(idx, kind="stable")
+    sidx = idx[order]
+    # rank of each item within its bucket (0-based) via run-position
+    starts = np.r_[0, np.nonzero(np.diff(sidx))[0] + 1]
+    run_id = np.zeros(len(sidx), dtype=np.int64)
+    run_id[starts[1:]] = 1
+    run_id = np.cumsum(run_id)
+    pos_in_run = np.arange(len(sidx)) - starts[run_id]
+    placed_sorted = pos_in_run < free[order]  # free is per-item: realign
+    placed = np.zeros(len(idx), dtype=bool)
+    placed[order] = placed_sorted
+    # write: each placed item takes the (pos_in_run+1)-th EMPTY slot of
+    # its bucket. Empty slots need not be contiguous after deletions, so
+    # enumerate them per bucket: stable argsort of the occupied mask puts
+    # empty slot indices first, in ascending order.
+    empty_order = np.argsort(table[idx] != 0, axis=1, kind="stable")
+    worder = order[placed_sorted]
+    slot = empty_order[worder, pos_in_run[placed_sorted]]
+    table[idx[worder], slot] = fp[worder]
+    return placed
+
+
+def _ck_insert_all(
+    table: np.ndarray, hi: np.ndarray, lo: np.ndarray, rng_seed: int = 12345
+) -> None:
+    """Insert every key, vectorized waves first, eviction loop for the
+    tail. Raises when the filter is genuinely full (caller sized too
+    small) — the documented cuckoo contract, not silent loss."""
+    nb = table.shape[0]
+    fp = _ck_fp(lo)
+    i1 = _ck_i1(hi, nb)
+    placed = _ck_place_wave(table, i1, fp)
+    rem = ~placed
+    if rem.any():
+        i2 = _ck_alt(i1[rem], fp[rem], nb)
+        placed2 = _ck_place_wave(table, i2, fp[rem])
+        rem_idx = np.nonzero(rem)[0][~placed2]
+    else:
+        rem_idx = np.zeros(0, dtype=np.int64)
+    # residual tail: classic kicks. Deterministic "random" slot choice via
+    # a counter hash so builds are reproducible on any executor.
+    state = int(rng_seed)
+    for j in rem_idx:
+        cur_fp = fp[j]
+        cur_i = int(i1[j])
+        for kick in range(_CK_MAXKICKS):
+            bucket = table[cur_i]
+            empty = np.nonzero(bucket == 0)[0]
+            if len(empty):
+                table[cur_i, empty[0]] = cur_fp
+                break
+            state = (
+                state * 6364136223846793005 + 1442695040888963407
+            ) & 0xFFFFFFFFFFFFFFFF
+            victim_slot = (state >> 61) % _CK_SLOTS
+            victim_fp = bucket[victim_slot]
+            table[cur_i, victim_slot] = cur_fp
+            cur_fp = victim_fp
+            cur_i = int(_ck_alt(np.array([cur_i]), np.array([victim_fp], dtype=np.uint16), nb)[0])
+        else:
+            raise ValueError(
+                f"cuckoo filter full after {_CK_MAXKICKS} kicks "
+                f"(n_buckets={nb}); size with a larger expected_per_shard"
+            )
+
+
+def _ck_lookup(
+    table: np.ndarray, hi: np.ndarray, lo: np.ndarray
+) -> np.ndarray:
+    """(n,) bool membership — one gather over both candidate buckets."""
+    nb = table.shape[0]
+    fp = _ck_fp(lo)
+    i1 = _ck_i1(hi, nb)
+    i2 = _ck_alt(i1, fp, nb)
+    f = fp[:, None]
+    return ((table[i1] == f) | (table[i2] == f)).any(axis=1)
+
+
+def _ck_delete_keys(table: np.ndarray, hi: np.ndarray, lo: np.ndarray) -> int:
+    """Remove ONE stored copy per delete key (cuckoo delete semantics).
+    Deletes are the rare administrative path (stale sweep / facet purge),
+    so a per-key loop here is bounded by the purge batch, never the
+    corpus; probe/build stay vectorized."""
+    nb = table.shape[0]
+    fp = _ck_fp(lo)
+    i1 = _ck_i1(hi, nb)
+    i2 = _ck_alt(i1, fp, nb)
+    removed = 0
+    for j in range(len(fp)):
+        for b in (int(i1[j]), int(i2[j])):
+            slots = np.nonzero(table[b] == fp[j])[0]
+            if len(slots):
+                table[b, slots[0]] = 0
+                removed += 1
+                break
+    return removed
+
+
+def cuckoo_build(
+    keys: DataFrame,
+    n_shards: int = 32,
+    expected_per_shard: int | None = None,
+    load: float = 0.84,
+) -> DataFrame:
+    """Build the sharded cuckoo table from (url_hash_hi, url_hash_lo)
+    rows — same contract as :func:`bloom_build`, one reduce task per
+    shard, numpy inside."""
+    if expected_per_shard is None:
+        total = keys.count()
+        expected_per_shard = max(64, (2 * total) // max(1, n_shards))
+    nb = cuckoo_params(expected_per_shard, load)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        table = np.zeros((nb, _CK_SLOTS), dtype=np.uint16)
+        _ck_insert_all(
+            table, pdf["url_hash_hi"].to_numpy(), pdf["url_hash_lo"].to_numpy()
+        )
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "ctable": [table.tobytes()],
+                "n_items": [len(pdf)],
+                "n_buckets": [nb],
+                "slots": [_CK_SLOTS],
+                "n_shards": [n_shards],
+            }
+        )
+
+    return (
+        keys.select("url_hash_hi", "url_hash_lo")
+        .withColumn("shard", shard_expr(F.col("url_hash_hi"), n_shards))
+        .groupBy("shard")
+        .applyInPandas(build, CUCKOO_SCHEMA)
+    )
+
+
+def _ck_mutate(
+    cuckoo: DataFrame, keys: DataFrame, delete: bool
+) -> DataFrame:
+    """Shared cogrouped insert/delete: keys co-group with their shard's
+    table; the whole filter never rides one task or the driver."""
+    head = cuckoo.select("n_shards", "n_buckets").first()
+    n_shards = int(head[0]) if head else 32
+    global_nb = int(head[1]) if head else 1024
+
+    def apply(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if right.empty:
+            if delete or left.empty:
+                return pd.DataFrame(
+                    columns=[
+                        "shard", "ctable", "n_items", "n_buckets", "slots",
+                        "n_shards",
+                    ]
+                )
+            # inserts into a shard the build never saw: start a fresh
+            # table at the fleet's bucket count (never drop keys)
+            table = np.zeros((global_nb, _CK_SLOTS), dtype=np.uint16)
+            _ck_insert_all(
+                table, left["url_hash_hi"].to_numpy(), left["url_hash_lo"].to_numpy()
+            )
+            return pd.DataFrame(
+                {
+                    "shard": [int(left["__shard"].iloc[0])],
+                    "ctable": [table.tobytes()],
+                    "n_items": [len(left)],
+                    "n_buckets": [global_nb],
+                    "slots": [_CK_SLOTS],
+                    "n_shards": [n_shards],
+                }
+            )
+        nb = int(right["n_buckets"].iloc[0])
+        table = (
+            np.frombuffer(right["ctable"].iloc[0], dtype=np.uint16)
+            .reshape(nb, _CK_SLOTS)
+            .copy()
+        )
+        n = int(right["n_items"].iloc[0])
+        if not left.empty:
+            hi = left["url_hash_hi"].to_numpy()
+            lo = left["url_hash_lo"].to_numpy()
+            if delete:
+                n -= _ck_delete_keys(table, hi, lo)
+            else:
+                _ck_insert_all(table, hi, lo)
+                n += len(left)
+        return pd.DataFrame(
+            {
+                "shard": [int(right["shard"].iloc[0])],
+                "ctable": [table.tobytes()],
+                "n_items": [n],
+                "n_buckets": [nb],
+                "slots": [_CK_SLOTS],
+                "n_shards": [int(right["n_shards"].iloc[0])],
+            }
+        )
+
+    keyed = keys.select("url_hash_hi", "url_hash_lo").withColumn(
+        "__shard", shard_expr(F.col("url_hash_hi"), n_shards)
+    )
+    return (
+        keyed.groupBy("__shard")
+        .cogroup(cuckoo.groupBy("shard"))
+        .applyInPandas(apply, CUCKOO_SCHEMA)
+    )
+
+
+def cuckoo_insert(cuckoo: DataFrame, new_keys: DataFrame) -> DataFrame:
+    """Cross-round evolution: insert new keys into the standing filter
+    (the cuckoo analog of :func:`bloom_union` — tables can't be OR-merged,
+    they absorb key batches instead)."""
+    return _ck_mutate(cuckoo, new_keys, delete=False)
+
+
+def cuckoo_delete(cuckoo: DataFrame, purged_keys: DataFrame) -> DataFrame:
+    """Deletion — the capability the Bloom tier lacks: evict purged URLs
+    (stale sweep D4, delete-by-facet D5) so the approximate tier stops
+    claiming them. Safe only for keys that WERE inserted (the standard
+    cuckoo precondition; deleting a never-inserted key can evict a
+    colliding fingerprint and break no-false-negative for its owner)."""
+    return _ck_mutate(cuckoo, purged_keys, delete=True)
+
+
+def cuckoo_probe_broadcast(candidates: DataFrame, cuckoo: DataFrame) -> DataFrame:
+    """Append ``maybe_seen`` by probing driver-collected broadcast tables
+    (the local/small-filter path, mirroring :func:`probe_with_broadcast`)."""
+    spark = candidates.sparkSession
+    rows = cuckoo.collect()
+    if not rows:
+        return candidates.withColumn("maybe_seen", F.lit(False))
+    n_shards = rows[0]["n_shards"]
+    table = {
+        r["shard"]: np.frombuffer(r["ctable"], dtype=np.uint16).reshape(
+            r["n_buckets"], _CK_SLOTS
+        )
+        for r in rows
+    }
+    bc = spark.sparkContext.broadcast(table)
+
+    @F.pandas_udf("boolean")
+    def probe(hi: pd.Series, lo: pd.Series, shard: pd.Series) -> pd.Series:
+        t = bc.value
+        out = np.zeros(len(hi), dtype=bool)
+        hiv, lov, sv = hi.to_numpy(), lo.to_numpy(), shard.to_numpy()
+        for s in np.unique(sv):
+            tab = t.get(int(s))
+            if tab is None:
+                continue
+            mask = sv == s
+            out[mask] = _ck_lookup(tab, hiv[mask], lov[mask])
+        return pd.Series(out)
+
+    return candidates.withColumn(
+        "maybe_seen",
+        probe(
+            F.col("url_hash_hi"),
+            F.col("url_hash_lo"),
+            shard_expr(F.col("url_hash_hi"), n_shards),
+        ),
+    )
+
+
+def cuckoo_probe_cogrouped(
+    candidates: DataFrame, cuckoo: DataFrame, n_shards: int
+) -> DataFrame:
+    """The 10^10-URL probe: co-group candidates with their shard's table —
+    per-task memory is one shard table + one candidate partition."""
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in candidates.schema.fields
+    )
+    schema = f"{out_fields}, maybe_seen boolean"
+    cols = [f.name for f in candidates.schema.fields]
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        res = left.drop(columns=["__shard"])
+        if right.empty or left.empty:
+            res["maybe_seen"] = False
+            return res
+        nb = int(right["n_buckets"].iloc[0])
+        tab = np.frombuffer(right["ctable"].iloc[0], dtype=np.uint16).reshape(
+            nb, _CK_SLOTS
+        )
+        res["maybe_seen"] = _ck_lookup(
+            tab, left["url_hash_hi"].to_numpy(), left["url_hash_lo"].to_numpy()
+        )
+        return res
+
+    cand = candidates.withColumn("__shard", shard_expr(F.col("url_hash_hi"), n_shards))
+    return (
+        cand.groupBy("__shard")
+        .cogroup(cuckoo.groupBy("shard"))
+        .applyInPandas(probe, schema)
+        .select(*cols, "maybe_seen")
     )
