@@ -125,6 +125,13 @@ class CrawlConfig:
     pagerank_every: int | None = None
     pagerank_iterations: int = 3
     pagerank_damping: float = 0.85
+    #: approximate seen-set tier: "bloom" (append-only, OR-union
+    #: evolution, smallest bytes/key) or "cuckoo" (Fan et al. 2014 —
+    #: deletable, so facet purges / stale sweeps can evict keys; evolves
+    #: by absorbing each round's key batch via cuckoo_insert). Same
+    #: sharding, same no-false-negative contract, same broadcast vs
+    #: cogrouped probe switch.
+    seen_filter: str = "bloom"
 
 
 #: auto-flip threshold for broadcasting the sharded bloom filter: above this
@@ -254,6 +261,11 @@ class Crawler:
         cfg = self.config
         if cfg.broadcast_bloom is not None:
             return cfg.broadcast_bloom
+        if cfg.seen_filter == "cuckoo":
+            from ..operators.seen import _CK_SLOTS, cuckoo_params
+
+            nb = cuckoo_params(cfg.bloom_expected_per_shard)
+            return nb * _CK_SLOTS * 2 * cfg.n_shards <= BLOOM_BROADCAST_MAX_BYTES
         m, _ = bloom_params(cfg.bloom_expected_per_shard, cfg.bloom_fpr)
         return (m // 8) * cfg.n_shards <= BLOOM_BROADCAST_MAX_BYTES
 
@@ -435,8 +447,11 @@ class Crawler:
         # new_urls has exactly one consumer (gate_frontier), so it needs
         # neither its own persist nor a separate count job
         obs_dedup = Observation(f"dedup_{round_no}")
+        is_cuckoo = cfg.seen_filter == "cuckoo"
         new_urls = dedup_against_seen(
-            frontier, seen, bloom, cfg.n_shards, self.bloom_broadcast()
+            frontier, seen, None if is_cuckoo else bloom,
+            cfg.n_shards, self.bloom_broadcast(),
+            cuckoo=bloom if is_cuckoo else None,
         ).observe(obs_dedup, F.count(F.lit(1)).alias("n"))
         # gates split from top-k so the carryover can be computed from the
         # ELIGIBLE set: URLs dropped by validity/robots are permanently
@@ -516,14 +531,31 @@ class Crawler:
         # seen delta == this round's scheduled set (attempted = seen); it
         # lives in the already-written scheduled table — no extra write
 
-        # bloom evolution: OR-in this round's keys (append, never rebuild)
-        delta_bloom = bloom_build(
-            scheduled.select("url_hash_hi", "url_hash_lo"),
-            cfg.n_shards,
-            cfg.bloom_fpr,
-            cfg.bloom_expected_per_shard,
-        )
-        new_bloom = bloom_union(bloom, delta_bloom) if bloom is not None else delta_bloom
+        # filter evolution — bloom: OR-in this round's keys (append,
+        # never rebuild); cuckoo: absorb the key batch into the standing
+        # tables (insert-in-place semantics, deletable later)
+        round_keys = scheduled.select("url_hash_hi", "url_hash_lo")
+        if is_cuckoo:
+            from ..operators.seen import cuckoo_build, cuckoo_insert
+
+            new_bloom = (
+                cuckoo_insert(bloom, round_keys)
+                if bloom is not None
+                else cuckoo_build(
+                    round_keys, cfg.n_shards,
+                    expected_per_shard=cfg.bloom_expected_per_shard,
+                )
+            )
+        else:
+            delta_bloom = bloom_build(
+                round_keys,
+                cfg.n_shards,
+                cfg.bloom_fpr,
+                cfg.bloom_expected_per_shard,
+            )
+            new_bloom = (
+                bloom_union(bloom, delta_bloom) if bloom is not None else delta_bloom
+            )
         bloom_out = os.path.join(
             self.checkpoint_dir, f"round={round_no:05d}", "bloom"
         )

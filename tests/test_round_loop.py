@@ -552,3 +552,58 @@ def test_pagerank_rescore_round(spark, fixture_dir, tables, tmp_path_factory):
     scores = [r["score"] for r in nxt.select("score").collect()]
     assert scores and all(0.0 < s <= 1.0 for s in scores)
     assert len(set(scores)) > 1  # authority differentiates urls
+
+
+def test_cuckoo_seen_filter_crawl_equivalence(
+    spark, fixture_dir, tables, tmp_path_factory
+):
+    """seen_filter='cuckoo' runs the SAME crawl as the bloom tier: both
+    are no-false-negative pre-filters in front of the exact anti-join, so
+    the per-round scheduled sets must be identical — plus the cuckoo-only
+    invariants: resume works (filter parquet round-trips) and no URL is
+    scheduled twice."""
+    seeds = tables["seeds"]
+    ck_b = str(tmp_path_factory.mktemp("ckpt_bloomref"))
+    ck_c = str(tmp_path_factory.mktemp("ckpt_cuckoo"))
+    bloom_run = Crawler(
+        spark=spark,
+        pages_path=os.path.join(fixture_dir, "pages.parquet"),
+        robots=tables["robots"], hosts=tables["hosts"],
+        checkpoint_dir=ck_b, config=CFG,
+    ).run(seeds, rounds=3)
+    cfg_c = CrawlConfig(
+        n_shards=8, bloom_expected_per_shard=4096, salt_parts=4,
+        seen_filter="cuckoo",
+    )
+    c1 = Crawler(
+        spark=spark,
+        pages_path=os.path.join(fixture_dir, "pages.parquet"),
+        robots=tables["robots"], hosts=tables["hosts"],
+        checkpoint_dir=ck_c, config=cfg_c,
+    )
+    c1.run(seeds, rounds=2)
+    # fresh instance = restart mid-crawl: the cuckoo tables reload from
+    # the checkpoint parquet like the bloom tier does
+    c2 = Crawler(
+        spark=spark,
+        pages_path=os.path.join(fixture_dir, "pages.parquet"),
+        robots=tables["robots"], hosts=tables["hosts"],
+        checkpoint_dir=ck_c, config=cfg_c,
+    )
+    cuckoo_run = c2.run(seeds, rounds=3)
+    assert [r["round"] for r in cuckoo_run] == [2]
+    for r in range(3):
+        a = spark.read.parquet(
+            os.path.join(ck_b, f"round={r:05d}", "scheduled")
+        ).select("url")
+        b = spark.read.parquet(
+            os.path.join(ck_c, f"round={r:05d}", "scheduled")
+        ).select("url")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, r
+    sched = spark.read.parquet(*[
+        os.path.join(ck_c, f"round={r:05d}", "scheduled") for r in range(3)
+    ])
+    assert sched.count() == sched.select("url_hash_hi", "url_hash_lo").distinct().count()
+    assert [x["scheduled"] for x in cuckoo_run] == [
+        x["scheduled"] for x in bloom_run[2:]
+    ]
