@@ -2617,11 +2617,28 @@ def q54_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("")),
     )
     n_emails, n_phones = pii_counts(pii)
+    # r5 merge: the rest of the C4 suite (functions/quality.c4_quality_flags)
+    # on plant-augmented text so every drop rule fires on the fixture
+    from metadata_crawler_spark.functions.quality import c4_quality_flags
+
+    c4txt = F.concat(
+        F.col("text"),
+        F.when(did % 13 == 1, F.lit(" Lorem ipsum dolor."))
+        .when(did % 13 == 5, F.lit(" if (x) { y(); }"))
+        .otherwise(F.lit("")),
+    )
+    c4 = c4_quality_flags(c4txt)
     return d.select(
         did.alias("doc_id"),
         n_emails.cast("long").alias("n_emails"),
         n_phones.cast("long").alias("n_phones"),
         F.md5(redact_pii(pii)).alias("redacted_md5"),
+        c4["n_sentences"].cast("long").alias("n_sentences"),
+        c4["lt3_sentences"].alias("lt3_sentences"),
+        c4["has_lorem_ipsum"].alias("has_lorem_ipsum"),
+        c4["has_curly_brace"].alias("has_curly_brace"),
+        c4["kept_line_frac"].alias("kept_line_frac"),
+        c4["flagged"].alias("c4_flagged"),
     )
 
 
@@ -2632,7 +2649,11 @@ WITH p AS (
            WHEN doc_id % 7 = 0
              THEN ' contact user' || doc_id || '@mail.example.com now'
            WHEN doc_id % 11 = 3 THEN ' call +1-555-000-1234 today'
-           ELSE '' END AS pii
+           ELSE '' END AS pii,
+         text || CASE
+           WHEN doc_id % 13 = 1 THEN ' Lorem ipsum dolor.'
+           WHEN doc_id % 13 = 5 THEN ' if (x) { y(); }'
+           ELSE '' END AS c4t
   FROM documents
 )
 SELECT doc_id,
@@ -2646,7 +2667,22 @@ SELECT doc_id,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
                '<EMAIL>', 'g'),
              '\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'))
-         AS redacted_md5
+         AS redacted_md5,
+       CAST(len(regexp_extract_all(c4t, '[.!?]')) AS BIGINT) AS n_sentences,
+       len(regexp_extract_all(c4t, '[.!?]')) < 3 AS lt3_sentences,
+       contains(lower(c4t), 'lorem ipsum') AS has_lorem_ipsum,
+       contains(c4t, '{') AS has_curly_brace,
+       ROUND(
+         len(list_filter(string_split(c4t, chr(10)), ln ->
+           right(trim(ln), 1) IN ('.', '!', '?', '"', '''')
+           AND len(list_filter(string_split_regex(trim(ln), '\\s+'),
+                               w -> w <> '')) >= 5
+           AND NOT regexp_matches(lower(trim(ln)),
+                                  'javascript|cookies? (policy|enabled)')
+         )) * 1.0 / len(string_split(c4t, chr(10))), 6) AS kept_line_frac,
+       (len(regexp_extract_all(c4t, '[.!?]')) < 3
+        OR contains(lower(c4t), 'lorem ipsum')
+        OR contains(c4t, '{')) AS c4_flagged
 FROM p
 """
 

@@ -708,3 +708,114 @@ def compressibility_band(
         (r < F.lit(lo)).alias("too_repetitive"),
         (r > F.lit(hi)).alias("too_random"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 heuristic cleaning rules (Raffel et al. 2020, §2.2) — the remaining
+# rules of the C4 suite beyond the PII scrub above: line-level keep
+# conditions and document-level drop conditions. All pure column
+# expressions (zero shuffle, zero Python), composable with the Gopher and
+# RefinedWeb line rules as another map-side stage.
+# ---------------------------------------------------------------------------
+
+#: line keep conditions (C4): ends in terminal punctuation, >= 5 words,
+#: not a javascript/cookies boilerplate line
+_C4_TERMINAL = ('.', '!', '?', '"', "'")
+_C4_MIN_LINE_WORDS = 5
+
+
+def _c4_line_keep(ln: Column) -> Column:
+    t = F.trim(ln)
+    terminal = F.substring(t, -1, 1).isin(*_C4_TERMINAL)
+    words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+    boiler = F.lower(t).rlike("javascript|cookies? (policy|enabled)")
+    return terminal & (words >= _C4_MIN_LINE_WORDS) & ~boiler
+
+
+def c4_clean_lines(text: Column) -> Column:
+    """The C4 line filter as a transformation: keep only lines that end in
+    terminal punctuation, have >= 5 words, and aren't javascript/cookie
+    boilerplate; surviving lines re-join with newlines."""
+    lines = F.split(F.coalesce(text, F.lit("")), "\n")
+    return F.array_join(F.filter(lines, _c4_line_keep), "\n")
+
+
+def c4_quality_flags(text: Column) -> Column:
+    """Document-level C4 drop conditions as ONE struct expression:
+
+    - ``lt3_sentences`` — fewer than 3 sentences (terminal-punct count);
+    - ``has_lorem_ipsum`` — placeholder text anywhere;
+    - ``has_curly_brace`` — ``{`` means code, C4 drops the page;
+    - ``kept_line_frac`` — fraction of lines the C4 line filter keeps
+      (diagnostic; C4 itself drops the lines, not the page);
+    - ``flagged`` — OR of the three page-drop rules.
+
+    Every field is concrete (never NULL) for every row, the same contract
+    as :func:`gopher_quality_flags`.
+    """
+    t = F.coalesce(text, F.lit(""))
+    low = F.lower(t)
+    n_sentences = F.coalesce(
+        F.regexp_count(t, F.lit(r"[.!?]")), F.lit(0)
+    )
+    lines = F.split(t, "\n")
+    kept = F.size(F.filter(lines, _c4_line_keep))
+    frac = F.when(
+        F.size(lines) > 0, F.round(kept / F.size(lines), 6)
+    ).otherwise(F.lit(0.0))
+    lt3 = n_sentences < 3
+    lorem = low.contains("lorem ipsum")
+    curly = t.contains("{")
+    return F.struct(
+        n_sentences.alias("n_sentences"),
+        lt3.alias("lt3_sentences"),
+        lorem.alias("has_lorem_ipsum"),
+        curly.alias("has_curly_brace"),
+        frac.alias("kept_line_frac"),
+        (lt3 | lorem | curly).alias("flagged"),
+    )
+
+
+def ccnet_buckets(
+    scored: DataFrame,
+    xent_col: str = "xent",
+    by_col: str | None = None,
+    probs: tuple[float, float] = (1 / 3, 2 / 3),
+    accuracy: int = 10_000,
+    cutoffs: tuple[float, float] | None = None,
+    bucket_col: str = "ppl_bucket",
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): rank
+    documents by LM cross-entropy and cut at the ``probs`` percentiles —
+    lowest-perplexity third = ``head`` (closest to the LM's training
+    distribution), then ``middle``, ``tail``. CCNet computes cutoffs PER
+    LANGUAGE (a single global cut would put all of a distant language in
+    the tail): pass ``by_col`` for that.
+
+    Scale shape: cutoffs come from mergeable ``percentile_approx``
+    sketches (map-side combine, one tiny row per group — never a global
+    sort); with explicit ``cutoffs`` the whole operator is one map-side
+    CASE (the production path once cutoffs are published with the
+    corpus). NULL cross-entropy (unscored docs) buckets as NULL —
+    concrete head/middle/tail only ever means "scored and placed".
+    """
+    x = F.col(xent_col)
+    if cutoffs is not None:
+        t1, t2 = (F.lit(float(cutoffs[0])), F.lit(float(cutoffs[1])))
+    else:
+        pct = F.array(F.lit(float(probs[0])), F.lit(float(probs[1])))
+        sketch = F.percentile_approx(xent_col, pct, F.lit(accuracy)).alias("_cuts")
+        if by_col is not None:
+            cuts = scored.groupBy(by_col).agg(sketch)
+            scored = scored.join(F.broadcast(cuts), by_col, "left")
+        else:
+            scored = scored.crossJoin(F.broadcast(scored.agg(sketch)))
+        t1, t2 = F.col("_cuts")[0], F.col("_cuts")[1]
+    bucket = (
+        F.when(x.isNull(), F.lit(None).cast("string"))
+        .when(x <= t1, F.lit("head"))
+        .when(x <= t2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    out = scored.withColumn(bucket_col, bucket)
+    return out.drop("_cuts") if cutoffs is None else out

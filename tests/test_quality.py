@@ -819,3 +819,93 @@ def test_bigram_crossentropy_join_path_equivalence(spark):
     a = sorted(bigram_crossentropy(df, "text", "doc_id", vocab_broadcast=True).collect())
     b = sorted(bigram_crossentropy(df, "text", "doc_id", vocab_broadcast=False).collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# C4 heuristic rules
+# ---------------------------------------------------------------------------
+
+
+def test_c4_quality_flags_attribution(spark):
+    from metadata_crawler_spark.functions.quality import c4_quality_flags
+
+    docs = [
+        (1, "One good sentence here. Another fine one! A third, yes?"),
+        (2, "Too short."),                              # < 3 sentences
+        (3, "Lorem ipsum dolor sit amet. More text here. And more there."),
+        (4, "function f() { return 1; } Some prose. More prose. End here."),
+        (5, None),                                      # NULL text
+        (6, ""),                                        # empty
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r.c4
+        for r in df.select("doc_id", c4_quality_flags(F.col("text")).alias("c4")).collect()
+    }
+    assert not got[1].flagged and got[1].n_sentences == 3
+    assert got[2].flagged and got[2].lt3_sentences
+    assert got[3].flagged and got[3].has_lorem_ipsum
+    assert got[4].flagged and got[4].has_curly_brace
+    # NULL/empty: concrete flags, never NULL
+    for k in (5, 6):
+        assert got[k].flagged is True and got[k].lt3_sentences is True
+        assert got[k].has_lorem_ipsum is False
+
+
+def test_c4_clean_lines(spark):
+    from metadata_crawler_spark.functions.quality import c4_clean_lines
+
+    text = "\n".join([
+        "This line has five good words.",     # kept
+        "Short line.",                         # < 5 words -> dropped
+        "no terminal punctuation on this line at all",  # dropped
+        "Please enable javascript to view this content.",  # boilerplate
+        'He said "hello there my good friend."',  # kept (quote terminal)
+    ])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = df.select(c4_clean_lines(F.col("text")).alias("t")).first().t
+    lines = out.split("\n")
+    assert lines == [
+        "This line has five good words.",
+        'He said "hello there my good friend."',
+    ]
+
+
+def test_c4_kept_line_frac(spark):
+    from metadata_crawler_spark.functions.quality import c4_quality_flags
+
+    text = "Keep this line with enough words here.\nbad\nworse line"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    c4 = df.select(c4_quality_flags(F.col("text")).alias("c4")).first().c4
+    assert abs(c4.kept_line_frac - 1 / 3) < 1e-6
+
+
+def test_ccnet_buckets_global_and_explicit(spark):
+    from metadata_crawler_spark.functions.quality import ccnet_buckets
+
+    rows = [(i, float(i)) for i in range(1, 10)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, xent double")
+    got = {r.doc_id: r.ppl_bucket for r in ccnet_buckets(df).collect()}
+    # exact thirds of 1..9: head <= 3, middle <= 6, tail > 6
+    assert [got[i] for i in (1, 2, 3)] == ["head"] * 3
+    assert [got[i] for i in (4, 5, 6)] == ["middle"] * 3
+    assert [got[i] for i in (7, 8, 9)] == ["tail"] * 3
+    assert got[99] is None  # unscored stays unplaced
+    exp = {r.doc_id: r.ppl_bucket
+           for r in ccnet_buckets(df, cutoffs=(3.0, 6.0)).collect()}
+    assert exp == got
+
+
+def test_ccnet_buckets_per_language(spark):
+    from metadata_crawler_spark.functions.quality import ccnet_buckets
+
+    # lang a: xent 1..9; lang b: xent 101..109 — a global cut would dump
+    # ALL of b in the tail; per-language cuts give each its own thirds
+    rows = [(i, "a", float(i)) for i in range(1, 10)]
+    rows += [(100 + i, "b", 100.0 + i) for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, xent double")
+    got = {r.doc_id: r.ppl_bucket
+           for r in ccnet_buckets(df, by_col="lang").collect()}
+    assert got[1] == "head" and got[101] == "head"
+    assert got[5] == "middle" and got[105] == "middle"
+    assert got[9] == "tail" and got[109] == "tail"
