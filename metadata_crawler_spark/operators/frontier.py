@@ -479,76 +479,6 @@ def rescore_frontier(
     )
 
 
-# ---------------------------------------------------------------------------
-# Crawler-trap detection (r5). Infinite URL spaces — calendar pages,
-# session-id echoes, faceted-search cross products — generate unbounded
-# DISTINCT urls from a handful of URL TEMPLATES. Canonicalization (P14)
-# strips known session params; traps are the long tail it can't know.
-# The classic detector: collapse every url to its template (digit runs,
-# hex runs, and query VALUES normalized away) and flag hosts whose
-# url-per-template explosion ratio blows past anything a content site
-# produces. Reference analog: the reference bounds its walk by version
-# depth (F4) because POSIX trees are finite; the web needs the
-# statistical bound instead.
-# ---------------------------------------------------------------------------
-
-#: template collapse: hex runs (>=8 — ids/hashes) first, then digit runs,
-#: then query values. Pure regexp exprs, zero UDF.
-def url_template(url: Column) -> Column:
-    """Collapse a URL to its structural template: long hex runs -> 'H',
-    digit runs -> 'D', every query value -> 'V' (keys kept — the key SET
-    is structure, values are the explosion)."""
-    t = F.regexp_replace(url, r"[0-9a-fA-F]{8,}", "H")
-    t = F.regexp_replace(t, r"[0-9]+", "D")
-    # query values: '=foo' -> '=V' up to the next & or #
-    return F.regexp_replace(t, r"=[^&#]*", "=V")
-
-
-def trap_stats(
-    frontier: DataFrame,
-    url_col: str = "url",
-    host_col: str = "host",
-) -> DataFrame:
-    """Per-host trap statistics: (host, n_urls, n_templates, max_template
-    urls-per-template of the hottest template, explosion = n_urls /
-    n_templates). ONE host-keyed aggregation over (host, template)
-    partial counts — two combiner-friendly shuffles of ~60-byte rows,
-    frontier text never moves twice."""
-    per_tmpl = (
-        frontier.select(
-            F.col(host_col).alias("host"),
-            url_template(F.col(url_col)).alias("tmpl"),
-        )
-        .groupBy("host", "tmpl")
-        .agg(F.count("*").alias("n"))
-    )
-    return per_tmpl.groupBy("host").agg(
-        F.sum("n").alias("n_urls"),
-        F.count("*").alias("n_templates"),
-        F.max("n").alias("max_template"),
-        F.round(F.sum("n") / F.count("*"), 6).alias("explosion"),
-    )
-
-
-def flag_trap_hosts(
-    frontier: DataFrame,
-    max_explosion: float = 100.0,
-    min_urls: int = 1000,
-    url_col: str = "url",
-    host_col: str = "host",
-) -> DataFrame:
-    """Hosts whose frontier presence looks like a trap: at least
-    ``min_urls`` distinct urls AND more than ``max_explosion`` urls per
-    template. Returns (host, n_urls, n_templates, max_template,
-    explosion) for the caller to demote/cap (schedule_round budgets are
-    the enforcement point — a trap host's budget drops to ~0, it is not
-    deleted: real pages on a trappy host still deserve their top-k)."""
-    s = trap_stats(frontier, url_col, host_col)
-    return s.filter(
-        (F.col("n_urls") >= min_urls) & (F.col("explosion") > max_explosion)
-    )
-
-
 def update_host_budgets(
     hosts: DataFrame,
     fetched: DataFrame,

@@ -132,6 +132,13 @@ class CrawlConfig:
     #: sharding, same no-false-negative contract, same broadcast vs
     #: cogrouped probe switch.
     seen_filter: str = "bloom"
+    #: AIMD per-host budget adaptation (operators/frontier.
+    #: update_host_budgets): after each round, hosts with a healthy fetch
+    #: rate earn additive budget, failing hosts take a multiplicative
+    #: cut; the evolved hosts table checkpoints per round (resume-safe,
+    #: same contract as the seen filter). Off by default — budgets then
+    #: stay the static table the caller provided.
+    adapt_budgets: bool = False
 
 
 #: auto-flip threshold for broadcasting the sharded bloom filter: above this
@@ -402,6 +409,18 @@ class Crawler:
         )
         return seen, bloom, frontier
 
+    def _hosts_for_round(self, round_no: int) -> DataFrame:
+        """The hosts/budget table this round gates with: the static caller
+        table, or — with ``adapt_budgets`` — the previous round's evolved
+        checkpoint (read from parquet so resume is byte-identical to a
+        straight run)."""
+        if not self.config.adapt_budgets or round_no == 0:
+            return self.hosts
+        path = os.path.join(
+            self.checkpoint_dir, f"round={round_no - 1:05d}", "hosts"
+        )
+        return self.spark.read.parquet(path) if os.path.exists(path) else self.hosts
+
     # -- one round ---------------------------------------------------------
     def run_round(
         self,
@@ -457,8 +476,9 @@ class Crawler:
         # ELIGIBLE set: URLs dropped by validity/robots are permanently
         # blocked and must not ride the frontier forever (they would never
         # be scheduled, never enter seen, and re-pay the gates every round)
+        hosts_cur = self._hosts_for_round(round_no)
         gated = gate_frontier(
-            new_urls, self.hosts, self.robots, cfg.default_budget,
+            new_urls, hosts_cur, self.robots, cfg.default_budget,
             self.robots_broadcast(), self.hosts_broadcast(),
         ).persist()
         scheduled = with_politeness_schedule(
@@ -527,6 +547,17 @@ class Crawler:
         fetched = self.spark.read.parquet(
             os.path.join(self.checkpoint_dir, f"round={round_no:05d}", "fetched")
         )
+
+        # AIMD budget evolution (config-gated): the round's fetch outcomes
+        # feed back into per-host budgets; the evolved table checkpoints
+        # like the seen filter so resume replays identically
+        if cfg.adapt_budgets:
+            from ..operators.frontier import update_host_budgets
+
+            write_round_table(
+                update_host_budgets(hosts_cur, fetched),
+                self.checkpoint_dir, round_no, "hosts",
+            )
 
         # seen delta == this round's scheduled set (attempted = seen); it
         # lives in the already-written scheduled table — no extra write

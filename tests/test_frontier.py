@@ -220,68 +220,6 @@ def test_pagerank_empty_graph_no_crash(spark):
     assert len(out) == 1 and abs(out[0]["score"] - 0.7) < 1e-12
 
 
-# ---------------------------------------------------------------------------
-# crawler-trap detection
-# ---------------------------------------------------------------------------
-
-
-def test_url_template_collapse(spark):
-    from metadata_crawler_spark.operators.frontier import url_template
-
-    cases = [
-        ("https://h.com/2024/01/05/post", "https://h.com/D/D/D/post"),
-        ("https://h.com/p?id=123&s=abc", "https://h.com/p?id=V&s=V"),
-        ("https://h.com/a/deadbeefcafe1234/x", "https://h.com/a/H/x"),
-        ("https://h.com/plain/path", "https://h.com/plain/path"),
-    ]
-    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
-    got = [r.t for r in df.select(url_template(F.col("url")).alias("t")).collect()]
-    assert got == [w for _, w in cases]
-
-
-def test_trap_host_flagged_real_host_not(spark):
-    from metadata_crawler_spark.operators.frontier import (
-        flag_trap_hosts,
-        trap_stats,
-    )
-
-    # trap.example: a calendar exploding 1500 urls out of ONE template;
-    # real.example: 1500 urls over 1500 distinct paths (no digit runs)
-    trap = [
-        (f"https://trap.example/cal?y={2000 + i % 30}&m={i % 12}&d={i % 28}",
-         "trap.example")
-        for i in range(1500)
-    ]
-    letters = "abcdefghij"
-
-    def word(i: int) -> str:
-        return "".join(letters[int(c)] for c in str(i))
-
-    real = [
-        (f"https://real.example/article/{word(i)}", "real.example")
-        for i in range(1500)
-    ]
-    df = spark.createDataFrame(trap + real, "url string, host string")
-    stats = {r.host: r for r in trap_stats(df).collect()}
-    assert stats["trap.example"].n_templates == 1
-    assert stats["trap.example"].explosion == 1500.0
-    assert stats["real.example"].explosion == 1.0
-    flagged = [r.host for r in flag_trap_hosts(df).collect()]
-    assert flagged == ["trap.example"]
-
-
-def test_trap_min_urls_floor(spark):
-    from metadata_crawler_spark.operators.frontier import flag_trap_hosts
-
-    # explosive but tiny: 200 urls of one template stays under min_urls
-    rows = [
-        (f"https://small.example/p?page={i}", "small.example")
-        for i in range(200)
-    ]
-    df = spark.createDataFrame(rows, "url string, host string")
-    assert flag_trap_hosts(df).count() == 0
-
-
 def test_update_host_budgets_aimd(spark):
     from metadata_crawler_spark.operators.frontier import update_host_budgets
 

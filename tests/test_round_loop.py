@@ -607,3 +607,49 @@ def test_cuckoo_seen_filter_crawl_equivalence(
     assert [x["scheduled"] for x in cuckoo_run] == [
         x["scheduled"] for x in bloom_run[2:]
     ]
+
+
+def test_adapt_budgets_crawl_and_resume(spark, fixture_dir, tables, tmp_path_factory):
+    """adapt_budgets=True: the crawl runs green, the evolved hosts table
+    checkpoints per round, budgets move off the static values where fetch
+    outcomes say so, and kill-after-round-1 resume equals a straight run
+    (the evolved table reloads from parquet, not driver state)."""
+    seeds = tables["seeds"]
+    cfg = CrawlConfig(
+        n_shards=8, bloom_expected_per_shard=4096, salt_parts=4,
+        adapt_budgets=True,
+    )
+
+    def mk(ck):
+        return Crawler(
+            spark=spark,
+            pages_path=os.path.join(fixture_dir, "pages.parquet"),
+            robots=tables["robots"], hosts=tables["hosts"],
+            checkpoint_dir=ck, config=cfg,
+        )
+
+    ck_a = str(tmp_path_factory.mktemp("ckpt_aimd_a"))
+    res_a = mk(ck_a).run(seeds, rounds=3)
+    assert len(res_a) == 3 and res_a[0]["scheduled"] > 0
+    # evolved hosts table exists per round and is a valid budget table
+    for r in range(3):
+        hp = os.path.join(ck_a, f"round={r:05d}", "hosts")
+        assert os.path.exists(hp), r
+    evolved = spark.read.parquet(os.path.join(ck_a, "round=00002", "hosts"))
+    assert {"host", "budget"} <= set(evolved.columns)
+    static = {r.host: r.budget for r in tables["hosts"].collect()}
+    moved = {
+        r.host: r.budget
+        for r in evolved.collect()
+        if r.host in static and r.budget != static[r.host]
+    }
+    assert moved, "three healthy rounds must move at least one budget"
+    # resume: 1 round, then a fresh crawler to 3 == straight 3
+    ck_b = str(tmp_path_factory.mktemp("ckpt_aimd_b"))
+    mk(ck_b).run(seeds, rounds=1)
+    res_b = mk(ck_b).run(seeds, rounds=3)
+    assert [r["scheduled"] for r in res_a[1:]] == [r["scheduled"] for r in res_b]
+    for r in range(3):
+        a = spark.read.parquet(os.path.join(ck_a, f"round={r:05d}", "scheduled")).select("url")
+        b = spark.read.parquet(os.path.join(ck_b, f"round={r:05d}", "scheduled")).select("url")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, r
