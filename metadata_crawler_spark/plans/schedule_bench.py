@@ -243,6 +243,18 @@ def paired_main() -> None:
     # attempt); the wall-sanity gate makes accepted-pair quality come from
     # rejection, not from more attempts
     max_attempts = n_pairs + 2
+    # WALL BUDGET (r5): on slow-delivery host days one attempt can take
+    # ~15-17 min, and 5 attempts overran the caller's subprocess timeout —
+    # losing the ENTIRE scaling section (efficiency: null) instead of
+    # degrading to fewer pairs. Before each further attempt, project its
+    # cost from the attempts already measured and stop if it would not
+    # fit; the accept/fallback logic below already handles < n_pairs.
+    import os as _os
+
+    budget_s = float(_os.environ.get("MCS_SCALING_BUDGET_S", "3300"))
+    t_start = time.time()
+    attempt_costs: list[float] = []
+    budget_exhausted = False
 
     def consistent(p: dict) -> bool:
         a, b = p["cal_s"]
@@ -265,6 +277,12 @@ def paired_main() -> None:
         )
 
     while attempts < max_attempts:
+        if attempt_costs and (
+            time.time() - t_start + max(attempt_costs) > budget_s
+        ):
+            budget_exhausted = True
+            break
+        t_attempt = time.time()
         trial = attempts
         attempts += 1
         walls: dict = {}
@@ -309,6 +327,7 @@ def paired_main() -> None:
             "efficiency": eff,
         }
         all_pairs.append(pair)
+        attempt_costs.append(time.time() - t_attempt)
         best_cal = min(c for q in all_pairs for c in q["cal_s"])
         if sum(full_delivery(q, best_cal) for q in all_pairs) >= n_pairs:
             break
@@ -343,6 +362,7 @@ def paired_main() -> None:
                 "efficiency_best": best["efficiency"],
                 "localN_urls_per_sec": median_pair[f"thr_{levels[0]}"],
                 "local4N_urls_per_sec": median_pair[f"thr_{levels[1]}"],
+                "budget_exhausted": budget_exhausted,
             }
         )
     )
