@@ -1686,23 +1686,73 @@ FROM events GROUP BY ROLLUP (event_type, (user_id % 3))
 
 
 def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolated percentiles (Spark `percentile` ==
-    DuckDB `quantile_cont`)."""
+    """Distribution-summaries family (r5 merge, 50-row driver cap):
+    'pctl' rows — exact linear-interpolated percentiles per event_type
+    (Spark `percentile` == DuckDB `quantile_cont`); 'heavy_token' rows —
+    EXACT heavy hitters over the documents vocabulary found by the
+    Misra-Gries candidates -> exact-recount sketch path
+    (operators/sketches.heavy_hitters: the raw token column never
+    shuffles — only <= partitions x (k+1) candidate rows do — while
+    DuckDB computes the same answer with a plain GROUP BY/HAVING);
+    'distinct_users' rows — exact per-type user cardinality (the HLL
+    sketch twin of this answer is pytest-verified within its error band
+    in test_sketches.py; estimates can't hash-match an exact oracle).
+    Tagged union: (metric, key, v1, v2, v3)."""
     _prep(spark)
+    from metadata_crawler_spark.operators.sketches import heavy_hitters
+
     e = _t(spark, sf_dir, "events")
     pct = F.expr("percentile(value, array(0.25, 0.5, 0.75))")
-    return e.groupBy("event_type").agg(
-        F.round(pct[0], 4).alias("p25"),
-        F.round(pct[1], 4).alias("p50"),
-        F.round(pct[2], 4).alias("p75"),
+    pctl = e.groupBy("event_type").agg(
+        F.round(pct[0], 4).alias("v1"),
+        F.round(pct[1], 4).alias("v2"),
+        F.round(pct[2], 4).alias("v3"),
+    ).select(
+        F.lit("pctl").alias("metric"), F.col("event_type").alias("key"),
+        "v1", "v2", "v3",
     )
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(
+            F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
+        ).alias("tok")
+    )
+    heavy = heavy_hitters(toks, "tok", k=40).select(
+        F.lit("heavy_token").alias("metric"), F.col("item").alias("key"),
+        F.col("cnt").cast("double").alias("v1"),
+        F.round("share", 6).alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
+    )
+    distinct = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("double").alias("v1")
+    ).select(
+        F.lit("distinct_users").alias("metric"),
+        F.col("event_type").alias("key"), "v1",
+        F.lit(None).cast("double").alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
+    )
+    return pctl.unionByName(heavy).unionByName(distinct)
 
 
 _Q43_SQL = """
-SELECT event_type,
-       ROUND(quantile_cont(value, 0.25), 4) AS p25,
-       ROUND(quantile_cont(value, 0.50), 4) AS p50,
-       ROUND(quantile_cont(value, 0.75), 4) AS p75
+WITH toks AS (
+  SELECT t.tok FROM documents,
+       LATERAL UNNEST(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> x <> '')) AS t(tok)
+)
+SELECT 'pctl' AS metric, event_type AS key,
+       ROUND(quantile_cont(value, 0.25), 4) AS v1,
+       ROUND(quantile_cont(value, 0.50), 4) AS v2,
+       ROUND(quantile_cont(value, 0.75), 4) AS v3
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'heavy_token', tok,
+       CAST(COUNT(*) AS DOUBLE),
+       ROUND(COUNT(*) / (SELECT COUNT(*) FROM toks), 6), NULL
+FROM toks GROUP BY tok
+HAVING COUNT(*) * 40 > (SELECT COUNT(*) FROM toks)
+UNION ALL
+SELECT 'distinct_users', event_type,
+       CAST(COUNT(DISTINCT user_id) AS DOUBLE), NULL, NULL
 FROM events GROUP BY event_type
 """
 
