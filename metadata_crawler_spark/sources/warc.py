@@ -386,3 +386,130 @@ def read_warc_segments(
         .select("path")
     )
     return files.mapInPandas(split, WARC_PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WARC archive sink (the crawler's raw-fetch persistence)
+# ---------------------------------------------------------------------------
+
+#: default compressed roll size for written segments. Common Crawl rolls
+#: at ~1 GB; tests shrink this to force multi-segment output.
+TARGET_SEGMENT_BYTES = 1024 * 1024 * 1024
+
+WARC_INDEX_SCHEMA = (
+    "url string, warc_ts timestamp, segment string, offset long, length long"
+)
+
+
+def _open_out(uri: str):
+    """(stream, finalize) for one output segment. Local paths write to a
+    ``.tmp`` sibling and os.replace on finalize (atomic publish — a
+    killed task never leaves a half segment under the final name, and a
+    retried task with the same deterministic name overwrites cleanly).
+    Object-store URIs write via pyarrow.fs output streams (no rename —
+    object stores publish on close)."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    if "://" not in uri and not uri.startswith("file:"):
+        local = uri
+    else:
+        p = urlparse(uri)
+        if p.scheme in ("", "file"):
+            local = unquote(p.path)
+        else:
+            from pyarrow import fs as pafs
+
+            filesystem, path = pafs.FileSystem.from_uri(uri)
+            stream = filesystem.open_output_stream(path, compression=None)
+            return stream, stream.close
+    tmp = local + ".tmp"
+    fh = open(tmp, "wb")
+
+    def finalize() -> None:
+        fh.flush()
+        os.fsync(fh.fileno())
+        fh.close()
+        os.replace(tmp, local)
+
+    return fh, finalize
+
+
+def write_warc_segments(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+    target_segment_bytes: int = TARGET_SEGMENT_BYTES,
+    prefix: str = "segment",
+) -> DataFrame:
+    """Archive fetched pages as Common-Crawl-layout ``.warc.gz`` segments
+    and return their CDX-style index (url, warc_ts, segment, offset,
+    length) — one row per record, giving O(1) range re-reads of any
+    single page (the layout ``read_warc_records`` consumes).
+
+    Spark shape: each input partition streams its rows through ONE
+    writer task (mapInPandas — only the three needed columns enter
+    Arrow, everything else is pruned), gzipping each record as its own
+    member (``mtime=0`` so retried tasks produce byte-identical files)
+    and rolling to a new segment after ``target_segment_bytes``
+    compressed bytes. Segment names are deterministic in the partition
+    id (``{prefix}-{pid:05d}-{seq:04d}.warc.gz``): a retried task
+    rewrites the same names via tmp+rename, so the sink is idempotent
+    per attempt with no coordination. LAZY like every Spark sink wrapper
+    here: files are written when the returned index DataFrame is
+    materialized — persist the index (e.g. ``.write.parquet``) as the
+    action, which also makes index-and-segments land together.
+
+    At 100 TB: parallelism == input partitions, no shuffle, no driver
+    data; repartition upstream to size segments (e.g. ~1 GB compressed
+    per Common Crawl convention)."""
+    import gzip
+
+    from pyspark import TaskContext
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        seq = 0
+        fh = finalize = None
+        seg_name = ""
+        written = 0
+        out: list[tuple] = []
+
+        def roll() -> None:
+            nonlocal fh, finalize, seg_name, written, seq
+            if fh is not None:
+                finalize()
+            seg_name = f"{out_dir.rstrip('/')}/{prefix}-{pid:05d}-{seq:04d}.warc.gz"
+            seq += 1
+            written = 0
+            fh, finalize = _open_out(seg_name)
+
+        for pdf in batches:
+            for url, ts, html in zip(
+                pdf[url_col], pdf[ts_col], pdf[html_col]
+            ):
+                if fh is None or written >= target_segment_bytes:
+                    roll()
+                pyts = (
+                    ts.to_pydatetime()
+                    if hasattr(ts, "to_pydatetime")
+                    else (ts or datetime(1970, 1, 1))
+                )
+                blob = b"" if html is None else bytes(html)
+                member = gzip.compress(
+                    render_warc([(url, pyts, blob)]), mtime=0
+                )
+                fh.write(member)
+                out.append((url, pyts, seg_name, written, len(member)))
+                written += len(member)
+        if fh is not None:
+            finalize()
+        yield pd.DataFrame(
+            out, columns=["url", "warc_ts", "segment", "offset", "length"]
+        )
+
+    return df.select(url_col, ts_col, html_col).mapInPandas(
+        part, WARC_INDEX_SCHEMA
+    )

@@ -1,0 +1,113 @@
+"""WARC archive sink: write_warc_segments -> segments + CDX index."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+from datetime import datetime, timedelta
+
+from metadata_crawler_spark.sources.warc import (
+    parse_warc_bytes,
+    read_warc_records,
+    read_warc_segments,
+    write_warc_segments,
+)
+
+
+def _pages(n: int):
+    t0 = datetime(2026, 5, 1, 8, 0, 0)
+    return [
+        (
+            f"https://h{i % 7}.example.org/p{i}",
+            t0 + timedelta(seconds=i),
+            f"<html><body>doc {i} {'x' * (i % 50)}</body></html>".encode(),
+        )
+        for i in range(n)
+    ]
+
+
+def _write(spark, tmp_path, n=120, parts=4, **kw):
+    out = str(tmp_path / "archive")
+    os.makedirs(out, exist_ok=True)
+    df = spark.createDataFrame(
+        _pages(n), "url string, warc_ts timestamp, html binary"
+    ).repartition(parts)
+    idx = write_warc_segments(df, out, **kw).toPandas()
+    return out, idx
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    out, idx = _write(spark, tmp_path)
+    assert len(idx) == 120
+    back = read_warc_segments(spark, out)
+    rows = {r.url: bytes(r.html) for r in back.collect()}
+    assert rows == {u: h for u, _, h in _pages(120)}
+
+
+def test_index_range_reads_single_member(spark, tmp_path):
+    """Every index row must locate exactly one gzip member that parses
+    to its record — the O(1) page re-read contract."""
+    out, idx = _write(spark, tmp_path)
+    for row in idx.sample(n=10, random_state=1).itertuples():
+        with open(row.segment, "rb") as fh:
+            fh.seek(row.offset)
+            member = fh.read(row.length)
+        recs = list(parse_warc_bytes(gzip.decompress(member)))
+        assert len(recs) == 1
+        assert recs[0][0] == row.url
+
+
+def test_read_warc_records_consumes_index(spark, tmp_path):
+    out, idx = _write(spark, tmp_path, n=40, parts=2)
+    cap = spark.createDataFrame(
+        idx.rename(
+            columns={
+                "segment": "warc_filename",
+                "offset": "warc_offset",
+                "length": "warc_length",
+            }
+        )
+    )
+    got = {r.url: bytes(r.html) for r in read_warc_records(spark, cap).collect()}
+    assert got == {u: h for u, _, h in _pages(40)}
+
+
+def test_segment_rolling(spark, tmp_path):
+    out, idx = _write(spark, tmp_path, n=200, parts=1,
+                      target_segment_bytes=2000)
+    segs = sorted(glob.glob(out + "/*.warc.gz"))
+    assert len(segs) > 3  # rolled
+    # offsets restart per segment and every file respects tmp cleanup
+    assert not glob.glob(out + "/*.tmp")
+    per_seg = idx.groupby("segment")["offset"].min()
+    assert (per_seg == 0).all()
+    # compressed sizes stay near the roll target (one member overshoot)
+    for s in segs[:-1]:
+        assert os.path.getsize(s) >= 2000
+
+
+def test_deterministic_rewrite(spark, tmp_path):
+    """Same data + partitioning -> byte-identical segments (mtime=0),
+    so a retried/re-run task is a true overwrite, not a near-duplicate."""
+    out1, _ = _write(spark, tmp_path / "a", parts=2)
+    out2, _ = _write(spark, tmp_path / "b", parts=2)
+    f1 = sorted(glob.glob(out1 + "/*.warc.gz"))
+    f2 = sorted(glob.glob(out2 + "/*.warc.gz"))
+    assert [os.path.basename(f) for f in f1] == [
+        os.path.basename(f) for f in f2
+    ]
+    for a, b in zip(f1, f2):
+        assert open(a, "rb").read() == open(b, "rb").read()
+
+
+def test_empty_partitions_write_nothing(spark, tmp_path):
+    out = str(tmp_path / "arch2")
+    os.makedirs(out)
+    df = spark.createDataFrame(
+        _pages(3), "url string, warc_ts timestamp, html binary"
+    ).repartition(8)
+    idx = write_warc_segments(df, out).toPandas()
+    assert len(idx) == 3
+    # only partitions that held rows produced files
+    assert len(glob.glob(out + "/*.warc.gz")) == len(idx["segment"].unique())
