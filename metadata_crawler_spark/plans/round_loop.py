@@ -132,6 +132,15 @@ class CrawlConfig:
     #: sharding, same no-false-negative contract, same broadcast vs
     #: cogrouped probe switch.
     seen_filter: str = "bloom"
+    #: per-host distinct-URL cardinality sketches (operators/sketches):
+    #: when on, each round also commits one HLL sketch row per host over
+    #: its scheduled URLs. Running per-host cardinalities then come from
+    #: merging the sketch tables — O(hosts x 2.5 KiB) per round, never a
+    #: re-read of the scheduled history. The 100 TB answer to "how much
+    #: of host X have we covered?" (the reference answers its coverage
+    #: questions by re-counting the store, api/stores/base.py).
+    host_sketch: bool = False
+    host_sketch_lgk: int = 12
     #: AIMD per-host budget adaptation (operators/frontier.
     #: update_host_budgets): after each round, hosts with a healthy fetch
     #: rate earn additive budget, failing hosts take a multiplicative
@@ -421,6 +430,25 @@ class Crawler:
         )
         return self.spark.read.parquet(path) if os.path.exists(path) else self.hosts
 
+    def host_cardinalities(self, upto: int) -> DataFrame:
+        """(host, n_distinct) estimated distinct URLs scheduled per host
+        across rounds [0, upto] — from the committed per-round HLL
+        sketch tables ONLY (requires config.host_sketch). Work is
+        O(hosts x rounds) sketch rows; the scheduled history is never
+        re-read. Per-round sketch unioned == whole-history rebuild is
+        the tested HLL invariant (test_sketches.py)."""
+        from ..operators.sketches import hll_estimates, hll_merge
+        from ..sources.tables import round_table_paths
+
+        paths = round_table_paths(self.checkpoint_dir, "host_sketch", upto)
+        if not paths:
+            raise ValueError(
+                "no host_sketch tables committed — enable CrawlConfig.host_sketch"
+            )
+        return hll_estimates(
+            hll_merge(self.spark.read.parquet(*paths), ["host"]), ["host"]
+        )
+
     # -- one round ---------------------------------------------------------
     def run_round(
         self,
@@ -503,6 +531,20 @@ class Crawler:
         scheduled = self.spark.read.parquet(
             os.path.join(self.checkpoint_dir, f"round={round_no:05d}", "scheduled")
         )
+
+        # per-round host-cardinality sketch (config-gated): one HLL row
+        # per host over the round's scheduled URLs, committed beside the
+        # round. Reads the just-written scheduled parquet (no pipeline
+        # recompute); the groupBy merges partial sketches map-side.
+        if cfg.host_sketch:
+            from ..operators.sketches import hll_sketches
+
+            write_round_table(
+                hll_sketches(
+                    scheduled, ["host"], "url", cfg.host_sketch_lgk
+                ),
+                self.checkpoint_dir, round_no, "host_sketch",
+            )
 
         # fetch join: NEVER build/broadcast the pages side (it is the
         # 100 TB table) — a plain left join makes pages the build side

@@ -653,3 +653,48 @@ def test_adapt_budgets_crawl_and_resume(spark, fixture_dir, tables, tmp_path_fac
         a = spark.read.parquet(os.path.join(ck_a, f"round={r:05d}", "scheduled")).select("url")
         b = spark.read.parquet(os.path.join(ck_b, f"round={r:05d}", "scheduled")).select("url")
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, r
+
+
+def test_host_sketch_cardinalities(spark, fixture_dir, tables, tmp_path_factory):
+    """Config-gated per-round HLL host sketches: committed beside each
+    round; merged estimates track the exact per-host distinct scheduled
+    counts within the lgk error band, without re-reading history."""
+    ckpt = str(tmp_path_factory.mktemp("ckpt_sketch"))
+    cfg = CrawlConfig(
+        n_shards=8, bloom_expected_per_shard=4096, salt_parts=4,
+        host_sketch=True,
+    )
+    c = Crawler(
+        spark=spark,
+        pages_path=os.path.join(fixture_dir, "pages.parquet"),
+        robots=tables["robots"],
+        hosts=tables["hosts"],
+        checkpoint_dir=ckpt,
+        config=cfg,
+    )
+    c.run(tables["seeds"], rounds=3)
+    for r in range(3):
+        assert os.path.exists(
+            os.path.join(ckpt, f"round={r:05d}", "host_sketch")
+        )
+    est = {r.host: r.n_distinct for r in c.host_cardinalities(2).collect()}
+    sched = spark.read.parquet(*[
+        os.path.join(ckpt, f"round={r:05d}", "scheduled") for r in range(3)
+    ])
+    exact = {
+        r.host: r.n
+        for r in sched.groupBy("host")
+        .agg(F.countDistinct("url").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for h, n in exact.items():
+        assert abs(est[h] - n) <= max(2, 0.05 * n)
+
+
+def test_host_sketch_off_raises(spark, fixture_dir, tables, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("ckpt_nosketch"))
+    c = _mk(spark, fixture_dir, tables, ckpt)
+    c.run(tables["seeds"], rounds=1)
+    with pytest.raises(ValueError, match="host_sketch"):
+        c.host_cardinalities(0)
