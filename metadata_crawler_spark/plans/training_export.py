@@ -53,6 +53,7 @@ def export_training_set(
     seed: int = 0,
     hasher: str = "xxhash64",
     stage_counts: dict | None = None,
+    out_format: str = "parquet",
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full export; returns (packed_docs, summary).
 
@@ -167,6 +168,21 @@ def export_training_set(
     packed = pack_concat_chunk(counted, "id", "n_tokens", seq_len)
     summary = packing_summary(packed, "n_tokens", seq_len)
     if out_dir is not None:
-        packed.write.mode("overwrite").parquet(out_dir)
-        packed = packed.sparkSession.read.parquet(out_dir)
+        if out_format == "jsonl":
+            # interchange layout (HuggingFace/Dolma): *.jsonl.gz shards +
+            # manifest; materializing the manifest IS the write action
+            from ..sources.jsonl_sink import write_jsonl_shards
+
+            manifest = write_jsonl_shards(packed, out_dir)
+            manifest.write.mode("overwrite").parquet(
+                out_dir.rstrip("/") + "_manifest"
+            )
+            packed = packed.sparkSession.read.json(
+                out_dir.rstrip("/") + "/*.jsonl.gz"
+            )
+        elif out_format == "parquet":
+            packed.write.mode("overwrite").parquet(out_dir)
+            packed = packed.sparkSession.read.parquet(out_dir)
+        else:
+            raise ValueError(f"unknown out_format {out_format!r}")
     return packed, summary

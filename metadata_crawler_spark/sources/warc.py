@@ -424,6 +424,7 @@ def _open_out(uri: str):
             stream = filesystem.open_output_stream(path, compression=None)
             return stream, stream.close
     tmp = local + ".tmp"
+    os.makedirs(os.path.dirname(local) or ".", exist_ok=True)
     fh = open(tmp, "wb")
 
     def finalize() -> None:

@@ -87,3 +87,25 @@ def test_export_precleaned_with_bpe(spark):
     wc = {r.doc_id: len(r.text.split()) for r in df.collect()}
     for r in rows:
         assert r.n_tokens >= wc[r.id]
+
+
+def test_export_jsonl_format(spark, tmp_path):
+    import glob as _glob
+
+    from metadata_crawler_spark.plans.training_export import (
+        export_training_set,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(40)],
+        "doc_id long, body string",
+    )
+    out = str(tmp_path / "export_jsonl")
+    packed, summary = export_training_set(
+        docs, "body", "doc_id", out_dir=out, seq_len=8, out_format="jsonl"
+    )
+    shards = _glob.glob(out + "/*.jsonl.gz")
+    assert shards
+    assert packed.count() == 40  # read back through spark.read.json
+    man = spark.read.parquet(out + "_manifest")
+    assert man.agg({"n_rows": "sum"}).collect()[0][0] == 40
