@@ -80,9 +80,7 @@ def hll_sketches(
     )
 
 
-def hll_merge(
-    sketches: DataFrame, keys: Sequence[str], lgk: int = 12
-) -> DataFrame:
+def hll_merge(sketches: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Union sketch rows (e.g. one batch per crawl round, appended to a
     sketch table) back down to one sketch per key. ``allowDifferentLgK``
     is on so historical rounds written at another precision still merge

@@ -493,11 +493,12 @@ def write_warc_segments(
             ):
                 if fh is None or written >= target_segment_bytes:
                     roll()
-                pyts = (
-                    ts.to_pydatetime()
-                    if hasattr(ts, "to_pydatetime")
-                    else (ts or datetime(1970, 1, 1))
-                )
+                if pd.isna(ts):  # NULL/NaT ts: epoch sentinel, not a crash
+                    pyts = datetime(1970, 1, 1)
+                elif hasattr(ts, "to_pydatetime"):
+                    pyts = ts.to_pydatetime()
+                else:
+                    pyts = ts
                 blob = b"" if html is None else bytes(html)
                 member = gzip.compress(
                     render_warc([(url, pyts, blob)]), mtime=0

@@ -111,3 +111,15 @@ def test_empty_partitions_write_nothing(spark, tmp_path):
     assert len(idx) == 3
     # only partitions that held rows produced files
     assert len(glob.glob(out + "/*.warc.gz")) == len(idx["segment"].unique())
+
+
+def test_null_ts_and_html_sentinel(spark, tmp_path):
+    out = str(tmp_path / "arch3")
+    df = spark.createDataFrame(
+        [("https://x/n", None, None)],
+        "url string, warc_ts timestamp, html binary",
+    )
+    idx = write_warc_segments(df, out).toPandas()
+    assert idx.warc_ts[0] == datetime(1970, 1, 1)
+    back = read_warc_segments(spark, out).collect()
+    assert back[0].url == "https://x/n" and bytes(back[0].html) == b""
