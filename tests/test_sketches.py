@@ -183,3 +183,23 @@ def test_heavy_hitters_share_column(spark):
     row = {r.item: r for r in heavy_hitters(df, "tok", 3).collect()}
     assert set(row) == {"x"}
     assert row["x"].share == pytest.approx(0.8)
+
+
+def test_heavy_hitters_plan_shape(spark):
+    """Scale assertions on the physical plan: the candidate semi join is
+    a broadcast (build side = candidates, never the raw column), and the
+    MG summary pass plans as map-side work off the scan (its only
+    exchange feeds the tiny summary aggregation, not raw tokens)."""
+    toks = spark.createDataFrame(
+        [(f"t{i % 50}",) for i in range(2000)], "tok string"
+    ).repartition(8)
+    plan = heavy_hitters(toks, "tok", 10)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # tree prints parent-above-child: the tok shuffle's CHILD must be the
+    # map-side partial aggregate, which itself sits above (= consumes)
+    # the broadcast semi join — i.e. the exchange carries combined
+    # (tok, partial count) rows of candidate-filtered data, never raw rows
+    i_exch = plan.index("Exchange hashpartitioning(tok")
+    i_partial = plan.index("partial_count")
+    i_semi = plan.index("LeftSemi")
+    assert i_exch < i_partial < i_semi
