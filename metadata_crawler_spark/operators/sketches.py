@@ -52,6 +52,7 @@ __all__ = [
     "hll_sketches",
     "hll_merge",
     "hll_estimates",
+    "hll_overlap",
     "mg_summaries",
     "heavy_hitters",
 ]
@@ -95,6 +96,44 @@ def hll_estimates(sketches: DataFrame, keys: Sequence[str]) -> DataFrame:
     """(keys..., n_distinct) from a sketch table — no raw data touched."""
     return sketches.select(
         *keys, F.hll_sketch_estimate("hll").alias("n_distinct")
+    )
+
+
+def hll_overlap(
+    a: DataFrame, b: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Cross-snapshot overlap from sketches alone: per key group,
+    (keys..., n_a, n_b, n_union, n_intersect) where n_intersect is the
+    inclusion-exclusion estimate ``|A| + |B| - |A u B|`` (HLL unions
+    exactly; it cannot intersect, so this is the standard derived
+    estimate — error grows as the true overlap shrinks relative to the
+    union, which is fine for the coverage questions it answers: "how
+    many of host X's URLs did snapshots A and B both see?"). Inputs are
+    two sketch tables as built by :func:`hll_sketches`; a key group
+    present in only one side reports the other side as 0. Work is
+    O(key groups), never the raw snapshots."""
+    an = a.select(*keys, F.col("hll").alias("hll_a"))
+    bn = b.select(*keys, F.col("hll").alias("hll_b"))
+    both = an.join(bn, list(keys), "full_outer")
+    est_a = F.when(
+        F.col("hll_a").isNull(), F.lit(0)
+    ).otherwise(F.hll_sketch_estimate("hll_a"))
+    est_b = F.when(
+        F.col("hll_b").isNull(), F.lit(0)
+    ).otherwise(F.hll_sketch_estimate("hll_b"))
+    est_u = F.when(
+        F.col("hll_a").isNull(), est_b
+    ).when(
+        F.col("hll_b").isNull(), est_a
+    ).otherwise(
+        F.hll_sketch_estimate(F.hll_union("hll_a", "hll_b", True))
+    )
+    return both.select(
+        *keys,
+        est_a.alias("n_a"),
+        est_b.alias("n_b"),
+        est_u.alias("n_union"),
+        F.greatest(est_a + est_b - est_u, F.lit(0)).alias("n_intersect"),
     )
 
 

@@ -203,3 +203,33 @@ def test_heavy_hitters_plan_shape(spark):
     i_partial = plan.index("partial_count")
     i_semi = plan.index("LeftSemi")
     assert i_exch < i_partial < i_semi
+
+
+def test_hll_overlap_inclusion_exclusion(spark):
+    """Two snapshots with a planted 50% overlap per host: the derived
+    intersection estimate lands within a widened band (I-E compounds
+    three estimates), and one-sided hosts report 0 for the absent side."""
+    a_rows = [("h0", f"u{i}") for i in range(2000)] + [
+        ("only_a", f"x{i}") for i in range(300)
+    ]
+    b_rows = [("h0", f"u{i}") for i in range(1000, 3000)]
+    a = hll_sketches(
+        spark.createDataFrame(a_rows, "host string, url string"),
+        ["host"], "url",
+    )
+    b = hll_sketches(
+        spark.createDataFrame(b_rows, "host string, url string"),
+        ["host"], "url",
+    )
+    from metadata_crawler_spark.operators.sketches import hll_overlap
+
+    out = {r.host: r for r in hll_overlap(a, b, ["host"]).collect()}
+    h0 = out["h0"]
+    assert abs(h0.n_a - 2000) / 2000 < 0.05
+    assert abs(h0.n_b - 2000) / 2000 < 0.05
+    assert abs(h0.n_union - 3000) / 3000 < 0.05
+    assert abs(h0.n_intersect - 1000) / 1000 < 0.25
+    only = out["only_a"]
+    assert only.n_b == 0 and only.n_intersect == 0
+    assert abs(only.n_a - 300) / 300 < 0.08
+    assert only.n_union == only.n_a
