@@ -180,13 +180,60 @@ def q02_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = urls.select(
         "doc_id", "raw_url", canonicalize_expr(F.col("raw_url")).alias("canon_url")
     )
-    return detect_url_traps(
+    traps = detect_url_traps(
         canon, url_col="canon_url", max_template_urls=40, calendar_divisor=4
+    ).select(
+        F.lit("trap").alias("kind"),
+        "doc_id",
+        F.col("raw_url").alias("url"),
+        F.col("canon_url").alias("url2"),
+        F.col("template").alias("tmpl"),
+        F.col("n_template_urls").cast("long").alias("n1"),
+        F.col("path_loop").alias("f1"),
+        F.col("calendar_path").alias("f2"),
+        F.col("template_explosion").alias("f3"),
+        F.col("trap").alias("f4"),
     )
+    # r5 family merge: redirect-chain resolution (the third URL-identity
+    # stage — operators/redirects.resolve_redirects, fixed-round pointer
+    # doubling) over a deterministic functional graph: within each block
+    # of 8 ids, u{d} redirects down to u{d-1} (chains of length d%8);
+    # every 96th block head closes a 2-cycle with its successor, so its
+    # whole block enters a loop and must flag unresolved.
+    from metadata_crawler_spark.operators.redirects import resolve_redirects
+
+    ru = F.concat(F.lit("https://r.example/"), F.col("doc_id").cast("string"))
+    rt = F.concat(
+        F.lit("https://r.example/"), (F.col("doc_id") - 1).cast("string")
+    )
+    rc = F.concat(
+        F.lit("https://r.example/"), (F.col("doc_id") + 1).cast("string")
+    )
+    edges = (
+        d.filter(F.col("doc_id") % 8 != 0)
+        .select(ru.alias("url"), rt.alias("target"))
+        .unionByName(
+            d.filter((F.col("doc_id") % 96 == 0) & (F.col("doc_id") > 0))
+            .select(ru.alias("url"), rc.alias("target"))
+        )
+    )
+    redirects = resolve_redirects(edges, max_hops=16).select(
+        F.lit("redirect").alias("kind"),
+        F.lit(None).cast("long").alias("doc_id"),
+        "url",
+        F.col("final_url").alias("url2"),
+        F.lit(None).cast("string").alias("tmpl"),
+        F.col("n_hops").alias("n1"),
+        F.col("looped").alias("f1"),
+        F.lit(None).cast("boolean").alias("f2"),
+        F.lit(None).cast("boolean").alias("f3"),
+        F.lit(None).cast("boolean").alias("f4"),
+    )
+    return traps.unionByName(redirects)
 
 
 _Q02_SQL = """
-WITH urls AS (
+WITH RECURSIVE urls AS (
   SELECT doc_id,
     CASE
       WHEN doc_id % 4 = 0 THEN 'HTTP://H' || (doc_id % 50) || '.EXAMPLE.COM:80/' || source || '?b=2&a=' || (doc_id % 7) || '#x'
@@ -229,16 +276,43 @@ WITH urls AS (
   FROM parts
 ), counted AS (
   SELECT *, COUNT(*) OVER (PARTITION BY template) AS cnt FROM tmpl
+), redges AS (
+  SELECT url, min(target) AS target FROM (
+    SELECT 'https://r.example/' || doc_id AS url,
+           'https://r.example/' || (doc_id - 1) AS target
+    FROM documents WHERE doc_id % 8 <> 0
+    UNION ALL
+    SELECT 'https://r.example/' || doc_id,
+           'https://r.example/' || (doc_id + 1)
+    FROM documents WHERE doc_id % 96 = 0 AND doc_id > 0
+  ) GROUP BY url
+), rwalk(url, cur, hops) AS (
+  SELECT url, target, 1 FROM redges
+  UNION ALL
+  SELECT w.url, e.target, w.hops + 1
+  FROM rwalk w JOIN redges e ON w.cur = e.url WHERE w.hops < 16
+), rfinal AS (
+  SELECT url, arg_max(cur, hops) AS cur, max(hops) AS hops
+  FROM rwalk GROUP BY url
 )
-SELECT doc_id, raw_url, canon_url, template,
-  CASE WHEN cnt > 10 THEN cnt END AS n_template_urls,
-  n_rep >= 3 AS path_loop,
-  calendar_path,
+SELECT 'trap' AS kind, doc_id, raw_url AS url, canon_url AS url2,
+  template AS tmpl,
+  CAST(CASE WHEN cnt > 10 THEN cnt END AS BIGINT) AS n1,
+  n_rep >= 3 AS f1,
+  calendar_path AS f2,
   COALESCE(CASE WHEN cnt > 10 THEN cnt END
-             > CASE WHEN calendar_path THEN 10 ELSE 40 END, FALSE) AS template_explosion,
+             > CASE WHEN calendar_path THEN 10 ELSE 40 END, FALSE) AS f3,
   (n_rep >= 3) OR COALESCE(CASE WHEN cnt > 10 THEN cnt END
-             > CASE WHEN calendar_path THEN 10 ELSE 40 END, FALSE) AS trap
+             > CASE WHEN calendar_path THEN 10 ELSE 40 END, FALSE) AS f4
 FROM counted
+UNION ALL
+SELECT 'redirect', CAST(NULL AS BIGINT), f.url,
+  CASE WHEN s.url IS NULL THEN f.cur END,
+  CAST(NULL AS VARCHAR),
+  CAST(CASE WHEN s.url IS NULL THEN f.hops END AS BIGINT),
+  s.url IS NOT NULL,
+  CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN)
+FROM rfinal f LEFT JOIN redges s ON f.cur = s.url
 """
 
 
