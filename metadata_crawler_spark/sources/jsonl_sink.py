@@ -26,6 +26,12 @@ Spark shape — the same contract as the WARC archive sink
 
 Read-back needs no custom reader: ``spark.read.json`` (and every other
 tool in the ecosystem) consumes the layout directly.
+
+Reference parity: the reference's JSONLines store is exactly this
+format single-threaded — orjson-encode a record batch, newline-join,
+gzip one member, append (jsonlines.py:54-68 ``_encode_records`` /
+``_gzip_once`` / ``_write_table``); this sink is that writer made
+partition-parallel, rolled, and idempotent.
 """
 
 from __future__ import annotations

@@ -465,7 +465,14 @@ def write_warc_segments(
 
     At 100 TB: parallelism == input partitions, no shuffle, no driver
     data; repartition upstream to size segments (e.g. ~1 GB compressed
-    per Common Crawl convention)."""
+    per Common Crawl convention).
+
+    Reference parity: the reference persists every harvested record
+    through a per-store writer daemon appending gzip members
+    (api/stores/base.py:364-404 writer loop; jsonlines.py:64-68 gz
+    append) — this sink is that persistence contract for raw fetches,
+    executor-parallel and retry-idempotent, in the archival format the
+    web ecosystem range-reads."""
     import gzip
 
     from pyspark import TaskContext
