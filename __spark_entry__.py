@@ -323,16 +323,53 @@ FROM rfinal f LEFT JOIN redges s ON f.cur = s.url
 # ---------------------------------------------------------------------------
 
 def q03_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-identity family (r5 merge): 'exact' rows — hash-groupBy
+    exact dedup (unchanged); 'mirror' rows — cross-host mirror detection
+    (operators/mirrors.detect_mirrors: distinct (host, content-hash),
+    count-first boilerplate cap, map-side pair explode, containment =
+    shared / min(|A|,|B|)) over a deterministic host/content lattice
+    (host = doc_id%20, content class = doc_id%97 — 97 coprime to 20
+    spreads each content class across hosts). The oracle replicates the
+    mirror semantics on content equality directly (hash values never
+    leave the plan). Tagged union (kind, k1, k2, n1, n2, n3, v)."""
     _prep(spark)
+    from metadata_crawler_spark.operators.mirrors import detect_mirrors
+
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dups = d.filter(F.col("doc_id") % 3 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
     corpus = d.unionByName(dups)
-    return (
+    exact = (
         corpus.groupBy(F.md5("text").alias("content_hash"))
         .agg(F.min("doc_id").alias("rep_id"), F.count("*").alias("n_copies"))
+        .select(
+            F.lit("exact").alias("kind"),
+            F.col("content_hash").alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            F.col("rep_id").alias("n1"),
+            F.col("n_copies").alias("n2"),
+            F.lit(None).cast("long").alias("n3"),
+            F.lit(None).cast("double").alias("v"),
+        )
     )
+    lattice = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string")).alias("host"),
+        F.concat(F.lit("c"), (F.col("doc_id") % 97).cast("string")).alias("content"),
+    )
+    mirrors = detect_mirrors(
+        lattice, host_col="host", content_col="content",
+        min_shared=2, min_containment=0.05,
+    ).select(
+        F.lit("mirror").alias("kind"),
+        F.col("host_a").alias("k1"),
+        F.col("host_b").alias("k2"),
+        F.col("shared").alias("n1"),
+        F.col("n_a").alias("n2"),
+        F.col("n_b").alias("n3"),
+        F.col("containment").alias("v"),
+    )
+    return exact.unionByName(mirrors)
 
 
 _Q03_SQL = """
@@ -340,9 +377,28 @@ WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+), m AS (
+  SELECT DISTINCT 'h' || (doc_id % 20) AS host, 'c' || (doc_id % 97) AS content
+  FROM documents
+), elig AS (
+  SELECT content FROM m GROUP BY content HAVING COUNT(*) BETWEEN 2 AND 8
+), pr AS (
+  SELECT a.host AS host_a, b.host AS host_b, COUNT(*) AS shared
+  FROM m a JOIN m b USING (content) JOIN elig USING (content)
+  WHERE a.host < b.host
+  GROUP BY 1, 2
+), sz AS (
+  SELECT host, COUNT(*) AS n FROM m GROUP BY host
 )
-SELECT md5(text) AS content_hash, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+SELECT 'exact' AS kind, md5(text) AS k1, CAST(NULL AS VARCHAR) AS k2,
+       MIN(doc_id) AS n1, COUNT(*) AS n2, CAST(NULL AS BIGINT) AS n3,
+       CAST(NULL AS DOUBLE) AS v
 FROM corpus GROUP BY md5(text)
+UNION ALL
+SELECT 'mirror', host_a, host_b, shared, sa.n, sb.n,
+       ROUND(shared / LEAST(sa.n, sb.n), 6)
+FROM pr JOIN sz sa ON pr.host_a = sa.host JOIN sz sb ON pr.host_b = sb.host
+WHERE shared >= 2 AND ROUND(shared / LEAST(sa.n, sb.n), 6) >= 0.05
 """
 
 
