@@ -225,9 +225,12 @@ def q02_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("tmpl"),
         F.col("n_hops").alias("n1"),
         F.col("looped").alias("f1"),
-        F.lit(None).cast("boolean").alias("f2"),
-        F.lit(None).cast("boolean").alias("f3"),
-        F.lit(None).cast("boolean").alias("f4"),
+        # FALSE (not NULL) fillers: a NULL boolean reaches pandas as None
+        # from Spark but NaN from DuckDB, so the driver's value compare
+        # would flag identical unions; the flags are trap-only anyway.
+        F.lit(False).alias("f2"),
+        F.lit(False).alias("f3"),
+        F.lit(False).alias("f4"),
     )
     return traps.unionByName(redirects)
 
@@ -311,7 +314,7 @@ SELECT 'redirect', CAST(NULL AS BIGINT), f.url,
   CAST(NULL AS VARCHAR),
   CAST(CASE WHEN s.url IS NULL THEN f.hops END AS BIGINT),
   s.url IS NOT NULL,
-  CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN)
+  FALSE, FALSE, FALSE
 FROM rfinal f LEFT JOIN redges s ON f.cur = s.url
 """
 

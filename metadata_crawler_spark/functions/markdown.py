@@ -15,8 +15,10 @@ Covered: h1-h6 -> #..######, p/div blocks, nested ul/ol (indentation +
 (inner whitespace preserved), inline code -> backticks, b/strong -> **,
 i/em -> *, a[href] -> [text](href) (javascript:/data: links dropped to
 bare text), img -> ![alt](src), hr -> ---, tables -> pipe tables (first
-row is the header row; | escaped inside cells; nested block structure
-inside cells flattens to inline text). script/style/noscript/template/
+row is the header row; | escaped inside cells; inline markup — links,
+bold/italic, code spans, images, <br> — renders INSIDE its cell; nested
+block structure, including nested <table>s, flattens to the containing
+cell's inline text). script/style/noscript/template/
 svg/head subtrees contribute nothing. Malformed markup salvages
 whatever parsed (same contract as boilerplate._BlockParser).
 
@@ -73,11 +75,24 @@ class _MarkdownParser(HTMLParser):
         self._lists: list[dict] = []  # {kind: 'ul'|'ol', idx: int}
         self._links: list[str | None] = []
         self._table: dict | None = None  # {rows: [...], cell: [...]|None}
+        self._tdepth = 0  # nested <table> depth; inner tables flatten
         self._list_seq = 0  # distinguishes adjacent sibling lists
         self.n_links = 0
         self.n_code_blocks = 0
 
     # -- emit helpers ------------------------------------------------
+
+    def _sink(self) -> list[str]:
+        """The buffer inline content belongs to right now: the open
+        <pre> block, the open table cell, or the paragraph buffer.
+        Inside a table but outside any cell, content is discarded (a
+        fresh throwaway list), matching handle_data's contract."""
+        if self._pre:
+            return self._pre_buf
+        if self._table is not None:
+            cell = self._table["cell"]
+            return cell if cell is not None else []
+        return self._buf
 
     def _emit(self, kind: str, text: str) -> None:
         if self._quote:
@@ -118,23 +133,23 @@ class _MarkdownParser(HTMLParser):
             self._flush()
             self._pre += 1
         elif tag == "code" and not self._pre:
-            self._buf.append("`")
+            self._sink().append("`")
         elif tag in ("b", "strong"):
-            (self._pre_buf if self._pre else self._buf).append("**")
+            self._sink().append("**")
         elif tag in ("i", "em"):
-            (self._pre_buf if self._pre else self._buf).append("*")
+            self._sink().append("*")
         elif tag == "a":
             href = a.get("href") or ""
             if href and not _BAD_HREF.match(href):
                 self._links.append(href)
-                self._buf.append("[")
+                self._sink().append("[")
             else:
                 self._links.append(None)
         elif tag == "img":
             src = a.get("src") or ""
             if src and not _BAD_HREF.match(src):
                 alt = _inline(a.get("alt") or "")
-                self._buf.append(f"![{alt}]({src})")
+                self._sink().append(f"![{alt}]({src})")
         elif tag in ("ul", "ol"):
             self._flush()
             if not self._lists:
@@ -151,17 +166,25 @@ class _MarkdownParser(HTMLParser):
             self._flush()
             self._emit("p", "---")
         elif tag == "br":
-            self._flush()
+            if self._table is not None:
+                self._sink().append(" ")  # line break inside a cell
+            else:
+                self._flush()
         elif tag == "table":
             self._flush()
             if self._table is None:
                 self._table = {"rows": [], "cell": None}
+            self._tdepth += 1
         elif tag == "tr":
-            if self._table is not None:
+            if self._table is not None and self._tdepth == 1:
                 self._table["rows"].append([])
         elif tag in ("td", "th"):
             if self._table is not None:
-                self._table["cell"] = []
+                if self._tdepth == 1:
+                    self._table["cell"] = []
+                else:
+                    # nested table flattens: separate its cells' text
+                    self._sink().append(" ")
         elif tag in FLUSH_TAGS:
             self._flush()
 
@@ -197,15 +220,15 @@ class _MarkdownParser(HTMLParser):
                         self.n_code_blocks += 1
                         self._emit("pre", f"```\n{code}\n```")
         elif tag == "code" and not self._pre:
-            self._buf.append("`")
+            self._sink().append("`")
         elif tag in ("b", "strong"):
-            (self._pre_buf if self._pre else self._buf).append("**")
+            self._sink().append("**")
         elif tag in ("i", "em"):
-            (self._pre_buf if self._pre else self._buf).append("*")
+            self._sink().append("*")
         elif tag == "a":
             href = self._links.pop() if self._links else None
             if href is not None:
-                self._buf.append(f"]({href})")
+                self._sink().append(f"]({href})")
                 self.n_links += 1
         elif tag in ("ul", "ol"):
             self._flush()
@@ -217,14 +240,21 @@ class _MarkdownParser(HTMLParser):
             self._flush()
             self._quote = max(0, self._quote - 1)
         elif tag in ("td", "th"):
-            if self._table is not None and self._table["cell"] is not None:
+            if (
+                self._table is not None
+                and self._tdepth == 1
+                and self._table["cell"] is not None
+            ):
                 cell = _inline("".join(self._table["cell"])).replace("|", "\\|")
                 if self._table["rows"]:
                     self._table["rows"][-1].append(cell)
                 self._table["cell"] = None
         elif tag == "table":
-            t, self._table = self._table, None
-            if t is not None:
+            if self._tdepth > 1:
+                self._tdepth -= 1  # inner table closed; keep the outer
+            elif self._table is not None:
+                t, self._table = self._table, None
+                self._tdepth = 0
                 self._emit_table(t["rows"])
         elif tag in FLUSH_TAGS:
             self._flush()
@@ -243,13 +273,7 @@ class _MarkdownParser(HTMLParser):
     def handle_data(self, data: str) -> None:
         if self._skip:
             return
-        if self._pre:
-            self._pre_buf.append(data)
-        elif self._table is not None:
-            if self._table["cell"] is not None:
-                self._table["cell"].append(data)
-        else:
-            self._buf.append(data)
+        self._sink().append(data)
 
     def close(self) -> None:
         super().close()

@@ -175,10 +175,16 @@ def hamming64(a: Column, b: Column) -> Column:
 def simhash_neardup_pairs(
     sims: DataFrame, max_hamming: int = 3, block_bits: int = 16
 ) -> DataFrame:
-    """Blocked SimHash join: split the 64-bit fingerprint into 4 16-bit
-    blocks — pairs within hamming distance 3 share at least one exact
-    block (pigeonhole), so the join is equi on (block_idx, block_value),
-    never a cross join."""
+    """Blocked SimHash join: split the 64-bit fingerprint into 64 //
+    block_bits blocks — pairs within ``max_hamming`` share at least one
+    exact block PROVIDED there are > max_hamming blocks (pigeonhole), so
+    the join is equi on (block_idx, block_value), never a cross join.
+    Raises when (block_bits, max_hamming) would silently miss pairs."""
+    if 64 % block_bits or (max_hamming + 1) * block_bits > 64:
+        raise ValueError(
+            f"pigeonhole broken: need 64/block_bits >= max_hamming+1 "
+            f"blocks, got block_bits={block_bits}, max_hamming={max_hamming}"
+        )
     blocks = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), i * block_bits).bitwiseAND(

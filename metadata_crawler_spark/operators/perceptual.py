@@ -70,15 +70,25 @@ def to_gray(img: np.ndarray) -> np.ndarray:
 
 
 def area_resize(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Deterministic area-mean downsample to (out_h, out_w): every source
-    pixel lands in exactly one output cell (floor(r*out/in)), cell value
-    is the mean of its pixels. Upsampling degenerates to nearest-cell
-    (fine for hashing: inputs smaller than 9px are edge cases). bincount
-    keeps the float64 summation order fixed -> bit-identical on any
-    platform or partitioning."""
+    """Deterministic area-mean resample to (out_h, out_w). Downsampling:
+    every source pixel lands in exactly one output cell (floor(r*out/in)),
+    cell value is the mean of its pixels. An axis SMALLER than the target
+    is first nearest-replicated up to the target size (dest cell r reads
+    source row floor(r*in/out)) so every output cell is fed — zero-filled
+    phantom cells would make small images hash nothing like their resized
+    duplicates. bincount keeps the float64 summation order fixed ->
+    bit-identical on any platform or partitioning."""
     h, w = gray.shape
-    ri = np.minimum((np.arange(h) * out_h) // max(h, 1), out_h - 1)
-    ci = np.minimum((np.arange(w) * out_w) // max(w, 1), out_w - 1)
+    if h == 0 or w == 0:
+        return np.zeros((out_h, out_w))
+    if h < out_h:  # nearest-replicate rows up to the grid height
+        gray = gray[(np.arange(out_h) * h) // out_h, :]
+        h = out_h
+    if w < out_w:  # nearest-replicate cols up to the grid width
+        gray = gray[:, (np.arange(out_w) * w) // out_w]
+        w = out_w
+    ri = np.minimum((np.arange(h) * out_h) // h, out_h - 1)
+    ci = np.minimum((np.arange(w) * out_w) // w, out_w - 1)
     idx = (ri[:, None] * out_w + ci[None, :]).ravel()
     sums = np.bincount(idx, weights=gray.ravel(), minlength=out_h * out_w)
     cnts = np.bincount(idx, minlength=out_h * out_w)
@@ -192,15 +202,19 @@ def phash_neardup_pairs(
     """Blocked perceptual-hash join: (id_a, id_b, hamming) for pairs
     within ``max_hamming`` bits. Delegates to the text SimHash pigeonhole
     join — block width adapts so hamming<=k pairs ALWAYS share one exact
-    block: with nblocks = k+1 blocks (pigeonhole), width = 64 // (k+1)
-    rounded to a divisor of 64 (16 for k<=3, 8 for k<=7, 4 beyond).
-    Candidate generation stays an equi-join at any corpus size."""
-    if max_hamming <= 3:
-        bw = 16
-    elif max_hamming <= 7:
-        bw = 8
-    else:
-        bw = 4
+    block: pigeonhole needs 64/width >= k+1 blocks, so width = the
+    largest power-of-two divisor of 64 with that property (16 for k<=3,
+    8 for k<=7, 4 for k<=15, 2 for k<=31, 1 for k<=63; k>=64 is every
+    pair and raises). Candidate generation stays an equi-join at any
+    corpus size; narrower blocks mean more candidates, never misses."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(
+            f"max_hamming={max_hamming} out of range for 64-bit "
+            "fingerprints (0..63)"
+        )
+    bw = 16
+    while 64 // bw < max_hamming + 1:
+        bw //= 2
     sims = hashes.filter(F.col(hash_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(hash_col).alias("simhash")
     )

@@ -118,6 +118,33 @@ def test_structure_inside_table_cell_flattens():
     assert md(html) == "| ab |\n| --- |"
 
 
+def test_inline_markup_renders_inside_cells():
+    # bold/link/code/img/br belong to the CELL, never leak out as a
+    # stray paragraph before the table (r5 review regression).
+    html = (
+        '<table><tr><td><b>x</b></td>'
+        '<td><a href="http://e.com">link</a></td></tr></table><p>hello</p>'
+    )
+    out, _, _, _, n_links, _ = to_markdown_py(html)
+    assert out == "| **x** | [link](http://e.com) |\n| --- | --- |\n\nhello"
+    assert n_links == 1
+    assert md("<table><tr><td>a<br>b</td><td><code>c|d</code></td></tr></table>") == (
+        "| a b | `c\\|d` |\n| --- | --- |"
+    )
+
+
+def test_nested_table_flattens_into_outer_cell():
+    # the inner </table> must not terminate the outer table: its text
+    # flattens into the containing cell and the outer rows survive.
+    html = (
+        "<table><tr><td><table><tr><td>inner</td></tr></table></td></tr>"
+        "<tr><td>outer2</td></tr></table>"
+    )
+    out, _, _, n_tab, _, _ = to_markdown_py(html)
+    assert out == "| inner |\n| --- |\n| outer2 |"
+    assert n_tab == 1
+
+
 def test_with_markdown_spark_roundtrip(spark):
     rows = [
         ("u1", b"<h1>T</h1><p>body text</p><ul><li>i1</li></ul>"),

@@ -204,3 +204,52 @@ def test_phash_schema_stable(spark, media_df):
         "struct<media_id:bigint,fmt:string,phash:bigint,ahash:bigint,ok:boolean>"
     )
     assert PHASH_SCHEMA.startswith("media_id long")
+
+
+def test_small_image_hashes_match_upscaled_copy():
+    # images smaller than the hash grid used to fall into zero-filled
+    # phantom cells and never match their resized duplicates (r5 review):
+    # nearest-replication must make a tiny image hash EXACTLY like its
+    # piecewise-constant upscale.
+    rng = np.random.default_rng(7)
+    small = rng.integers(0, 256, size=(2, 2), dtype=np.uint8)
+    big = np.kron(small, np.ones((50, 50), dtype=np.uint8))  # 100x100 copy
+    # dhash's 9-wide grid can't split 2 columns evenly, so boundary cells
+    # mix on the downsampled side: a few bits of noise, well inside the
+    # default max_hamming=6 (before the fix the distance was ~30: random).
+    assert _hamming(dhash64(small), dhash64(big)) <= 4
+    # ahash's even 8x8 grid aligns exactly with the 2x2 content
+    assert ahash64(small) == ahash64(big)
+    # 1-pixel-wide strip vs its widened copy
+    strip = rng.integers(0, 256, size=(16, 1), dtype=np.uint8)
+    wide = np.repeat(strip, 40, axis=1)
+    assert dhash64(strip) == dhash64(wide)
+
+
+def test_wide_hamming_thresholds_keep_pigeonhole(spark):
+    # max_hamming >= 16 exceeds what 4-bit blocks guarantee: the width
+    # ladder must drop to 2-bit blocks so a pair at distance 16 with one
+    # flip in every 4-bit block is still found.
+    a = 0x0123456789ABCDEF
+    flips = 0
+    for blk in range(16):  # one bit in each of the 16 4-bit blocks
+        flips |= 1 << (blk * 4)
+    b = a ^ flips
+    df = spark.createDataFrame([(1, a), (2, b)], "media_id long, phash long")
+    got = phash_neardup_pairs(df, max_hamming=16).collect()
+    assert len(got) == 1 and got[0].hamming == 16
+
+    with pytest.raises(ValueError):
+        phash_neardup_pairs(df, max_hamming=64)
+
+
+def test_simhash_pigeonhole_guard(spark):
+    # simhash_neardup_pairs must refuse (block_bits, max_hamming) combos
+    # that would silently miss pairs instead of under-reporting.
+    from metadata_crawler_spark.operators.dedup import simhash_neardup_pairs
+
+    df = spark.createDataFrame([(1, 0), (2, 15)], "id long, simhash long")
+    with pytest.raises(ValueError):
+        simhash_neardup_pairs(df, max_hamming=4, block_bits=16)
+    with pytest.raises(ValueError):
+        simhash_neardup_pairs(df, max_hamming=3, block_bits=24)
