@@ -13,17 +13,21 @@ budgets BEFORE fetching.
 
 Plan shape (three bounded shuffles, no cross join, no driver data):
 
-1. content hash (xxhash64 — JVM, codegen) -> ONE hash-keyed groupBy
-   collecting the DISTINCT hosts per hash, capped at
-   ``max_hosts_per_hash`` after a deterministic sort (boilerplate
-   hashes — empty pages, soft-404 templates — would otherwise explode
-   quadratically; a hash shared by more hosts than the cap identifies
-   no specific mirror pair anyway);
+1. content hash (xxhash64 — JVM, codegen) -> a count-first eligibility
+   pass, then ONE hash-keyed groupBy collecting the DISTINCT hosts per
+   eligible hash. Hashes served by MORE than ``max_hosts_per_hash``
+   hosts are dropped from pair generation entirely (not truncated):
+   boilerplate content — empty pages, soft-404 templates — would
+   otherwise explode quadratically, and a hash shared that widely
+   identifies no specific mirror pair. Counting BEFORE collecting means
+   no aggregation buffer ever holds an over-cap host array;
 2. host pairs explode MAP-SIDE from each row's tiny host array
    (<= cap^2/2 pairs per hash) -> ONE pair-keyed groupBy counts shared
    hashes;
 3. per-host distinct-content sizes (ONE host-keyed groupBy of (host,
-   hash) rows) broadcast back onto the pair table; containment =
+   hash) rows — over-cap hashes still count here, in the denominator)
+   joined back onto the pair table host-keyed (no forced broadcast: at
+   web scale that table is one row per crawled host); containment =
    shared / min(|A|, |B|) — the asymmetric-mirror-friendly score (a
    partial mirror of a big site still scores high).
 
@@ -113,11 +117,14 @@ def detect_mirrors(
     shared = pairs.groupBy("host_a", "host_b").agg(
         F.count(F.lit(1)).alias("shared")
     )
+    # plain host-keyed joins: the sizes table is one row per host in the
+    # crawl (10^7-10^9 at web scale), far past any safe forced broadcast;
+    # AQE still picks a broadcast build at small scale on its own.
     sa = sizes.select(F.col("host").alias("host_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("host").alias("host_b"), F.col("n").alias("n_b"))
     out = (
-        shared.join(F.broadcast(sa), "host_a")
-        .join(F.broadcast(sb), "host_b")
+        shared.join(sa, "host_a")
+        .join(sb, "host_b")
         .withColumn(
             "containment",
             F.round(F.col("shared") / F.least("n_a", "n_b"), 6),

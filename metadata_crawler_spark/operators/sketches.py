@@ -228,8 +228,18 @@ def heavy_hitters(
     The MG *candidate set* depends on partitioning; the verified output
     does not — the guarantee (see module docstring) makes every true
     heavy hitter a candidate under any partitioning, and the exact
-    recount discards the false ones.
+    recount discards the false ones. That recall guarantee only covers
+    items with frequency > n/k, so a ``threshold_frac`` below 1/k would
+    silently miss qualifying items — rejected here: pass a larger ``k``
+    (k >= ceil(1/threshold_frac)) instead.
     """
+    # 1e-9 slack admits threshold_frac=1/k written as a rounded float
+    if threshold_frac is not None and threshold_frac * k < 1.0 - 1e-9:
+        raise ValueError(
+            f"threshold_frac={threshold_frac} < 1/k (k={k}): the MG "
+            f"candidate set only guarantees recall above n/k; use "
+            f"k >= {int(1.0 / threshold_frac) + 1}"
+        )
     summaries = mg_summaries(df, col, k).localCheckpoint()
     candidates = summaries.filter(F.col("item").isNotNull()).select(
         F.col("item").alias(col)

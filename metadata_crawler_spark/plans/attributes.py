@@ -184,13 +184,34 @@ def read_attributes(
     Each experiment contributes its struct columns; ids missing from a
     sidecar get NULL structs (left join from the first), so mixing
     expressions must NULL-guard when sidecars cover different snapshots.
+
+    Two experiments that ran the SAME tagger (a re-run with new
+    thresholds beside the original) would produce duplicate column names
+    whose ambiguity only explodes later, inside ``mix_corpus``'s keep
+    expression — rejected here with the collision list; rename at write
+    time (distinct experiment = distinct tagger set) or select/alias
+    before joining.
     """
     names = list(experiments)
     if not names:
         raise ValueError("need at least one experiment name")
     out = None
+    seen: dict[str, str] = {}
     for name in names:
         part = spark.read.parquet(os.path.join(out_dir, "attributes", name))
+        clash = [
+            f"{c!r} (in {seen[c]!r} and {name!r})"
+            for c in part.columns
+            if c != "id" and c in seen
+        ]
+        if clash:
+            raise ValueError(
+                "duplicate tagger columns across experiments: "
+                + ", ".join(clash)
+            )
+        for c in part.columns:
+            if c != "id":
+                seen[c] = name
         out = part if out is None else out.join(part, "id", "left")
     return out
 

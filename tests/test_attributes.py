@@ -150,3 +150,15 @@ def test_unknown_tagger_and_missing_url_raise(corpus):
         tag_corpus(corpus, ("nope",))
     with pytest.raises(ValueError, match="url_col"):
         tag_corpus(corpus, ("url_quality",))
+
+
+def test_read_attributes_rejects_duplicate_tagger_columns(
+    spark, corpus, tmp_path
+):
+    # the same tagger written under two experiments would produce an
+    # ambiguous column that only explodes later inside mix_corpus's keep
+    # expression — read_attributes must reject it up front (r5 review).
+    write_attributes(tag_corpus(corpus, ("tokens",)), str(tmp_path), "a")
+    write_attributes(tag_corpus(corpus, ("tokens",)), str(tmp_path), "b")
+    with pytest.raises(ValueError, match="tokens"):
+        read_attributes(spark, str(tmp_path), ["a", "b"])

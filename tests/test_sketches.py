@@ -233,3 +233,14 @@ def test_hll_overlap_inclusion_exclusion(spark):
     assert only.n_b == 0 and only.n_intersect == 0
     assert abs(only.n_a - 300) / 300 < 0.08
     assert only.n_union == only.n_a
+
+
+def test_heavy_hitters_rejects_subrecall_threshold(spark):
+    # threshold_frac below 1/k is outside the MG recall guarantee: an
+    # item above the threshold but below n/k could silently vanish, so
+    # the combination must raise instead (r5 review).
+    df = spark.createDataFrame([("x",)], "tok string")
+    with pytest.raises(ValueError, match="1/k"):
+        heavy_hitters(df, "tok", k=2, threshold_frac=0.01)
+    # exactly 1/k written as a rounded float stays accepted
+    assert heavy_hitters(df, "tok", k=3, threshold_frac=1 / 3).count() == 1
