@@ -1985,19 +1985,20 @@ def q45_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q45_SQL = """
 WITH o AS (
   SELECT 'https://c' || (doc_id % 41) || '.example.org/' || doc_id AS url,
-         md5(text) AS old_hash
+         md5(text) AS old_hash, TRUE AS old_present
   FROM documents WHERE doc_id % 5 <> 0
 ),
 n AS (
   SELECT 'https://c' || (doc_id % 41) || '.example.org/' || doc_id AS url,
-         md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS new_hash
+         md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS new_hash,
+         TRUE AS new_present
   FROM documents WHERE doc_id % 7 <> 0
 ),
 j AS (
   SELECT COALESCE(o.url, n.url) AS url,
-         CASE WHEN o.old_hash IS NULL THEN 'new'
-              WHEN n.new_hash IS NULL THEN 'gone'
-              WHEN o.old_hash = n.new_hash THEN 'unchanged'
+         CASE WHEN o.old_present IS NULL THEN 'new'
+              WHEN n.new_present IS NULL THEN 'gone'
+              WHEN o.old_hash IS NOT DISTINCT FROM n.new_hash THEN 'unchanged'
               ELSE 'changed' END AS status
   FROM o FULL OUTER JOIN n ON o.url = n.url
 ),

@@ -72,8 +72,14 @@ def _entries(df: DataFrame, xml_col: str, url_col: str, tag: str) -> DataFrame:
         F.col(xml_col), F.lit(rf"(?s)<{tag}[^>]*>.*?</{tag}>"), F.lit(0)
     )
     frag = F.col("_frag")
-    # lastmod: W3C datetime — bare date, or datetime with zone designator
-    lastmod_raw = _frag_field(frag, "lastmod")
+    # lastmod: W3C datetime — bare date, or datetime with zone designator.
+    # W3C explicitly allows fractional seconds (2024-05-01T10:00:00.000Z,
+    # emitted by many generators, with any fraction width); rather than
+    # one ladder rung per fraction width, strip the fraction up front —
+    # a no-op on unfractioned values — so the three rungs cover all of it.
+    lastmod_raw = F.regexp_replace(
+        _frag_field(frag, "lastmod"), r"\.\d+", ""
+    )
     # try_to_timestamp: the non-matching rungs of the ladder must yield
     # NULL for coalesce, not an ANSI parse error
     lastmod = F.coalesce(

@@ -43,10 +43,16 @@ EOW = "</w>"  # end-of-word marker (Sennrich-style), its own terminal symbol
 
 
 def word_counts(df: DataFrame, text_col: str) -> DataFrame:
-    """Whitespace pre-tokenized (word, cnt) table — the one corpus pass."""
-    toks = F.when(
-        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    """Whitespace pre-tokenized (word, cnt) table — the one corpus pass.
+
+    Empty tokens are filtered AFTER the split rather than guarded by
+    ``trim``: Spark's trim strips only ASCII spaces, so tab/newline-padded
+    text would otherwise emit phantom '' words into the vocab (and
+    diverge from ``bpe_encode``'s Python ``str.split()`` inventory,
+    which drops all whitespace runs)."""
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+    )
     return (
         df.select(F.explode(toks).alias("word"))
         .groupBy("word")

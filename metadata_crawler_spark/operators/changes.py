@@ -20,16 +20,26 @@ def detect_changes(
     unchanged | changed | new | gone. Content compared by md5 so only
     hashes shuffle, never bodies."""
     o = old.select(
-        F.col(key).alias("k"), F.md5(F.col(content_col)).alias("old_hash")
+        F.col(key).alias("k"),
+        F.md5(F.col(content_col)).alias("old_hash"),
+        F.lit(True).alias("_old_present"),
     )
     n = new.select(
-        F.col(key).alias("k"), F.md5(F.col(content_col)).alias("new_hash")
+        F.col(key).alias("k"),
+        F.md5(F.col(content_col)).alias("new_hash"),
+        F.lit(True).alias("_new_present"),
     )
     j = o.join(n, "k", "full_outer")
+    # Presence is carried by explicit flags, NOT by hash nullness: a URL
+    # fetched with NULL/unextractable content hashes to NULL, and judging
+    # presence from the hash would classify it "new"/"gone" even when the
+    # row exists in both crawls. eqNullSafe makes NULL==NULL "unchanged".
     status = (
-        F.when(F.col("old_hash").isNull(), F.lit("new"))
-        .when(F.col("new_hash").isNull(), F.lit("gone"))
-        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        F.when(F.col("_old_present").isNull(), F.lit("new"))
+        .when(F.col("_new_present").isNull(), F.lit("gone"))
+        .when(
+            F.col("old_hash").eqNullSafe(F.col("new_hash")), F.lit("unchanged")
+        )
         .otherwise(F.lit("changed"))
     )
     return j.select(F.col("k").alias(key), status.alias("status"))

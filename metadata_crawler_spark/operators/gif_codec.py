@@ -178,6 +178,10 @@ def decode_gif(blob: bytes) -> tuple[np.ndarray, list[int]]:
             ]
             frames.append(canvas.copy())
             delays.append(delay_ms)
+            # GIF89a: a graphic-control extension "applies only to the
+            # first graphic rendering block to follow" — a frame without
+            # its own GCE must NOT inherit the previous frame's delay.
+            delay_ms = 0
         else:
             raise ValueError(f"unknown GIF block 0x{b:02x}")
     if not frames:

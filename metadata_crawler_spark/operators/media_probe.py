@@ -265,7 +265,11 @@ def media_probe(df: DataFrame, blob_col: str = "media", id_col: str = "media_id"
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[blob_col]):
                 d = probe_media(blob)
-                d["media_id"] = int(mid)
+                # NULL ids surface as NaN/None in pandas; int() on either
+                # raises and would kill the task — against this module's
+                # never-raise posture (garbage blobs return ok=False, so
+                # a garbage id must not fare worse). Carry the NULL.
+                d["media_id"] = None if pd.isna(mid) else int(mid)
                 rows.append(d)
             yield pd.DataFrame(
                 rows,

@@ -233,8 +233,17 @@ def temperature_sample(
     probs = {
         d: min(1.0, shares[d] * float(n_target) / c) for d, c in counts.items()
     }
-    pmap = F.create_map(*[F.lit(x) for kv in probs.items() for x in kv])
-    p = F.coalesce(F.element_at(pmap, F.col(domain_col)), F.lit(0.0))
+    # NULL domains are routine in web corpora (unparseable URLs). They form
+    # their own "domain" in the mix, but NULL can't be a map key in Spark
+    # (NULL_MAP_KEY would abort the job) — route them through an explicit
+    # isNull branch instead of the lookup map.
+    null_p = probs.pop(None, 0.0)
+    if probs:
+        pmap = F.create_map(*[F.lit(x) for kv in probs.items() for x in kv])
+        looked_up = F.coalesce(F.element_at(pmap, F.col(domain_col)), F.lit(0.0))
+    else:
+        looked_up = F.lit(0.0)
+    p = F.when(F.col(domain_col).isNull(), F.lit(null_p)).otherwise(looked_up)
     u = hash_uniform(F.col(id_col), seed, hasher)
     return df.withColumn("keep_prob", p).withColumn(keep_col, u < p)
 

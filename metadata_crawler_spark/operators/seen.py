@@ -136,21 +136,20 @@ def bloom_union(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.unionByName(b).groupBy("shard").applyInPandas(merge, BLOOM_SCHEMA)
 
 
-def probe_with_broadcast(candidates: DataFrame, bloom: DataFrame) -> DataFrame:
-    """Append ``maybe_seen`` by probing driver-collected, broadcast bitmaps.
-
-    Best when the whole filter fits comfortably in memory (it does for
-    every local test/bench size). The UDF is one numpy gather per batch.
-    """
+def _probe_broadcast(candidates, filt, deserialize, lookup) -> DataFrame:
+    """Shared broadcast-probe scaffold for every approximate-membership
+    tier: driver-collect the sharded tables, broadcast a shard->entry
+    dict, gather per Arrow batch. ``deserialize(row) -> entry``,
+    ``lookup(entry, hi, lo) -> bool ndarray`` are the ONLY per-tier
+    pieces (bloom: bitmap+(m,k) / _test_bits; cuckoo: 2-D table /
+    _ck_lookup) — the shard dispatch, empty-filter and column plumbing
+    live once, here."""
     spark = candidates.sparkSession
-    rows = bloom.collect()
+    rows = filt.collect()
     if not rows:
         return candidates.withColumn("maybe_seen", F.lit(False))
     n_shards = rows[0]["n_shards"]  # carried in the table; NEVER inferred
-    table = {
-        r["shard"]: (np.frombuffer(r["bloom"], dtype=np.uint8), r["m_bits"], r["k"])
-        for r in rows
-    }
+    table = {r["shard"]: deserialize(r) for r in rows}
     bc = spark.sparkContext.broadcast(table)
 
     @F.pandas_udf("boolean")
@@ -162,10 +161,8 @@ def probe_with_broadcast(candidates: DataFrame, bloom: DataFrame) -> DataFrame:
             ent = t.get(int(s))
             if ent is None:
                 continue
-            bits, m, k = ent
             mask = sv == s
-            pos = _positions(hiv[mask], lov[mask], k, m)
-            out[mask] = _test_bits(bits, pos)
+            out[mask] = lookup(ent, hiv[mask], lov[mask])
         return pd.Series(out)
 
     return candidates.withColumn(
@@ -178,12 +175,14 @@ def probe_with_broadcast(candidates: DataFrame, bloom: DataFrame) -> DataFrame:
     )
 
 
-def probe_cogrouped(
-    candidates: DataFrame, bloom: DataFrame, n_shards: int
+def _probe_cogrouped(
+    candidates, filt, n_shards, deserialize_pdf, lookup
 ) -> DataFrame:
-    """Append ``maybe_seen`` without broadcasting: co-group candidates with
-    their shard's bitmap. The 10^10-URL path — per-task memory is one
-    bitmap + one candidate partition, independent of total filter size."""
+    """Shared cogrouped-probe scaffold (the 10^10-URL path — per-task
+    memory is one shard's table + one candidate partition, independent of
+    total filter size). Same (deserialize, lookup) contract as
+    :func:`_probe_broadcast`, with ``deserialize_pdf`` taking the shard's
+    one-row pandas frame."""
     out_fields = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in candidates.schema.fields
     )
@@ -195,20 +194,57 @@ def probe_cogrouped(
         if right.empty or left.empty:
             res["maybe_seen"] = False
             return res
-        bits = np.frombuffer(right["bloom"].iloc[0], dtype=np.uint8)
-        m, k = int(right["m_bits"].iloc[0]), int(right["k"].iloc[0])
-        pos = _positions(
-            left["url_hash_hi"].to_numpy(), left["url_hash_lo"].to_numpy(), k, m
+        ent = deserialize_pdf(right)
+        res["maybe_seen"] = lookup(
+            ent, left["url_hash_hi"].to_numpy(), left["url_hash_lo"].to_numpy()
         )
-        res["maybe_seen"] = _test_bits(bits, pos)
         return res
 
     cand = candidates.withColumn("__shard", shard_expr(F.col("url_hash_hi"), n_shards))
     return (
         cand.groupBy("__shard")
-        .cogroup(bloom.groupBy("shard"))
+        .cogroup(filt.groupBy("shard"))
         .applyInPandas(probe, schema)
         .select(*cols, "maybe_seen")
+    )
+
+
+def _bloom_deserialize_row(r) -> tuple:
+    return (np.frombuffer(r["bloom"], dtype=np.uint8), r["m_bits"], r["k"])
+
+
+def _bloom_deserialize_pdf(right: pd.DataFrame) -> tuple:
+    return (
+        np.frombuffer(right["bloom"].iloc[0], dtype=np.uint8),
+        int(right["m_bits"].iloc[0]),
+        int(right["k"].iloc[0]),
+    )
+
+
+def _bloom_lookup(ent: tuple, hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    bits, m, k = ent
+    return _test_bits(bits, _positions(hi, lo, k, m))
+
+
+def probe_with_broadcast(candidates: DataFrame, bloom: DataFrame) -> DataFrame:
+    """Append ``maybe_seen`` by probing driver-collected, broadcast bitmaps.
+
+    Best when the whole filter fits comfortably in memory (it does for
+    every local test/bench size). The UDF is one numpy gather per batch.
+    """
+    return _probe_broadcast(
+        candidates, bloom, _bloom_deserialize_row, _bloom_lookup
+    )
+
+
+def probe_cogrouped(
+    candidates: DataFrame, bloom: DataFrame, n_shards: int
+) -> DataFrame:
+    """Append ``maybe_seen`` without broadcasting: co-group candidates with
+    their shard's bitmap. The 10^10-URL path — per-task memory is one
+    bitmap + one candidate partition, independent of total filter size."""
+    return _probe_cogrouped(
+        candidates, bloom, n_shards, _bloom_deserialize_pdf, _bloom_lookup
     )
 
 
@@ -449,7 +485,21 @@ def cuckoo_build(
     if expected_per_shard is None:
         total = keys.count()
         expected_per_shard = max(64, (2 * total) // max(1, n_shards))
+        empty = total == 0
+    else:
+        empty = keys.isEmpty()
     nb = cuckoo_params(expected_per_shard, load)
+    if empty:
+        # A zero-key build must still pin the shard geometry: an empty
+        # result frame would leave the next cuckoo_insert with no
+        # (n_shards, n_buckets) to honor (it now fails loud rather than
+        # inventing defaults). Emit one zeroed table per shard.
+        spark = keys.sparkSession
+        blank = np.zeros((nb, _CK_SLOTS), dtype=np.uint16).tobytes()
+        return spark.createDataFrame(
+            [(s, blank, 0, nb, _CK_SLOTS, n_shards) for s in range(n_shards)],
+            CUCKOO_SCHEMA,
+        )
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         table = np.zeros((nb, _CK_SLOTS), dtype=np.uint16)
@@ -481,8 +531,20 @@ def _ck_mutate(
     """Shared cogrouped insert/delete: keys co-group with their shard's
     table; the whole filter never rides one task or the driver."""
     head = cuckoo.select("n_shards", "n_buckets").first()
-    n_shards = int(head[0]) if head else 32
-    global_nb = int(head[1]) if head else 1024
+    if head is None:
+        # An EMPTY standing table carries no shard geometry. Silently
+        # inventing defaults (32/1024) would shard the new keys under a
+        # different pmod than the fleet's configured n_shards — later
+        # probes at the real n_shards would miss them (silent false
+        # negatives = duplicate crawls). Fail loud; the caller owns the
+        # geometry and should cuckoo_build() the first batch instead.
+        raise ValueError(
+            "cuckoo_insert/cuckoo_delete on an EMPTY standing table: shard "
+            "geometry (n_shards, n_buckets) is unknowable. Build the first "
+            "batch with cuckoo_build(keys, n_shards=...) instead."
+        )
+    n_shards = int(head[0])
+    global_nb = int(head[1])
 
     def apply(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if right.empty:
@@ -561,42 +623,23 @@ def cuckoo_delete(cuckoo: DataFrame, purged_keys: DataFrame) -> DataFrame:
     return _ck_mutate(cuckoo, purged_keys, delete=True)
 
 
+def _ck_deserialize_row(r) -> np.ndarray:
+    return np.frombuffer(r["ctable"], dtype=np.uint16).reshape(
+        r["n_buckets"], _CK_SLOTS
+    )
+
+
+def _ck_deserialize_pdf(right: pd.DataFrame) -> np.ndarray:
+    return np.frombuffer(right["ctable"].iloc[0], dtype=np.uint16).reshape(
+        int(right["n_buckets"].iloc[0]), _CK_SLOTS
+    )
+
+
 def cuckoo_probe_broadcast(candidates: DataFrame, cuckoo: DataFrame) -> DataFrame:
     """Append ``maybe_seen`` by probing driver-collected broadcast tables
     (the local/small-filter path, mirroring :func:`probe_with_broadcast`)."""
-    spark = candidates.sparkSession
-    rows = cuckoo.collect()
-    if not rows:
-        return candidates.withColumn("maybe_seen", F.lit(False))
-    n_shards = rows[0]["n_shards"]
-    table = {
-        r["shard"]: np.frombuffer(r["ctable"], dtype=np.uint16).reshape(
-            r["n_buckets"], _CK_SLOTS
-        )
-        for r in rows
-    }
-    bc = spark.sparkContext.broadcast(table)
-
-    @F.pandas_udf("boolean")
-    def probe(hi: pd.Series, lo: pd.Series, shard: pd.Series) -> pd.Series:
-        t = bc.value
-        out = np.zeros(len(hi), dtype=bool)
-        hiv, lov, sv = hi.to_numpy(), lo.to_numpy(), shard.to_numpy()
-        for s in np.unique(sv):
-            tab = t.get(int(s))
-            if tab is None:
-                continue
-            mask = sv == s
-            out[mask] = _ck_lookup(tab, hiv[mask], lov[mask])
-        return pd.Series(out)
-
-    return candidates.withColumn(
-        "maybe_seen",
-        probe(
-            F.col("url_hash_hi"),
-            F.col("url_hash_lo"),
-            shard_expr(F.col("url_hash_hi"), n_shards),
-        ),
+    return _probe_broadcast(
+        candidates, cuckoo, _ck_deserialize_row, _ck_lookup
     )
 
 
@@ -605,30 +648,6 @@ def cuckoo_probe_cogrouped(
 ) -> DataFrame:
     """The 10^10-URL probe: co-group candidates with their shard's table —
     per-task memory is one shard table + one candidate partition."""
-    out_fields = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in candidates.schema.fields
-    )
-    schema = f"{out_fields}, maybe_seen boolean"
-    cols = [f.name for f in candidates.schema.fields]
-
-    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        res = left.drop(columns=["__shard"])
-        if right.empty or left.empty:
-            res["maybe_seen"] = False
-            return res
-        nb = int(right["n_buckets"].iloc[0])
-        tab = np.frombuffer(right["ctable"].iloc[0], dtype=np.uint16).reshape(
-            nb, _CK_SLOTS
-        )
-        res["maybe_seen"] = _ck_lookup(
-            tab, left["url_hash_hi"].to_numpy(), left["url_hash_lo"].to_numpy()
-        )
-        return res
-
-    cand = candidates.withColumn("__shard", shard_expr(F.col("url_hash_hi"), n_shards))
-    return (
-        cand.groupBy("__shard")
-        .cogroup(cuckoo.groupBy("shard"))
-        .applyInPandas(probe, schema)
-        .select(*cols, "maybe_seen")
+    return _probe_cogrouped(
+        candidates, cuckoo, n_shards, _ck_deserialize_pdf, _ck_lookup
     )

@@ -175,19 +175,26 @@ def _read_derivatives(spark, path_glob: str, kind: str) -> DataFrame:
     paths = spark.read.format("binaryFile").load(path_glob).select("path")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Yield in bounded chunks off the streaming parser: buffering a
+        # whole segment's rows first would hold the ENTIRE decompressed
+        # segment (hundreds of MB for a Common Crawl WET file) in one
+        # task and defeat parse_warc_stream's one-record memory bound.
+        chunk_rows = 2_000
+        cols = ["url", "warc_ts", out_col, "segment"]
         for pdf in batches:
             for uri in pdf["path"]:
                 fh = _open_uri(uri)  # _open_uri already handles .gz
-                rows = [
-                    (url, ts, payload.decode("utf-8", "replace"), seg)
-                    for url, ts, payload, seg in parse_warc_stream(
-                        fh, os.path.basename(uri),
-                        accept_types=(warc_type,),
+                rows: list[tuple] = []
+                for url, ts, payload, seg in parse_warc_stream(
+                    fh, os.path.basename(uri), accept_types=(warc_type,)
+                ):
+                    rows.append(
+                        (url, ts, payload.decode("utf-8", "replace"), seg)
                     )
-                ]
+                    if len(rows) >= chunk_rows:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
                 if rows:
-                    yield pd.DataFrame(
-                        rows, columns=["url", "warc_ts", out_col, "segment"]
-                    )
+                    yield pd.DataFrame(rows, columns=cols)
 
     return paths.mapInPandas(parse, schema)

@@ -107,3 +107,15 @@ def test_merges_table_roundtrip(spark):
     t = merges_table(spark, merges)
     back = [(r.a, r.b) for r in t.orderBy("rank").collect()]
     assert back == merges
+
+
+def test_word_counts_no_phantom_empty_words(spark):
+    """Tab/newline padding must not mint '' vocabulary entries — Spark's
+    trim strips only ASCII spaces, so the guard filters post-split."""
+    from metadata_crawler_spark.operators.bpe import word_counts
+
+    df = spark.createDataFrame(
+        [("hello\nworld\n",), ("\t",), ("  ",), (None,)], ["text"]
+    )
+    rows = {r.word: r.cnt for r in word_counts(df, "text").collect()}
+    assert rows == {"hello": 1, "world": 1}

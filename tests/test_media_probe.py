@@ -175,3 +175,15 @@ def test_extract_media_meta_dispatches_probed_formats(spark):
     assert out[2]["kind"] == "video" and out[2]["n_frames"] == 5
     assert out[3]["kind"] == "audio" and out[3]["n_frames"] == 10 and out[3]["ok"]
     assert out[4]["kind"] == "audio" and out[4]["ok"]
+
+
+def test_media_probe_null_id_never_raises(spark):
+    """One NULL media_id row must not kill the probe job (module posture:
+    garbage never raises); the NULL is carried through."""
+    from metadata_crawler_spark.operators.media_probe import media_probe
+
+    rows = [(1, b"garbage"), (None, b"RIFF\x00\x00\x00\x00WEBP")]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    out = media_probe(df).collect()
+    assert len(out) == 2
+    assert {r.media_id for r in out} == {1, None}

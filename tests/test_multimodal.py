@@ -547,3 +547,25 @@ def test_gif_meta_and_stats_spark(spark):
     assert stats[0]["n_samples"] == 24
     assert abs(stats[0]["duration_s"] - 0.96) < 1e-9
     assert stats[1]["ok"] and stats[1]["n_samples"] == 1
+
+
+def test_decode_gif_gce_applies_to_one_frame_only():
+    """GIF89a: a graphic-control extension applies only to the FIRST
+    rendering block that follows — a frame without its own GCE gets
+    delay 0, never the previous frame's delay."""
+    import numpy as np
+
+    from metadata_crawler_spark.operators.gif_codec import (
+        decode_gif,
+        encode_gif,
+    )
+
+    anim = np.arange(2 * 5 * 7, dtype=np.uint8).reshape(2, 5, 7) % 256
+    blob = encode_gif(anim, delays_ms=[500, 120])
+    # strip frame 2's 8-byte GCE (\x21\xf9\x04 + BHB + terminator)
+    first = blob.index(b"\x21\xf9\x04")
+    second = blob.index(b"\x21\xf9\x04", first + 1)
+    stripped = blob[:second] + blob[second + 8:]
+    frames, delays = decode_gif(stripped)
+    assert frames.shape[0] == 2
+    assert delays == [500, 0]

@@ -274,3 +274,23 @@ def test_revisit_schedule_clamps_and_defaults(spark):
     assert sched["one"].revisit_interval_s == 86400.0
     assert (sched["hot"].next_due_ts - sched["hot"].last_check_ts
             ).total_seconds() == 600.0
+
+
+def test_detect_changes_null_content_is_presence_aware(spark):
+    """A URL present in both crawls with NULL content must classify by
+    PRESENCE (changed/unchanged), never as new/gone — hash nullness is
+    not absence."""
+    old = spark.createDataFrame(
+        [("u1", None), ("u2", "body"), ("u3", None)], ["url", "text"]
+    )
+    new = spark.createDataFrame(
+        [("u1", "body"), ("u2", None), ("u3", None), ("u4", "x")],
+        ["url", "text"],
+    )
+    ch = {r.url: r.status for r in detect_changes(old, new).collect()}
+    assert ch == {
+        "u1": "changed",    # NULL -> body: present both, content differs
+        "u2": "changed",    # body -> NULL
+        "u3": "unchanged",  # NULL -> NULL (eqNullSafe)
+        "u4": "new",
+    }

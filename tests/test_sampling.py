@@ -244,3 +244,18 @@ def test_select_by_budget_greedy_prefix(spark):
     # tiny budget keeps nothing but still returns every row
     none = select_by_budget(df, "score", "toks", budget=10, id_col="doc_id")
     assert none.count() == 6 and none.filter(F.col("keep")).count() == 0
+
+
+def test_temperature_sample_null_domain(spark):
+    """NULL domains (unparseable URLs) are routine: they must get their
+    own mix share, never crash the job with NULL_MAP_KEY."""
+    rows = [(i, "a") for i in range(60)] + [(100 + i, None) for i in range(20)]
+    df = spark.createDataFrame(rows, ["id", "domain"])
+    out = temperature_sample(df, "domain", "id", alpha=0.5, seed=1,
+                             hasher="md5").collect()
+    probs = {r.domain: r.keep_prob for r in out}
+    # the NULL "domain" is the minority: flattened mix keeps ~all of it
+    # (n_target floors to an int, so the boundary domain sits just under 1)
+    assert 0.95 < probs[None] <= 1.0
+    assert 0.0 < probs["a"] < probs[None]
+    assert len(out) == 80  # no rows dropped

@@ -174,3 +174,28 @@ def test_cuckoo_dedup_matches_plain_antijoin(spark, keys):
             ).collect()
         )
         assert got == want
+
+
+def test_cuckoo_empty_table_geometry(spark, keys):
+    """A zero-key build pins the shard geometry (one zeroed table per
+    shard), and mutating an EMPTY standing table — which carries no
+    geometry at all — fails loud instead of inventing 32/1024 defaults
+    that would mis-shard keys and yield silent false negatives."""
+    import pytest
+
+    build, _, insert, probe_b, probe_c = _cuckoo_imports()
+    zero = keys.limit(0)
+    ck0 = build(zero, n_shards=N_SHARDS, expected_per_shard=2000).cache()
+    rows = ck0.collect()
+    assert len(rows) == N_SHARDS
+    assert all(r.n_shards == N_SHARDS and r.n_items == 0 for r in rows)
+    # geometry survives: insert into the zero-key build, then probe at
+    # the fleet's real shard count — no false negatives
+    ck1 = insert(ck0, keys).cache()
+    assert probe_b(keys, ck1).filter(~F.col("maybe_seen")).count() == 0
+    assert (
+        probe_c(keys, ck1, N_SHARDS).filter(~F.col("maybe_seen")).count() == 0
+    )
+    # a truly EMPTY standing frame (no geometry to honor) refuses mutation
+    with pytest.raises(ValueError, match="EMPTY standing table"):
+        insert(ck0.limit(0), keys)

@@ -338,3 +338,21 @@ def test_surt_key_sorts_query_params(spark):
         "com,example)/p?",
         "com,example)/p",
     ]
+
+
+def test_parse_sitemap_fractional_lastmod(spark):
+    """W3C datetime allows fractional seconds (.000Z / .123456+00:00 —
+    emitted by many generators); the fraction is stripped up front so
+    the freshness hint parses instead of silently NULLing."""
+    xml = _urlset([
+        ("https://f.example/a", "2024-05-01T10:00:00.000Z", None, None),
+        ("https://f.example/b", "2024-05-01T10:00:00.123456+02:00", None, None),
+        ("https://f.example/c", "2024-05-01T10:00:00Z", None, None),
+        ("https://f.example/d", "2024-05-01", None, None),
+    ])
+    df = spark.createDataFrame([("https://f.example/sm.xml", xml)],
+                               ["sitemap_url", "xml"])
+    leaves, _ = parse_sitemap(df)
+    got = {r.url: r.lastmod for r in leaves.collect()}
+    assert all(got[u] is not None for u in got), got
+    assert got["https://f.example/a"] == got["https://f.example/c"]
