@@ -12,17 +12,19 @@ genuinely need absent libraries):
 1. REAL pure-stdlib decoders for jar-free formats — PNG (``decode_png``:
    zlib inflate + numpy unfiltering of all five filter types, incl.
    Adam7 interlace, r5),
-   baseline JPEG (``jpeg_codec.decode_jpeg``: Huffman + dequant +
-   vectorized IDCT, gray/4:4:4/4:2:0, restart markers, r5), PPM/PGM
-   images (``decode_ppm``) and WAV PCM audio (``decode_wav``). These run
-   fully in this sandbox; ``media_pixel_stats`` drives them through
-   mapInPandas to per-blob pixel/sample statistics columns.
+   JPEG (``jpeg_codec.decode_jpeg``: Huffman + dequant + vectorized
+   IDCT, gray/4:4:4/4:2:0, restart markers, r5; baseline AND
+   progressive SOF2 — spectral selection, successive approximation,
+   EOB runs — so the dominant large-web-image layout decodes jar-free),
+   PPM/PGM images (``decode_ppm``) and WAV PCM audio (``decode_wav``).
+   These run fully in this sandbox; ``media_pixel_stats`` drives them
+   through mapInPandas to per-blob pixel/sample statistics columns.
    GIF (``gif_codec.decode_gif``: full variable-width LZW, interlace,
    multi-frame animations with REAL frame counts driving
    ``frame_sample_plan``, r5) rounds out the image tier.
-2. Remaining compressed codecs (progressive JPEG/WebP/MP3) behind an
-   import-try (PIL/soundfile -> NotImplementedError when absent) — the
-   remaining, honest stub.
+2. Remaining compressed codecs (WebP/MP3) behind an import-try
+   (PIL/soundfile -> NotImplementedError when absent) — the remaining,
+   honest stub.
 3. A deterministic fake format ("MCSF") whose header the fixture
    generator writes and the extractor parses, exercising the Spark-side
    plumbing (schema, mapInPandas batch shape, partitioning, UDF
@@ -138,10 +140,10 @@ def extract_media_meta(df: DataFrame) -> DataFrame:
 
 
 def decode_image(blob: bytes):
-    """Decode a real image to an array. PNG and baseline JPEG (together
-    the overwhelming majority of web images) plus PPM/PGM decode
-    jar-free via the pure-stdlib codecs; the residual import-guard
-    (progressive JPEG/GIF/WebP via PIL) is the honest stub."""
+    """Decode a real image to an array. PNG and JPEG — baseline and
+    progressive, together the overwhelming majority of web images —
+    plus GIF and PPM/PGM decode jar-free via the pure-stdlib codecs;
+    the residual import-guard (WebP via PIL) is the honest stub."""
     fmt = sniff_format(bytes(blob))
     if fmt == "png":
         return decode_png(bytes(blob))
@@ -151,8 +153,8 @@ def decode_image(blob: bytes):
         try:
             return decode_jpeg(bytes(blob))
         except ValueError:
-            # progressive/arithmetic (or corrupt) stream: fall through to
-            # the PIL tier, which decodes it where installed
+            # arithmetic-coded/lossless (or corrupt) stream: fall through
+            # to the PIL tier, which decodes it where installed
             pass
     if fmt == "gif":
         from .gif_codec import decode_gif
@@ -168,9 +170,9 @@ def decode_image(blob: bytes):
         return np.asarray(Image.open(io.BytesIO(blob)))
     except ImportError as exc:  # pragma: no cover
         raise NotImplementedError(
-            "WebP (and progressive JPEG) decode requires PIL, not present "
-            "in this environment; PNG, baseline JPEG, GIF and PPM/PGM "
-            "decode via the stdlib tier"
+            "WebP decode requires PIL, not present in this environment; "
+            "PNG, JPEG (baseline + progressive), GIF and PPM/PGM decode "
+            "via the stdlib tier"
         ) from exc
 
 

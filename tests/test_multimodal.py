@@ -383,8 +383,10 @@ def test_decode_jpeg_subsampled_and_restarts():
 
 
 def test_decode_jpeg_guards():
-    """Progressive streams and garbage raise ValueError (surfaced as
-    ok=False data rows by the Spark paths, never task failures)."""
+    """Malformed streams raise ValueError (surfaced as ok=False data
+    rows by the Spark paths, never task failures). A baseline stream
+    whose SOF0 marker is flipped to SOF2 is malformed: its single scan
+    claims the DC band with Se=63."""
     import struct
 
     import numpy as np
@@ -397,7 +399,8 @@ def test_decode_jpeg_guards():
 
     with _pytest.raises(ValueError, match="JPEG"):
         decode_jpeg(b"definitely not a jpeg")
-    # flip a baseline SOF0 marker to progressive SOF2
+    # flip a baseline SOF0 marker to progressive SOF2: now an invalid
+    # progressive scan header (DC scan must have Se=0)
     blob = bytearray(
         encode_jpeg(np.zeros((8, 8), dtype=np.uint8), quant=1)
     )
@@ -406,6 +409,55 @@ def test_decode_jpeg_guards():
     blob[i + 1] = 0xC2
     with _pytest.raises(ValueError, match="progressive"):
         decode_jpeg(bytes(blob))
+
+
+def test_decode_jpeg_progressive_matches_baseline():
+    """Progressive (SOF2) and baseline encodes of the SAME quantized
+    coefficients must decode bit-identically — the scan script covers
+    interleaved DC first (Al=1) + DC refinement, spectral band splits,
+    AC successive approximation (Al=1 first pass + Al=0 refinement
+    with correction bits) and cross-block EOBn runs."""
+    import numpy as np
+
+    from metadata_crawler_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        # (image, subsample, quant)
+        ((np.indices((23, 37)).sum(0) % 256).astype(np.uint8), False, 1),
+        (rng.integers(0, 256, size=(40, 52, 3)).astype(np.uint8), False, 4),
+        (rng.integers(0, 256, size=(37, 45, 3)).astype(np.uint8), True, 8),
+        # flat image: every AC band is all-zero -> one giant EOB run
+        (np.full((64, 80, 3), 130, dtype=np.uint8), True, 1),
+    ]
+    for img, sub, q in cases:
+        base = decode_jpeg(encode_jpeg(img, quant=q, subsample=sub))
+        prog = decode_jpeg(
+            encode_jpeg(img, quant=q, subsample=sub, progressive=True)
+        )
+        assert np.array_equal(base, prog), (img.shape, sub, q)
+
+
+def test_decode_image_dispatches_progressive_jpeg():
+    """decode_image no longer falls through to the PIL stub for
+    progressive JPEG — the stdlib tier decodes SOF2 directly."""
+    import numpy as np
+
+    from metadata_crawler_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from metadata_crawler_spark.operators.multimodal import decode_image
+
+    img = (np.indices((24, 31)).sum(0) % 251).astype(np.uint8)
+    blob = encode_jpeg(img, quant=2, progressive=True)
+    assert blob[:4] != b"RIFF" and b"\xff\xc2" in blob[:200]
+    got = decode_image(blob)
+    assert np.array_equal(got, decode_jpeg(blob))
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 16
 
 
 def test_media_pixel_stats_jpeg(spark):
