@@ -18,6 +18,11 @@ at 100 TB it is one pass over the page store at input-split parallelism;
 page bytes never move. Dropping noindex pages and empty extractions
 happens inside the same pass.
 
+``ingest_mixed`` adds content dispatch: ``%PDF-`` blobs route through
+``operators/pdf_text`` (url riding the mapInPandas, no join-back) into
+the same documents schema, so downstream corpus stages are
+format-blind. Both branches stay exchange-free (plan-asserted).
+
 Reference parity: this is the reference's open -> extract -> translate
 stage chain (storage_backend.py:102-149 dispatch feeding config.py
 DataSpecs extraction, then the translate step) re-expressed as one
@@ -82,17 +87,94 @@ def ingest_pages(
         n_blocks.alias("n_blocks"),
         bp_frac.alias("boilerplate_frac"),
     )
+    d = _text_metrics(d)
+    if respect_noindex:
+        d = d.filter(~F.col("noindex"))
+    return d.filter(F.col("ws_tokens") >= F.lit(int(min_words)))
+
+
+def _text_metrics(d: DataFrame) -> DataFrame:
+    """Shared tail of every ingest branch: lang id, token counts and the
+    compressibility band over the extracted ``text`` — pure map-side
+    expressions appended to the caller's pass."""
     d = d.withColumn("lang", lang_id_expr(F.col("text"))).withColumn(
         "ws_tokens", ws_token_count(F.col("text")).cast("long")
     ).withColumn(
         "bpe_ish_tokens", bpe_ish_token_count(F.col("text")).cast("long")
     ).withColumn("_cb", compressibility_band(F.col("text")))
-    d = d.select(
+    return d.select(
         "*",
         F.col("_cb.compression_ratio").alias("compression_ratio"),
         F.col("_cb.too_repetitive").alias("too_repetitive"),
         F.col("_cb.too_random").alias("too_random"),
     ).drop("_cb")
-    if respect_noindex:
-        d = d.filter(~F.col("noindex"))
-    return d.filter(F.col("ws_tokens") >= F.lit(int(min_words)))
+
+
+def ingest_mixed(
+    pages: DataFrame,
+    url_col: str = "url",
+    blob_col: str = "html",
+    min_words: int = 1,
+    respect_noindex: bool = True,
+    boilerplate: bool = True,
+) -> DataFrame:
+    """Content-dispatched ingest: HTML blobs take :func:`ingest_pages`,
+    ``%PDF-`` blobs take ``operators/pdf_text`` — both land in the SAME
+    documents schema (PDF rows carry charset='pdf', no HTML metadata,
+    page count in ``n_blocks``), so the corpus pipeline downstream is
+    format-blind.
+
+    Scale shape: the two branches are disjoint filters over one store —
+    each stays a zero-exchange map-side pass; the union is plan-level
+    only (no shuffle). When the store partitions by content_type (real
+    crawl stores do), each branch prunes to its own partitions instead
+    of double-scanning; on an unpartitioned store prefer materializing
+    the split once upstream.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.pdf_text import extract_pdf_text
+
+    is_pdf = F.substring(F.col(blob_col), 1, 5) == F.lit(b"%PDF-")
+    html_out = ingest_pages(
+        pages.filter(~F.coalesce(is_pdf, F.lit(False))),
+        url_col=url_col,
+        html_col=blob_col,
+        min_words=min_words,
+        respect_noindex=respect_noindex,
+        boilerplate=boilerplate,
+    ).withColumn("content_kind", F.lit("html"))
+
+    # PDF branch: url rides THROUGH the mapInPandas (no id mint, no
+    # join-back shuffle — the branch stays one map-side pass like HTML)
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for u, blob in zip(b["url"], b["_blob"]):
+                d = extract_pdf_text(blob if blob is not None else b"")
+                if d["ok"]:
+                    rows.append((u, d["n_pages"], d["text"]))
+            yield pd.DataFrame(rows, columns=["url", "n_pages", "text"])
+
+    ext = pages.filter(is_pdf).select(
+        F.col(url_col).alias("url"), F.col(blob_col).alias("_blob")
+    ).mapInPandas(run, "url string, n_pages int, text string")
+    pdf_rows = ext.select(
+        "url",
+        host_expr(F.col("url")).alias("host"),
+        F.lit("pdf").alias("charset"),
+        F.lit(None).cast("string").alias("title"),
+        F.lit(None).cast("string").alias("canonical"),
+        F.lit(None).cast("timestamp").alias("published_ts"),
+        F.lit(False).alias("noindex"),
+        F.lit(False).alias("nofollow"),
+        F.col("text"),
+        F.col("n_pages").alias("n_blocks"),
+        F.lit(None).cast("double").alias("boilerplate_frac"),
+    )
+    pdf_out = _text_metrics(pdf_rows).filter(
+        F.col("ws_tokens") >= F.lit(int(min_words))
+    ).withColumn("content_kind", F.lit("pdf"))
+    return html_out.unionByName(pdf_out)

@@ -77,3 +77,36 @@ def test_ingest_plan_zero_exchange(spark):
         ingest_pages(_pages(spark))._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_ingest_mixed_pdf_dispatch(spark):
+    """%PDF- blobs route through the PDF extractor into the SAME
+    documents schema (charset='pdf', page count in n_blocks); HTML rows
+    are untouched; the whole mixed plan stays exchange-free."""
+    from metadata_crawler_spark.operators.pdf_text import encode_pdf
+    from metadata_crawler_spark.plans.ingest import ingest_mixed
+
+    pdf = encode_pdf([[ARTICLE], ["Second page of the report."]])
+    rows = [
+        ("https://a.example.com/good", GOOD),
+        ("https://e.example.com/paper.pdf", pdf),
+        ("https://f.example.com/broken.pdf", b"%PDF-1.4 garbage"),
+        ("https://g.example.com/null", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = {r["url"]: r for r in ingest_mixed(df, min_words=5).collect()}
+    g = out["https://a.example.com/good"]
+    assert g["content_kind"] == "html" and g["title"] == "A Good Page"
+    p = out["https://e.example.com/paper.pdf"]
+    assert p["content_kind"] == "pdf" and p["charset"] == "pdf"
+    assert p["n_blocks"] == 2 and ARTICLE in p["text"]
+    assert "Second page" in p["text"]
+    assert p["lang"] == "en" and p["ws_tokens"] > 20
+    # broken PDF (ok=False) and NULL blob are dropped, never a failure
+    assert "https://f.example.com/broken.pdf" not in out
+    assert "https://g.example.com/null" not in out
+
+    plan = (
+        ingest_mixed(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
