@@ -227,9 +227,15 @@ _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _STREAM_RE = re.compile(rb"stream\r?\n")
 
 
+#: inflate cap per stream — a crawled decompression bomb must cost a
+#: skipped stream, not an executor OOM (never-raise posture)
+_MAX_INFLATE = 64 * 1024 * 1024
+
+
 def _decode_stream(body: bytes, sdict: dict) -> bytes | None:
     """Apply /Filter: None, FlateDecode, or a 1-element array of it.
-    Returns None for unsupported filters (caller flags partial)."""
+    Returns None for unsupported filters and zlib bombs (caller flags
+    partial)."""
     filt = sdict.get("Filter")
     if isinstance(filt, list):
         if len(filt) == 0:
@@ -242,12 +248,14 @@ def _decode_stream(body: bytes, sdict: dict) -> bytes | None:
         return body
     if filt == "FlateDecode":
         try:
-            raw = zlib.decompress(body)
-        except zlib.error:
-            try:  # tolerate trailing garbage after the deflate stream
-                raw = zlib.decompressobj().decompress(body)
-            except zlib.error:
+            # bounded inflate: decompressobj + max_length (also tolerates
+            # trailing garbage after the deflate stream)
+            dec = zlib.decompressobj()
+            raw = dec.decompress(body, _MAX_INFLATE)
+            if dec.unconsumed_tail:  # output cap hit: decompression bomb
                 return None
+        except zlib.error:
+            return None
         parms = sdict.get("DecodeParms")
         if isinstance(parms, dict) and parms.get("Predictor", 1) > 1:
             return _png_predictor(raw, parms)
@@ -289,8 +297,8 @@ def _scan_objects(blob: bytes) -> dict[int, tuple]:
         lex = _Lexer(blob, m.end())
         try:
             val = lex.parse()
-        except ValueError:
-            continue
+        except Exception:  # noqa: BLE001 - one truncated/corrupt object
+            continue  # (e.g. IndexError at EOF) must not lose the rest
         stream = None
         lex._skip_ws()
         sm = _STREAM_RE.match(blob, lex.pos)
@@ -331,14 +339,14 @@ def _expand_objstm(objs: dict[int, tuple]) -> None:
                 onum = hdr.parse()
                 off = hdr.parse()
                 pairs.append((int(onum), int(off)))
-        except (ValueError, TypeError):
+        except Exception:  # noqa: BLE001 - corrupt ObjStm header
             continue
         for onum, off in pairs:
             if onum in objs:  # top-level (newer) definition wins
                 continue
             try:
                 objs[onum] = (_Lexer(raw, first + off).parse(), None)
-            except ValueError:
+            except Exception:  # noqa: BLE001
                 continue
 
 
@@ -352,12 +360,82 @@ def _resolve(v, objs):
     return v
 
 
+def _page_order(objs: dict[int, tuple]) -> list[dict]:
+    """Document-order pages: walk the catalog's /Pages tree /Kids
+    (object numbering routinely disagrees with document order in
+    incrementally-updated files). Falls back to object-number order
+    when the tree is broken or absent."""
+    root = None
+    for _num, (val, _s) in sorted(objs.items()):
+        if isinstance(val, dict) and val.get("Type") == "Catalog":
+            root = val  # last catalog wins (incremental update)
+    ordered: list[dict] = []
+    visited: set[int] = set()
+
+    def walk(node, depth: int) -> None:
+        if depth > 64:
+            return
+        if isinstance(node, _Ref):
+            if node.num in visited:  # cycle guard
+                return
+            visited.add(node.num)
+            node = _resolve(node, objs)
+        if not isinstance(node, dict):
+            return
+        if node.get("Type") == "Page":
+            ordered.append(node)
+            return
+        kids = _resolve(node.get("Kids"), objs)
+        if isinstance(kids, list):
+            for kid in kids[:100_000]:
+                walk(kid, depth + 1)
+
+    if root is not None:
+        walk(root.get("Pages"), 0)
+    if ordered:
+        return ordered
+    return [
+        val
+        for _num, (val, _s) in sorted(objs.items())
+        if isinstance(val, dict) and val.get("Type") == "Page"
+    ]
+
+
+def _is_encrypted(blob: bytes, objs: dict[int, tuple]) -> bool:
+    """/Encrypt in a TRAILER dict (or an /Type/XRef stream dict), not a
+    raw-byte grep — pages merely mentioning '/Encrypt' must extract."""
+    for m in re.finditer(rb"trailer", blob):
+        lex = _Lexer(blob, m.end())
+        try:
+            t = lex.parse()
+        except Exception:  # noqa: BLE001
+            continue
+        if isinstance(t, dict) and "Encrypt" in t:
+            return True
+    for _num, (val, _s) in objs.items():
+        if isinstance(val, dict) and val.get("Type") == "XRef" \
+                and "Encrypt" in val:
+            return True
+    return False
+
+
+#: ToUnicode source codes are 1-2 bytes; a crafted/corrupt range beyond
+#: this would expand billions of entries (never-raise, never-OOM posture)
+_CMAP_CODE_CAP = 0x10000
+
+
 def _parse_tounicode(raw: bytes) -> dict[int, str]:
-    """Parse a ToUnicode CMap's bfchar/bfrange sections -> {code: str}."""
+    """Parse a ToUnicode CMap's bfchar/bfrange sections -> {code: str}.
+    bfrange bodies parse SEQUENTIALLY (an array-form entry's inner hex
+    strings must not be re-matched as a separate plain-form triple),
+    ranges are capped at the 2-byte code space, and destination
+    increments that outgrow the source hex width stay valid."""
     cmap: dict[int, str] = {}
 
-    def _u(hexbytes: bytes) -> str:
-        b = bytes.fromhex(hexbytes.decode("ascii"))
+    def _u(hexdigits: bytes) -> str:
+        if len(hexdigits) % 2:
+            hexdigits = b"0" + hexdigits
+        b = bytes.fromhex(hexdigits.decode("ascii"))
         if len(b) % 2:
             b = b"\x00" + b
         return b.decode("utf-16-be", "replace")
@@ -366,23 +444,40 @@ def _parse_tounicode(raw: bytes) -> dict[int, str]:
         for src, dst in re.findall(
             rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)
         ):
-            cmap[int(src, 16)] = _u(dst)
+            code = int(src, 16)
+            if code < _CMAP_CODE_CAP:
+                cmap[code] = _u(dst)
+    entry_re = re.compile(
+        rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(?:<([0-9A-Fa-f]+)>|(\[))"
+    )
     for m in re.finditer(rb"beginbfrange(.*?)endbfrange", raw, re.S):
         body = m.group(1)
-        for lo, hi, dst in re.findall(
-            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", body
-        ):
-            lo_i, hi_i = int(lo, 16), int(hi, 16)
-            base = int(dst, 16)
-            width = len(dst)
-            for k in range(hi_i - lo_i + 1):
-                cmap[lo_i + k] = _u(b"%0*X" % (width, base + k))
-        for lo, hi, arr in re.findall(
-            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]", body, re.S
-        ):
-            lo_i = int(lo, 16)
-            for k, dst in enumerate(re.findall(rb"<([0-9A-Fa-f]+)>", arr)):
-                cmap[lo_i + k] = _u(dst)
+        pos = 0
+        while True:
+            em = entry_re.search(body, pos)
+            if em is None:
+                break
+            lo_i = int(em.group(1), 16)
+            hi_i = min(int(em.group(2), 16), _CMAP_CODE_CAP - 1)
+            if em.group(4) is not None:  # array form: one dst per code
+                close = body.find(b"]", em.end())
+                arr = body[em.end() : close if close >= 0 else len(body)]
+                for k, dst in enumerate(
+                    re.findall(rb"<([0-9A-Fa-f]+)>", arr)
+                ):
+                    if lo_i + k <= hi_i:
+                        cmap[lo_i + k] = _u(dst)
+                pos = close + 1 if close >= 0 else len(body)
+            else:  # plain form: dst increments with the code
+                dst = em.group(3)
+                base = int(dst, 16)
+                for k in range(hi_i - lo_i + 1):
+                    # rjust keeps the declared width; an overflowing
+                    # increment just grows the hex (stays decodable)
+                    cmap[lo_i + k] = _u(
+                        (b"%X" % (base + k)).rjust(len(dst), b"0")
+                    )
+                pos = em.end()
     return cmap
 
 
@@ -532,17 +627,14 @@ def extract_pdf_text(blob: bytes) -> dict:
         _expand_objstm(objs)
     except Exception as exc:  # noqa: BLE001 - garbage-in/data-out posture
         return {"ok": False, "n_pages": 0, "text": "", "err": f"parse: {exc}"}
-    # encryption: any trailer with /Encrypt -> strings/streams are RC4/AES
-    if re.search(rb"/Encrypt\b", blob) is not None:
+    # encryption: a trailer /Encrypt means strings/streams are RC4/AES
+    if _is_encrypted(blob, objs):
         return {"ok": False, "n_pages": 0, "text": "",
                 "err": "encrypted PDF unsupported"}
-    pages = []
-    for num, (val, _s) in sorted(objs.items()):
-        if isinstance(val, dict) and val.get("Type") == "Page":
-            pages.append((num, val))
+    pages = _page_order(objs)
     texts = []
     skipped = 0
-    for _num, page in pages:
+    for page in pages:
         contents = page.get("Contents")
         if isinstance(contents, _Ref):
             # a ref may point at an ARRAY of content streams
@@ -583,6 +675,13 @@ PDF_TEXT_SCHEMA = (
 )
 
 
+def iter_extracted(ids, blobs) -> Iterator[tuple]:
+    """Shared per-batch decode loop for every Spark surface (the
+    NULL-blob guard lives ONCE, here): yields (id, result-dict)."""
+    for i, blob in zip(ids, blobs):
+        yield i, extract_pdf_text(blob if blob is not None else b"")
+
+
 def pdf_text_table(
     df: DataFrame, blob_col: str = "pdf", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -593,13 +692,13 @@ def pdf_text_table(
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf_batch in batches:
-            rows = []
-            for did, blob in zip(pdf_batch[id_col], pdf_batch[blob_col]):
-                d = extract_pdf_text(blob if blob is not None else b"")
-                rows.append(
-                    (None if pd.isna(did) else int(did), d["n_pages"],
-                     d["text"], d["ok"], d["err"])
+            rows = [
+                (None if pd.isna(did) else int(did), d["n_pages"],
+                 d["text"], d["ok"], d["err"])
+                for did, d in iter_extracted(
+                    pdf_batch[id_col], pdf_batch[blob_col]
                 )
+            ]
             yield pd.DataFrame(
                 rows, columns=["doc_id", "n_pages", "text", "ok", "err"]
             )

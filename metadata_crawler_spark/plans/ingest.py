@@ -135,7 +135,7 @@ def ingest_mixed(
 
     import pandas as pd
 
-    from ..operators.pdf_text import extract_pdf_text
+    from ..operators.pdf_text import iter_extracted
 
     is_pdf = F.substring(F.col(blob_col), 1, 5) == F.lit(b"%PDF-")
     html_out = ingest_pages(
@@ -151,11 +151,11 @@ def ingest_mixed(
     # join-back shuffle — the branch stays one map-side pass like HTML)
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = []
-            for u, blob in zip(b["url"], b["_blob"]):
-                d = extract_pdf_text(blob if blob is not None else b"")
-                if d["ok"]:
-                    rows.append((u, d["n_pages"], d["text"]))
+            rows = [
+                (u, d["n_pages"], d["text"])
+                for u, d in iter_extracted(b["url"], b["_blob"])
+                if d["ok"]
+            ]
             yield pd.DataFrame(rows, columns=["url", "n_pages", "text"])
 
     ext = pages.filter(is_pdf).select(

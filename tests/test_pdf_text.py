@@ -197,3 +197,91 @@ def test_pdf_table_partitioned_batches(spark):
     got = {r.doc_id: r.text for r in pdf_text_table(df).collect()}
     for i in range(40):
         assert got[i] == extract_pdf_text(rows[i][1])["text"]
+
+
+def test_truncated_trailing_object_keeps_other_pages():
+    """A crawl-truncated trailing object (lexer hits EOF mid-dict) must
+    not zero out the extractable pages (review r5)."""
+    blob = encode_pdf([["kept text survives"]])
+    truncated = blob + b"9 0 obj\n<< /Type /Page "
+    d = extract_pdf_text(truncated)
+    assert d["ok"] and "kept text survives" in d["text"]
+
+
+def test_page_tree_order_beats_object_number_order():
+    """Pages emit in /Kids (document) order even when object numbering
+    is reversed — incremental updates renumber routinely (review r5)."""
+    c1 = b"BT (FIRST) Tj ET"
+    c2 = b"BT (SECOND) Tj ET"
+    blob = b"%PDF-1.4\n" + (
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [5 0 R 3 0 R] /Count 2 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>\nendobj\n"
+        b"6 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        b"trailer\n<< /Size 7 /Root 1 0 R >>\n"
+        % (len(c2), c2, len(c1), c1)
+    ) + b"%%EOF\n"
+    d = extract_pdf_text(blob)
+    assert d["ok"] and d["text"] == "FIRST\fSECOND"
+
+
+def test_bfrange_array_does_not_clobber_bfchar():
+    """Array-form bfrange hex strings must not re-match as a plain
+    triple and overwrite bfchar mappings (review r5)."""
+    from metadata_crawler_spark.operators.pdf_text import _parse_tounicode
+
+    raw = (
+        b"2 beginbfchar\n<0041> <0058>\n<0042> <0059>\nendbfchar\n"
+        b"1 beginbfrange\n<0010> <0012> [<0041> <0042> <0043>]\nendbfrange\n"
+    )
+    cmap = _parse_tounicode(raw)
+    assert cmap[0x41] == "X" and cmap[0x42] == "Y"  # bfchar intact
+    assert cmap[0x10] == "A" and cmap[0x11] == "B" and cmap[0x12] == "C"
+
+
+def test_bfrange_bounded_and_overflow_safe():
+    """A crafted giant range is capped at the 2-byte code space (no
+    hang/OOM) and a dst increment past the hex width stays valid."""
+    import time
+
+    from metadata_crawler_spark.operators.pdf_text import _parse_tounicode
+
+    t0 = time.time()
+    cmap = _parse_tounicode(
+        b"1 beginbfrange\n<00000000> <FFFFFFFF> <0041>\nendbfrange\n"
+    )
+    assert time.time() - t0 < 10.0
+    assert len(cmap) == 0x10000 and cmap[0] == "A"
+    # overflow: 0xFFFD + 3 codes crosses 0x10000
+    cmap = _parse_tounicode(
+        b"1 beginbfrange\n<0001> <0004> <FFFD>\nendbfrange\n"
+    )
+    assert cmap[0x01] == "�" and len(cmap[0x04]) >= 1  # never raises
+
+
+def test_flate_bomb_skips_stream():
+    """A decompression bomb costs a skipped stream, not an OOM."""
+    bomb = zlib.compress(b"\x00" * (200 * 1024 * 1024), 9)
+    blob = encode_pdf([["safe page"]], compress=False)
+    start = blob.index(b"stream\n") + len(b"stream\n")
+    end = blob.index(b"\nendstream")
+    blob = (
+        blob[: blob.index(b"<< /Length")]
+        + b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(bomb)
+        + bomb
+        + blob[end:]
+    )
+    d = extract_pdf_text(blob)
+    assert d["ok"] and d["text"] == "" and "skipped" in d["err"]
+
+
+def test_encrypt_mention_in_text_not_flagged():
+    """A page that merely TALKS about /Encrypt extracts fine; only a
+    trailer-dict /Encrypt key flags encryption (review r5)."""
+    d = extract_pdf_text(
+        encode_pdf([["the /Encrypt key marks encrypted PDFs"]],
+                   compress=False)
+    )
+    assert d["ok"] and "/Encrypt key marks" in d["text"]
