@@ -187,19 +187,36 @@ def main() -> None:
     import subprocess
 
     repeat = os.environ.get("MCS_BENCH_REPEAT", "3")
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-m", "metadata_crawler_spark.plans.schedule_bench",
-             "paired", os.path.abspath(url_dir), repeat, "1", "4"],
-            capture_output=True, text=True, cwd=HERE, timeout=4200,
-        )
-        scaling = json.loads(proc.stdout.strip().splitlines()[-1])
-        thr_n = scaling["localN_urls_per_sec"]
-        thr_4n = scaling["local4N_urls_per_sec"]
-        efficiency = scaling["efficiency"]
-    except Exception as exc:  # never lose the JSON line to a sub-bench
-        scaling = {"levels": [1, 4], "error": str(exc)[:200]}
-        thr_n = thr_4n = efficiency = None
+    scaling = None
+    thr_n = thr_4n = efficiency = None
+    # Two attempts: a child JVM killed mid-run (host memory pressure, a
+    # concurrent session's OOM reaper) leaves EMPTY stdout — one observed
+    # failure mode nulled the whole scaling section. The retry drops to a
+    # single pair so it fits whatever budget the first attempt left.
+    for attempt, rep in ((0, repeat), (1, "1")):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-m",
+                 "metadata_crawler_spark.plans.schedule_bench",
+                 "paired", os.path.abspath(url_dir), rep, "1", "4"],
+                capture_output=True, text=True, cwd=HERE, timeout=4200,
+            )
+            lines = proc.stdout.strip().splitlines()
+            if not lines:
+                raise RuntimeError(
+                    f"empty stdout rc={proc.returncode} "
+                    f"stderr_tail={proc.stderr.strip()[-300:]!r}"
+                )
+            scaling = json.loads(lines[-1])
+            thr_n = scaling["localN_urls_per_sec"]
+            thr_4n = scaling["local4N_urls_per_sec"]
+            efficiency = scaling["efficiency"]
+            if attempt:
+                scaling["retried"] = True
+            break
+        except Exception as exc:  # never lose the JSON line to a sub-bench
+            scaling = {"levels": [1, 4], "error": str(exc)[:400]}
+            thr_n = thr_4n = efficiency = None
 
     # VERDICT r3 item 1: the driver tail-captures only the LAST 2000 chars
     # of stdout, and r3's single detail-laden line overflowed it (BENCH_r03

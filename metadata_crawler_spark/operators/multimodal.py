@@ -21,10 +21,13 @@ genuinely need absent libraries):
    through mapInPandas to per-blob pixel/sample statistics columns.
    GIF (``gif_codec.decode_gif``: full variable-width LZW, interlace,
    multi-frame animations with REAL frame counts driving
-   ``frame_sample_plan``, r5) rounds out the image tier.
-2. Remaining compressed codecs (WebP/MP3) behind an import-try
-   (PIL/soundfile -> NotImplementedError when absent) — the remaining,
-   honest stub.
+   ``frame_sample_plan``, r5) and WebP-lossless
+   (``webp_codec.decode_webp``: full VP8L — canonical prefix codes,
+   color cache, LZ77 incl. the neighbor distance map, all four inverse
+   transforms, r5) round out the image tier.
+2. Remaining compressed codecs (lossy-VP8 WebP / MP3 PCM) behind an
+   import-try (PIL/soundfile -> NotImplementedError when absent) — the
+   remaining, honest stub.
 3. A deterministic fake format ("MCSF") whose header the fixture
    generator writes and the extractor parses, exercising the Spark-side
    plumbing (schema, mapInPandas batch shape, partitioning, UDF
@@ -140,10 +143,11 @@ def extract_media_meta(df: DataFrame) -> DataFrame:
 
 
 def decode_image(blob: bytes):
-    """Decode a real image to an array. PNG and JPEG — baseline and
-    progressive, together the overwhelming majority of web images —
-    plus GIF and PPM/PGM decode jar-free via the pure-stdlib codecs;
-    the residual import-guard (WebP via PIL) is the honest stub."""
+    """Decode a real image to an array. PNG, JPEG (baseline +
+    progressive), GIF, WebP-lossless (VP8L) and PPM/PGM — together the
+    overwhelming majority of web images — decode jar-free via the
+    pure-stdlib codecs; the residual import-guard (lossy-VP8 WebP via
+    PIL) is the honest stub."""
     fmt = sniff_format(bytes(blob))
     if fmt == "png":
         return decode_png(bytes(blob))
@@ -163,6 +167,15 @@ def decode_image(blob: bytes):
         return frames[0] if frames.shape[0] == 1 else frames
     if fmt in ("ppm", "pgm"):
         return decode_ppm(bytes(blob))
+    if fmt == "webp":
+        from .webp_codec import decode_webp
+
+        try:
+            return decode_webp(bytes(blob))
+        except ValueError:
+            # lossy VP8 (or corrupt): fall through to the PIL tier,
+            # which decodes it where installed
+            pass
     try:
         from PIL import Image  # noqa: F401
         import io
@@ -170,9 +183,9 @@ def decode_image(blob: bytes):
         return np.asarray(Image.open(io.BytesIO(blob)))
     except ImportError as exc:  # pragma: no cover
         raise NotImplementedError(
-            "WebP decode requires PIL, not present in this environment; "
-            "PNG, JPEG (baseline + progressive), GIF and PPM/PGM decode "
-            "via the stdlib tier"
+            "lossy-VP8 WebP decode requires PIL, not present in this "
+            "environment; PNG, JPEG (baseline + progressive), GIF, "
+            "WebP-lossless (VP8L) and PPM/PGM decode via the stdlib tier"
         ) from exc
 
 
@@ -569,7 +582,9 @@ def media_pixel_stats(df: DataFrame) -> DataFrame:
                             duration_s=float(np.round(sum(delays) / 1000.0, 6)),
                             ok=True,
                         )
-                    elif fmt in ("ppm", "pgm", "png", "jpeg"):
+                    elif fmt in ("ppm", "pgm", "png", "jpeg", "webp"):
+                        # webp: VP8L decodes for real; lossy VP8 raises
+                        # into the ok=False path (PIL tier absent here)
                         a = decode_image(b)
                         row.update(
                             width=int(a.shape[1]), height=int(a.shape[0]),
