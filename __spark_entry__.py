@@ -1189,22 +1189,64 @@ SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= 5
 
 
 def q26_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed near-dup pairs (the scale path, never a cross join):
-    candidates = bucket hamming <= 1 via multiprobe explode + equi-join,
-    exact cosine re-rank. The oracle replicates the seeded hyperplanes as
-    SQL literals, so the bucketed semantics themselves are driver-checked."""
+    """Embedding-dedup family (r5 merge). 'lsh_pair' rows: LSH-bucketed
+    near-dup pairs (the scale path, never a cross join) — candidates =
+    bucket hamming <= 1 via multiprobe explode + equi-join, exact cosine
+    re-rank; the oracle replicates the seeded hyperplanes as SQL
+    literals. 'semdedup' rows: SemDeDup (Abbas et al. 2023) per-cluster
+    cosine dedup over deterministic centroids (the k lowest-id
+    embeddings, so DuckDB replicates the nearest-centroid assignment
+    with a k-row cross join + rank); drop rule = EXISTS higher-priority
+    in-cell partner above the cosine threshold, priority =
+    (cent_cos ASC, id ASC) — the paper's keep-farthest-from-centroid.
+    Tagged union (kind, id_a, id_b, v, flag)."""
     _prep(spark)
-    from metadata_crawler_spark.operators.dedup import embedding_neardup_pairs
+    import numpy as np
+
+    from metadata_crawler_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        semdedup,
+    )
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    return embedding_neardup_pairs(emb, threshold=0.3, method="lsh", n_planes=8)
+    lsh = embedding_neardup_pairs(
+        emb, threshold=0.3, method="lsh", n_planes=8
+    ).select(
+        F.lit("lsh_pair").alias("kind"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("cosine").alias("v"),
+        F.lit(None).cast("boolean").alias("flag"),
+    )
+    sem_in = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    cents = np.array(
+        [
+            r.embedding
+            for r in sem_in.filter(F.col("vec_id") < 8)
+            .orderBy("vec_id")
+            .select(F.col("embedding").cast("array<double>").alias("embedding"))
+            .collect()
+        ]
+    )
+    sem = semdedup(sem_in, cents, threshold=0.35, method="join").select(
+        F.lit("semdedup").alias("kind"),
+        F.col("id").alias("id_a"),
+        F.col("cell").cast("long").alias("id_b"),
+        F.col("cent_cos").alias("v"),
+        F.col("dropped").alias("flag"),
+    )
+    return lsh.unionByName(sem)
 
 
 def _q26_sql() -> str:
-    """DuckDB twin of the LSH path: the deterministic hyperplanes (seeded
-    numpy RNG, float64 — identical to similarity._planes) are inlined as
-    list literals; candidate set = bit_count(xor(buckets)) <= 1 (exactly
-    the 1-bit multiprobe set); same ROUND'd-cosine threshold."""
+    """DuckDB twin of the family. LSH half: the deterministic hyperplanes
+    (seeded numpy RNG, float64 — identical to similarity._planes) are
+    inlined as list literals; candidate set = bit_count(xor(buckets)) <= 1
+    (exactly the 1-bit multiprobe set); same ROUND'd-cosine threshold.
+    SemDeDup half: centroids = the 8 lowest-id embeddings; assignment =
+    rank-1 over ROUND(||c||^2 - 2 v.c, 6) with cell tie-break (the same
+    rounded-distance min_by the Spark path uses); drop flag = EXISTS
+    higher-priority in-cell partner with ROUND(cosine, 6) >= 0.35."""
     import numpy as np
 
     planes = np.random.default_rng(7).standard_normal((64, 8))
@@ -1217,16 +1259,50 @@ def _q26_sql() -> str:
     bucket = " + ".join(terms)
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 200),
-b AS (SELECT vec_id, e, ({bucket}) AS bucket FROM v)
-SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+b AS (SELECT vec_id, e, ({bucket}) AS bucket FROM v),
+sv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 300),
+sc AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 8),
+sd AS (
+  SELECT sv.vec_id, sv.e, sc.cell, sc.ce,
+         ROUND(list_dot_product(sc.ce, sc.ce)
+               - 2 * list_dot_product(sv.e, sc.ce), 6) AS dist
+  FROM sv CROSS JOIN sc
+),
+sa AS (
+  SELECT vec_id, e, cell, ce FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM sd) WHERE rn = 1
+),
+ss AS (
+  SELECT vec_id, cell, e,
+         ROUND(list_dot_product(e, ce)
+               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))), 6)
+           AS cent_cos
+  FROM sa
+)
+SELECT 'lsh_pair' AS kind, a.vec_id AS id_a, c.vec_id AS id_b,
        ROUND(list_dot_product(a.e, c.e)
              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
-         AS cosine
+         AS v,
+       NULL::BOOLEAN AS flag
 FROM b a JOIN b c
   ON a.vec_id < c.vec_id
  AND bit_count(xor(a.bucket::BIGINT, c.bucket::BIGINT)) <= 1
 WHERE ROUND(list_dot_product(a.e, c.e)
             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6) >= 0.3
+UNION ALL
+SELECT 'semdedup' AS kind, x.vec_id AS id_a, x.cell::BIGINT AS id_b,
+       x.cent_cos AS v,
+       EXISTS (
+         SELECT 1 FROM ss y
+         WHERE y.cell = x.cell AND y.vec_id != x.vec_id
+           AND ROUND(list_dot_product(x.e, y.e)
+                     / (sqrt(list_dot_product(x.e, x.e))
+                        * sqrt(list_dot_product(y.e, y.e))), 6) >= 0.35
+           AND (y.cent_cos < x.cent_cos
+                OR (y.cent_cos = x.cent_cos AND y.vec_id < x.vec_id))
+       ) AS flag
+FROM ss x
 """
 
 
@@ -2941,12 +3017,30 @@ def q55_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = bigram_crossentropy(d, "text", "doc_id").select(
         F.col("id").alias("doc_id"), "n_bigrams", "xent2"
     )
+    # r5 merge: multi-class NB domain classifier (the WebOrganizer/DCLM
+    # mixing-stage labeler) over synthetic doc_id%3 domains — training
+    # AND the argmax scoring rule replicated in SQL.
+    from metadata_crawler_spark.functions.quality import (
+        domain_classifier_scores,
+        train_domain_classifier,
+    )
+
+    d3 = d.withColumn("_lbl", (F.col("doc_id") % 3).cast("int"))
+    dw, dpriors, dunseen = train_domain_classifier(
+        d3, "text", "_lbl", n_buckets=_Q55_BUCKETS, hasher="md5"
+    )
+    dom = domain_classifier_scores(
+        d3, "text", dw, dpriors, dunseen,
+        n_buckets=_Q55_BUCKETS, hasher="md5",
+        round_decimals=4,  # log-prob sums are ~1000-magnitude: 6 decimals
+        # sits inside cross-engine summation noise, 4 does not
+    ).select("doc_id", "domain", "domain_score")
     return base.join(scored, "doc_id").join(dsir, "doc_id").join(
         bg, "doc_id"
-    ).select(
+    ).join(dom, "doc_id").select(
         "doc_id", "n_tokens", "xent", "clf_score",
         "dsir_logw", "dsir_keep_prob", "dsir_keep",
-        "n_bigrams", "xent2",
+        "n_bigrams", "xent2", "domain", "domain_score",
     )
 
 
@@ -3060,15 +3154,55 @@ x2 AS (
   SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
          ROUND(AVG(-log2(sbs)), 6) AS xent2
   FROM sb GROUP BY doc_id
+),
+d3 AS (SELECT doc_id, (doc_id % 3)::INT AS label FROM documents),
+lbl AS (SELECT DISTINCT label FROM d3),
+f3 AS (SELECT doc_id, (doc_id % 3)::INT AS label, bucket FROM feats),
+dcnt AS (
+  SELECT bucket, label, COUNT(*)::DOUBLE AS c FROM f3 GROUP BY bucket, label
+),
+dtot AS (SELECT label, SUM(c) AS t FROM dcnt GROUP BY label),
+dwts AS (
+  SELECT bucket, label, ln(c + 1.0) AS wgt FROM dcnt
+),
+duns AS (
+  SELECT label, ln(1.0 / (t + 1.0 * {_Q55_BUCKETS})) AS u FROM dtot
+),
+dpri AS (
+  SELECT label,
+         ln(COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM d3)) AS prior
+  FROM d3 GROUP BY label
+),
+dfs AS (
+  SELECT d3.doc_id, lbl.label,
+         COUNT(f3.bucket)::DOUBLE AS ng,
+         COALESCE(SUM(w.wgt), 0.0) AS sw
+  FROM d3 CROSS JOIN lbl
+  LEFT JOIN f3 ON f3.doc_id = d3.doc_id
+  LEFT JOIN dwts w ON w.bucket = f3.bucket AND w.label = lbl.label
+  GROUP BY d3.doc_id, lbl.label
+),
+dscore AS (
+  SELECT dfs.doc_id, dfs.label,
+         ROUND(dpri.prior + dfs.ng * duns.u + dfs.sw, 4) AS score
+  FROM dfs JOIN dpri USING (label) JOIN duns USING (label)
+),
+dbest AS (
+  SELECT doc_id, label AS domain, score AS domain_score FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+    FROM dscore) WHERE rn = 1
 )
 SELECT x.doc_id, x.n_tokens, x.xent, s.clf_score,
        ROUND(ds.logw, 6) AS dsir_logw,
        ROUND(ds.keep_p, 6) AS dsir_keep_prob,
        ds.u < ds.keep_p AS dsir_keep,
        COALESCE(x2.n_bigrams, 0) AS n_bigrams,
-       x2.xent2
+       x2.xent2,
+       dbest.domain, dbest.domain_score
 FROM x JOIN s USING (doc_id) JOIN ds USING (doc_id)
 LEFT JOIN x2 USING (doc_id)
+JOIN dbest USING (doc_id)
 """
 
 

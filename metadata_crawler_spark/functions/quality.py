@@ -521,6 +521,169 @@ def quality_classifier_score(
     )
 
 
+def train_domain_classifier(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = 1 << 20,
+    ngram_sizes: tuple[int, ...] = (1, 2),
+    hasher: str = "xxhash64",
+    smoothing: float = 1.0,
+) -> tuple[DataFrame, dict[int, float]]:
+    """Multi-class sibling of :func:`train_quality_classifier` — the
+    domain/topic labeler a mixing pipeline needs before
+    ``operators/sampling.temperature_sample`` can rebalance by domain
+    (the WebOrganizer/DCLM domain-mixing stage). Multinomial Naive
+    Bayes over hashed n-grams: per-(bucket, label) log-probability
+    weights ``ln((count + a) / (total_label + a * n_buckets))``, one
+    explode + one (bucket, label)-keyed partial-agg groupBy; only the
+    per-label document totals reach the driver (the priors).
+
+    ``label_col``: small int domain ids. Returns ``(weights, priors,
+    unseen)``: weights is (bucket long, label int, weight double) with
+    ``weight = ln((count + a) / a)`` — POSITIVE evidence above the
+    smoothed-zero baseline, so a sparse table with default 0 is exact —
+    priors maps label -> ln(n_label / n_docs), and unseen maps label ->
+    ``ln(a / (total_label + a * n_buckets))``, the per-gram baseline the
+    scorer adds n_grams times (the decomposition
+    ``ln((c+a)/(t+aB)) = ln((c+a)/a) + ln(a/(t+aB))`` makes the dense
+    NB log-likelihood recoverable from the sparse table; a naive
+    default-0 over raw log-probabilities would make UNSEEN vocabulary
+    outscore seen vocabulary, since log-probs are negative).
+    """
+    import math
+
+    lbl = F.col(label_col).cast("int")
+    feats = df.select(
+        lbl.alias("label"),
+        F.explode(
+            hashed_ngram_buckets(
+                F.col(text_col), n_buckets, ngram_sizes, hasher
+            )
+        ).alias("bucket"),
+    )
+    counts = feats.groupBy("bucket", "label").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    a, b = float(smoothing), float(n_buckets)
+    weights = counts.select(
+        "bucket",
+        "label",
+        F.log((F.col("c") + a) / F.lit(a)).alias("weight"),
+    )
+    totals = {
+        int(r["label"]): float(r["t"])
+        for r in counts.groupBy("label").agg(F.sum("c").alias("t")).collect()
+    }
+    doc_counts = {
+        int(r["label"]): int(r["n"])
+        for r in df.groupBy(lbl.alias("label"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_docs = sum(doc_counts.values())
+    priors = {l: math.log(n / n_docs) for l, n in doc_counts.items()}
+    unseen = {
+        l: math.log(a / (totals.get(l, 0.0) + a * b)) for l in doc_counts
+    }
+    return weights, priors, unseen
+
+
+def domain_classifier_scores(
+    df: DataFrame,
+    text_col: str,
+    weights,
+    priors: dict[int, float],
+    unseen: dict[int, float],
+    domain_col: str = "domain",
+    score_col: str = "domain_score",
+    n_buckets: int = 1 << 20,
+    ngram_sizes: tuple[int, ...] = (1, 2),
+    hasher: str = "xxhash64",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Label every document with its argmax NB domain:
+    ``score_l = prior_l + n_grams * unseen_l + sum(weight_l[bucket])``
+    over the doc's hashed n-grams — exact multinomial NB via the sparse
+    decomposition from :func:`train_domain_classifier` — argmax broken
+    by (rounded score DESC, label ASC) so the decision is
+    engine-portable (the oracle replays the identical rule in SQL).
+    ``round_decimals``: scores are rounded BEFORE the argmax and in the
+    output; oracle-compared callers should size it to the score
+    magnitude (log-prob sums grow with doc length, and a 6-decimal
+    boundary on a ~1000-magnitude float is within cross-engine
+    summation noise — q55 passes 4).
+
+    Execution shape: feature hashing JVM-side; the weight table
+    densifies to ONE (n_labels, n_buckets) float64 matrix broadcast
+    everywhere (24 MB at 3 x 2^20); scoring is one Arrow-batch gather +
+    per-label bincount. Zero shuffles, corpus scanned once.
+    """
+    import numpy as np
+
+    labels = sorted(priors)
+    lab_index = {l: i for i, l in enumerate(labels)}
+    if isinstance(weights, DataFrame):
+        w = np.zeros((len(labels), n_buckets), dtype=np.float64)
+        for bucket, label, weight in weights.collect():
+            w[lab_index[int(label)], int(bucket)] = float(weight)
+    else:
+        w = np.asarray(weights, dtype=np.float64)
+        if w.shape != (len(labels), n_buckets):
+            raise ValueError(f"weights shape {w.shape}")
+    prior_vec = np.array([priors[l] for l in labels], dtype=np.float64)
+    unseen_vec = np.array([unseen[l] for l in labels], dtype=np.float64)
+    label_arr = np.array(labels, dtype=np.int64)
+    bc = df.sparkSession.sparkContext.broadcast(
+        (w, prior_vec, unseen_vec, label_arr)
+    )
+
+    @F.pandas_udf("struct<domain: int, domain_score: double>")
+    def _classify(buckets):
+        import numpy as _np
+        import pandas as _pd
+
+        W, pv, uv, labs = bc.value
+        arrs = [
+            _np.asarray(a if a is not None else [], dtype=_np.int64)
+            for a in buckets
+        ]
+        lens = _np.array([len(a) for a in arrs], dtype=_np.int64)
+        n = len(arrs)
+        scores = pv[None, :] + lens[:, None] * uv[None, :]
+        if lens.sum():
+            flat = _np.concatenate([a for a in arrs if len(a)])
+            doc_idx = _np.repeat(_np.arange(n), lens)
+            for li in range(len(labs)):
+                scores[:, li] += _np.bincount(
+                    doc_idx, weights=W[li, flat], minlength=n
+                )
+        scores = _np.round(scores, round_decimals)
+        # argmax with (score DESC, label ASC): labels are sorted, and
+        # np.argmax returns the FIRST max — exactly the SQL tie-break
+        best = scores.argmax(axis=1)
+        return _pd.DataFrame(
+            {
+                "domain": labs[best].astype("int32"),
+                "domain_score": scores[_np.arange(n), best],
+            }
+        )
+
+    out = df.withColumn(
+        "_dc",
+        _classify(
+            hashed_ngram_buckets(
+                F.col(text_col), n_buckets, ngram_sizes, hasher
+            )
+        ),
+    )
+    return out.select(
+        "*",
+        F.col("_dc.domain").alias(domain_col),
+        F.col("_dc.domain_score").alias(score_col),
+    ).drop("_dc")
+
+
 #: Gopher §A1.1 stop-word list (the filter requires >= 2 distinct hits)
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 

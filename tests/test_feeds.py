@@ -1,0 +1,131 @@
+"""RSS/Atom feed ingestion: parse both dialects (date ladders, link
+variants, entities), autodiscovery from HTML, seeds aggregation."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from metadata_crawler_spark.functions.feeds import (
+    discover_feeds,
+    feed_seeds,
+    parse_feed,
+)
+
+RSS = """<?xml version="1.0"?>
+<rss version="2.0"><channel>
+  <title>Example blog</title>
+  <item>
+    <title>First &amp; finest</title>
+    <link>https://ex.com/a</link>
+    <pubDate>Mon, 05 May 2025 10:30:00 +0000</pubDate>
+  </item>
+  <item>
+    <title>GMT named zone</title>
+    <link>https://ex.com/b</link>
+    <pubDate>Tue, 6 May 2025 08:00:00 GMT</pubDate>
+  </item>
+  <item>
+    <title>guid permalink fallback</title>
+    <guid isPermaLink="true">https://ex.com/c</guid>
+    <pubDate>not a date</pubDate>
+  </item>
+  <item>
+    <title>no link at all — dropped</title>
+  </item>
+</channel></rss>"""
+
+ATOM = """<?xml version="1.0"?>
+<feed xmlns="http://www.w3.org/2005/Atom">
+  <title>Atom feed</title>
+  <entry>
+    <title>alternate rel</title>
+    <link rel="alternate" href="https://ex.org/x"/>
+    <published>2025-05-01T10:00:00.123Z</published>
+  </entry>
+  <entry>
+    <title>href before rel</title>
+    <link href="https://ex.org/y" rel="alternate"/>
+    <updated>2025-05-02T11:00:00+02:00</updated>
+  </entry>
+  <entry>
+    <title>rel-less link</title>
+    <link href="https://ex.org/z"/>
+    <updated>2025-05-03</updated>
+  </entry>
+  <entry>
+    <title>self link only — dropped</title>
+    <link rel="self" href="https://ex.org/feed.xml"/>
+  </entry>
+</feed>"""
+
+
+@pytest.fixture(scope="module")
+def feed_df(spark):
+    return spark.createDataFrame(
+        [("https://ex.com/feed", RSS), ("https://ex.org/atom", ATOM)],
+        "feed_url string, xml string",
+    )
+
+
+def test_parse_rss_entries(spark, feed_df):
+    rows = {r.url: r for r in parse_feed(feed_df).filter("kind = 'rss'").collect()}
+    assert set(rows) == {"https://ex.com/a", "https://ex.com/b", "https://ex.com/c"}
+    assert rows["https://ex.com/a"].title == "First & finest"
+    assert rows["https://ex.com/a"].published == datetime(2025, 5, 5, 10, 30)
+    assert rows["https://ex.com/b"].published == datetime(2025, 5, 6, 8, 0)
+    assert rows["https://ex.com/c"].published is None  # bad date -> NULL
+
+
+def test_parse_atom_entries(spark, feed_df):
+    rows = {r.url: r for r in parse_feed(feed_df).filter("kind = 'atom'").collect()}
+    assert set(rows) == {"https://ex.org/x", "https://ex.org/y", "https://ex.org/z"}
+    assert rows["https://ex.org/x"].published == datetime(2025, 5, 1, 10, 0)
+    # +02:00 normalized to UTC-naive session time
+    assert rows["https://ex.org/y"].published == datetime(2025, 5, 2, 9, 0)
+    assert rows["https://ex.org/z"].published == datetime(2025, 5, 3)
+
+
+def test_autodiscovery(spark):
+    html = (
+        b'<html><head>'
+        b'<link rel="alternate" type="application/rss+xml" href="/feed.xml">'
+        b"<link type='application/atom+xml' href='https://ex.com/atom'/>"
+        b'<link rel="stylesheet" href="/style.css">'
+        b"</head><body></body></html>"
+    )
+    df = spark.createDataFrame(
+        [("https://ex.com/", bytearray(html)), ("https://empty.com/", None)],
+        "url string, html binary",
+    )
+    out = sorted(
+        (r.feed_url, r.feed_type) for r in discover_feeds(df).collect()
+    )
+    assert out == [("/feed.xml", "rss"), ("https://ex.com/atom", "atom")]
+
+
+def test_feed_seeds_dedup_newest(spark, feed_df):
+    seeds = {r.url: r for r in feed_seeds(parse_feed(feed_df)).collect()}
+    assert len(seeds) == 6
+    s = seeds["https://ex.com/a"]
+    assert (s.depth, s.priority) == (0, 0.7)
+    assert s.published == datetime(2025, 5, 5, 10, 30)
+    # duplicate advertisement keeps the newest timestamp
+    dup = spark.createDataFrame(
+        [
+            ("f", "rss", "https://ex.com/a", "t", datetime(2025, 6, 1)),
+            ("f", "rss", "https://ex.com/a", "t", datetime(2025, 1, 1)),
+        ],
+        "feed_url string, kind string, url string, title string, published timestamp",
+    )
+    out = feed_seeds(dup).collect()
+    assert len(out) == 1 and out[0].published == datetime(2025, 6, 1)
+
+
+def test_malformed_feed_yields_nothing(spark):
+    df = spark.createDataFrame(
+        [("u", "<html>not a feed</html>"), ("v", "")],
+        "feed_url string, xml string",
+    )
+    assert parse_feed(df).count() == 0
