@@ -129,3 +129,40 @@ def test_malformed_feed_yields_nothing(spark):
         "feed_url string, xml string",
     )
     assert parse_feed(df).count() == 0
+
+
+def test_feed_seeds_drive_a_crawl_round(spark, fixture_dir, tables,
+                                        tmp_path_factory):
+    """Integration: feed-advertised urls (real fixture pages) become
+    engine seeds — published timestamps ride along, the fresh-seed
+    priority becomes the OPIC score, fetches succeed (the sitemap
+    integration's freshness-channel twin)."""
+    import os
+
+    from metadata_crawler_spark.plans.round_loop import CrawlConfig, Crawler
+
+    page_urls = [
+        r["url"] for r in tables["pages"].select("url").limit(10).collect()
+    ]
+    items = "".join(
+        f"<item><link>{u}</link>"
+        f"<pubDate>Mon, 05 May 2025 10:30:00 +0000</pubDate></item>"
+        for u in page_urls
+    )
+    xml = f"<rss><channel>{items}</channel></rss>"
+    df = spark.createDataFrame([("f", xml)], "feed_url string, xml string")
+    seeds = feed_seeds(parse_feed(df))
+    assert seeds.count() == len(set(page_urls))
+    assert {r.published for r in seeds.collect()} == {datetime(2025, 5, 5, 10, 30)}
+    c = Crawler(
+        spark=spark,
+        pages_path=os.path.join(fixture_dir, "pages.parquet"),
+        robots=tables["robots"],
+        hosts=tables["hosts"],
+        checkpoint_dir=str(tmp_path_factory.mktemp("ckpt_feed")),
+        config=CrawlConfig(n_shards=8, bloom_expected_per_shard=4096,
+                           salt_parts=4),
+    )
+    results = c.run(seeds, rounds=1)
+    assert results[0]["scheduled"] > 0
+    assert results[0]["fetched"] > 0
