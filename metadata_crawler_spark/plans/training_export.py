@@ -48,6 +48,7 @@ def export_training_set(
     dsir_center: float | None = None,
     dsir_n_buckets: int = 1 << 20,
     domain_map: DataFrame | None = None,
+    domain_train: DataFrame | None = None,
     mix_alpha: float = 0.7,
     bpe_merges: list | None = None,
     seed: int = 0,
@@ -73,6 +74,12 @@ def export_training_set(
       approxQuantile sketch — no sort/collect).
     - ``domain_map``: (id, domain) table; multinomial ``mix_alpha``
       temperature rebalancing after DSIR.
+    - ``domain_train``: labeled (text, label) exemplar table — when no
+      ``domain_map`` is supplied, the NB domain classifier
+      (functions/quality.train_domain_classifier) trains on it and
+      labels the cleaned corpus itself, closing the loop a mixing
+      pipeline needs: raw crawl -> learned domain labels -> temperature
+      rebalance, no hand-made map.
     - ``bpe_merges``: learned rules from :func:`train_bpe` — counts use
       the real tokenizer; None counts whitespace tokens (cheap proxy).
     - ``stage_counts``: same contract as clean_corpus — pass a dict to
@@ -136,6 +143,21 @@ def export_training_set(
             .filter("keep")
             .select("id", "text"),
         )
+
+    if domain_map is None and domain_train is not None:
+        from ..functions.quality import (
+            domain_classifier_scores,
+            train_domain_classifier,
+        )
+
+        dw, dpriors, dunseen = train_domain_classifier(
+            domain_train, "text", "label",
+            n_buckets=dsir_n_buckets, hasher=hasher,
+        )
+        domain_map = domain_classifier_scores(
+            docs, "text", dw, dpriors, dunseen,
+            n_buckets=dsir_n_buckets, hasher=hasher,
+        ).select("id", F.col("domain").cast("string").alias("domain"))
 
     if domain_map is not None:
         with_domain = docs.join(domain_map, "id", "left").fillna(

@@ -37,13 +37,14 @@ def duck():
 
 
 def _norm_cell(v):
-    if v is None:
+    # None / NaN / NaT all canonicalize to NULL — the driver's rule
+    # (tests/check_driver_parity.py:35): pandas materializes a DuckDB
+    # NULL boolean as float NaN but a Spark one as None
+    if v is None or v != v:
         return "NULL"
     if isinstance(v, Decimal):
         return f"{float(v):.6f}"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
         return f"{v:.6f}"
     if isinstance(v, bool):
         return str(bool(v))

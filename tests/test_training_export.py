@@ -109,3 +109,34 @@ def test_export_jsonl_format(spark, tmp_path):
     assert packed.count() == 40  # read back through spark.read.json
     man = spark.read.parquet(out + "_manifest")
     assert man.agg({"n_rows": "sum"}).collect()[0][0] == 40
+
+
+def test_export_auto_domain_labels_drive_mixing(spark):
+    """domain_train exemplars -> learned NB labels -> temperature mix:
+    a strongly skewed corpus (27 code docs, 3 news docs) flattens toward
+    the rare domain under a small alpha, with no hand-made domain map."""
+    from metadata_crawler_spark.plans.training_export import export_training_set
+
+    code_words = "function variable compile debug pointer array loop syntax"
+    news_words = "election parliament minister policy vote senate law bill"
+    rows = []
+    for i in range(30):
+        words = (news_words if i < 3 else code_words).split()
+        rows.append((i, " ".join(words[i % 5 :] + words[: i % 5]) + f" tail{i}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(0, code_words), (1, news_words)], "label int, text string"
+    )
+    counts = {}
+    packed, _ = export_training_set(
+        df, "text", "doc_id", seq_len=64, clean_kwargs=None,
+        domain_train=train, mix_alpha=0.25, seed=3, stage_counts=counts,
+    )
+    kept = {r.id for r in packed.collect()}
+    assert "domain_mix" in counts and counts["domain_mix"] == len(kept)
+    news_kept = sum(1 for i in kept if i < 3)
+    code_kept = len(kept) - news_kept
+    # flattening: every rare-domain doc survives, the dominant domain
+    # is thinned hard (expected keep ~ (p_i^alpha/Z)/p_i per domain)
+    assert news_kept == 3
+    assert code_kept < 20
