@@ -2652,7 +2652,40 @@ def q53_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("ct_lang"),
         F.col("dist").alias("ct_dist"),
     )
-    return rep.join(lm, "id").join(ct, "id", "left").select(
+    # r5 merge: soft-404 detection (error pages served with HTTP 200 —
+    # functions/quality.soft404_flags) over titles/bodies planted by
+    # BOTH engines with doc_id arithmetic (the fixture has no titles).
+    from metadata_crawler_spark.functions.quality import (
+        SOFT404_RE,
+        soft404_flags,
+    )
+
+    assert SOFT404_RE == _S404_RE  # SQL literal must track the operator
+
+    did = F.col("doc_id")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            did % 37 == 0,
+            F.concat(F.lit("404 Not Found: "), F.substring("text", 1, 16)),
+        )
+        .otherwise(F.concat(F.lit("Doc "), did.cast("string")))
+        .alias("title"),
+        F.when(did % 43 == 0, F.lit("Sorry, the page could not be found."))
+        .otherwise(F.col("text"))
+        .alias("body"),
+    )
+    s4 = planted.select(
+        F.col("doc_id").alias("id"),
+        soft404_flags(F.col("body"), F.col("title")).alias("_s"),
+    ).select(
+        "id",
+        F.col("_s.title_404").alias("title_404"),
+        F.col("_s.body_404").alias("body_404"),
+        F.col("_s.tiny_body").alias("tiny_body"),
+        F.col("_s.soft404").alias("soft404"),
+    )
+    return rep.join(lm, "id").join(ct, "id", "left").join(s4, "id").select(
         F.col("id").alias("doc_id"),
         F.col("n_words").cast("long").alias("n_words"),
         "mean_word_len",
@@ -2668,6 +2701,7 @@ def q53_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "line_flagged",
         F.coalesce("ct_lang", F.lit("unknown")).alias("ct_lang"),
         F.coalesce("ct_dist", F.lit(-1)).cast("long").alias("ct_dist"),
+        "title_404", "body_404", "tiny_body", "soft404",
     )
 
 
@@ -2843,6 +2877,51 @@ _Q53_SQL = _Q53_SQL.replace(
     "            ELSE FALSE END AS line_flagged,\n"
     "       COALESCE(ct.ct_lang, 'unknown') AS ct_lang,\n"
     "       CAST(COALESCE(ct.ct_dist, -1) AS BIGINT) AS ct_dist",
+    1,
+)
+
+# soft-404 half (same plant arithmetic as the Spark side). The pattern
+# is INLINED, not imported: the driver loads this module before the
+# package is importable (module-level package imports are banned here);
+# q53 asserts it still equals quality.SOFT404_RE at runtime.
+_S404_RE = (
+    r"(?i)\b(404|page not found|not be found|no longer (?:exists|available)"
+    r"|page (?:unavailable|does ?n[o']t exist)|file not found)\b"
+)
+_S404_SQL_RE = _S404_RE.replace("'", "''")
+_Q53_S404_CTES = f""",
+s404p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 37 = 0
+              THEN '404 Not Found: ' || substr(text, 1, 16)
+              ELSE 'Doc ' || doc_id::VARCHAR END AS title,
+         CASE WHEN doc_id % 43 = 0
+              THEN 'Sorry, the page could not be found.'
+              ELSE text END AS body
+  FROM documents
+),
+s404 AS (
+  SELECT doc_id,
+         regexp_matches(title, '{_S404_SQL_RE}') AS title_404,
+         regexp_matches(substr(body, 1, 400), '{_S404_SQL_RE}') AS body_404,
+         length(regexp_replace(body, '\\s+', '', 'g')) < 64 AS tiny_body
+  FROM s404p
+)"""
+_Q53_SQL = _Q53_SQL.replace(
+    "\nSELECT b.doc_id", _Q53_S404_CTES + "\nSELECT b.doc_id", 1
+)
+_Q53_SQL = _Q53_SQL.replace(
+    "LEFT JOIN ct ON b.doc_id = ct.doc_id",
+    "LEFT JOIN ct ON b.doc_id = ct.doc_id\n"
+    "JOIN s404 ON b.doc_id = s404.doc_id",
+    1,
+)
+_Q53_SQL = _Q53_SQL.replace(
+    "CAST(COALESCE(ct.ct_dist, -1) AS BIGINT) AS ct_dist",
+    "CAST(COALESCE(ct.ct_dist, -1) AS BIGINT) AS ct_dist,\n"
+    "       s404.title_404, s404.body_404, s404.tiny_body,\n"
+    "       (s404.title_404 OR (s404.body_404 AND s404.tiny_body))\n"
+    "         AS soft404",
     1,
 )
 

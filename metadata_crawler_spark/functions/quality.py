@@ -684,6 +684,54 @@ def domain_classifier_scores(
     ).drop("_dc")
 
 
+#: case-insensitive markers of an error page served with HTTP 200 —
+#: the "soft 404" pattern that pollutes crawled corpora (the server
+#: lies, so status-code filtering can't catch it; content must)
+SOFT404_RE = (
+    r"(?i)\b(404|page not found|not be found|no longer (?:exists|available)"
+    r"|page (?:unavailable|does ?n[o']t exist)|file not found)\b"
+)
+
+
+def soft404_flags(
+    text: Column,
+    title: Column | None = None,
+    probe_chars: int = 400,
+    min_chars: int = 64,
+) -> Column:
+    """Soft-404 detection: error pages served with HTTP 200. Flags as ONE
+    zero-shuffle struct (concrete booleans for NULL/empty input, the
+    module's NULL-flag convention):
+
+    - ``title_404``: the title carries an error marker (strongest signal
+      — real 404 templates almost always title themselves);
+    - ``body_404``: the marker appears in the first ``probe_chars`` of
+      body text (bounded probe: a legit article MENTIONING 404 deep in
+      its body should not be dropped);
+    - ``tiny_body``: under ``min_chars`` non-space chars — error pages
+      are navigation shells;
+    - ``soft404``: title hit, or a body hit on a tiny body. A downstream
+      sink filters ``~soft404`` before documents reach the corpus.
+    """
+    body_probe = F.substring(F.coalesce(text, F.lit("")), 1, probe_chars)
+    n_chars = F.length(
+        F.regexp_replace(F.coalesce(text, F.lit("")), r"\s+", "")
+    )
+    title_404 = (
+        F.coalesce(F.coalesce(title, F.lit("")).rlike(SOFT404_RE), F.lit(False))
+        if title is not None
+        else F.lit(False)
+    )
+    body_404 = F.coalesce(body_probe.rlike(SOFT404_RE), F.lit(False))
+    tiny = n_chars < min_chars
+    return F.struct(
+        title_404.alias("title_404"),
+        body_404.alias("body_404"),
+        tiny.alias("tiny_body"),
+        (title_404 | (body_404 & tiny)).alias("soft404"),
+    )
+
+
 #: Gopher §A1.1 stop-word list (the filter requires >= 2 distinct hits)
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 

@@ -909,3 +909,38 @@ def test_ccnet_buckets_per_language(spark):
     assert got[1] == "head" and got[101] == "head"
     assert got[5] == "middle" and got[105] == "middle"
     assert got[9] == "tail" and got[109] == "tail"
+
+
+def test_soft404_flags_matrix(spark):
+    from metadata_crawler_spark.functions.quality import soft404_flags
+
+    rows = [
+        (1, "404 Not Found", "x " * 200),              # title hit, big body
+        (2, "Welcome", "Sorry, this page could not be found."),  # tiny + body
+        (3, "Welcome", "a history of the 404 error code " + "w " * 300),
+        (4, "Doc 4040", "normal text " * 30),          # 4040 is not 404
+        (5, None, None),                               # NULLs stay concrete
+        (6, "Error: file not found", ""),              # title hit, empty body
+    ]
+    df = spark.createDataFrame(rows, "id long, title string, text string")
+    from pyspark.sql import functions as F
+
+    out = {
+        r.id: r
+        for r in df.select(
+            "id", soft404_flags(F.col("text"), F.col("title")).alias("s")
+        ).select("id", "s.*").collect()
+    }
+    assert out[1].title_404 and not out[1].tiny_body and out[1].soft404
+    assert out[2].body_404 and out[2].tiny_body and out[2].soft404
+    # a long article MENTIONING 404 early is body_404 but NOT soft404
+    assert out[3].body_404 and not out[3].tiny_body and not out[3].soft404
+    assert not out[4].title_404 and not out[4].soft404  # \b boundary
+    assert out[5].tiny_body and not out[5].soft404      # NULL -> concrete
+    assert out[6].soft404
+    # zero-shuffle: one projection over the scan
+    plan = (
+        df.select(soft404_flags(F.col("text"), F.col("title")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
