@@ -70,7 +70,10 @@ def _iso_ts(raw: Column) -> Column:
 
 
 def parse_feed(
-    df: DataFrame, xml_col: str = "xml", url_col: str = "feed_url"
+    df: DataFrame,
+    xml_col: str = "xml",
+    url_col: str = "feed_url",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(feed_url, xml) -> FEED_ENTRY_SCHEMA rows; RSS ``<item>`` and Atom
     ``<entry>`` families extracted independently (mixed/malformed input
@@ -78,7 +81,11 @@ def parse_feed(
 
     RSS url: ``<link>`` text, falling back to a permalink ``<guid>``.
     Atom url: ``<link href>`` with rel="alternate" (either attribute
-    order), else the first rel-less ``<link href>``."""
+    order), else the first rel-less ``<link href>``.
+
+    ``keep_cols``: input columns threaded through to every entry row —
+    a streaming caller keeps its event-time column so the watermark
+    survives the explode (streaming/feed_stream.py)."""
     frag = F.col("_frag")
 
     def entries(tag: str, kind: str, url_expr: Column, ts: Column) -> DataFrame:
@@ -86,13 +93,16 @@ def parse_feed(
             F.col(xml_col), F.lit(rf"(?s)<{tag}[\s>].*?</{tag}>"), F.lit(0)
         )
         return df.select(
-            F.col(url_col).alias("feed_url"), F.explode(frags).alias("_frag")
+            F.col(url_col).alias("feed_url"),
+            *keep_cols,
+            F.explode(frags).alias("_frag"),
         ).select(
             "feed_url",
             F.lit(kind).alias("kind"),
             url_expr.alias("url"),
             _frag_field(frag, "title").alias("title"),
             ts.alias("published"),
+            *keep_cols,
         ).where(F.col("url").isNotNull())
 
     rss_url = F.coalesce(

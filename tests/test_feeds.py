@@ -166,3 +166,55 @@ def test_feed_seeds_drive_a_crawl_round(spark, fixture_dir, tables,
     results = c.run(seeds, rounds=1)
     assert results[0]["scheduled"] > 0
     assert results[0]["fetched"] > 0
+
+
+def test_stream_feed_seeds_cross_batch_dedup(spark, tmp_path):
+    """Feed polling as a standing query: the same urls re-advertised in
+    a later poll do NOT re-seed (watermark-bounded dedup state); new
+    urls do. Batch parse exprs run unchanged on the stream."""
+    import time
+
+    from metadata_crawler_spark.streaming.feed_stream import (
+        FEED_STREAM_SCHEMA,
+        stream_feed_seeds,
+    )
+
+    in_dir = str(tmp_path / "feed_drops")
+    ck = str(tmp_path / "ck")
+
+    def xml(urls):
+        items = "".join(
+            f"<item><link>{u}</link>"
+            f"<pubDate>Mon, 05 May 2025 10:30:00 +0000</pubDate></item>"
+            for u in urls
+        )
+        return f"<rss><channel>{items}</channel></rss>"
+
+    t0 = datetime(2025, 5, 5, 12, 0)
+    spark.createDataFrame(
+        [("f", t0, xml(["https://ex.com/a", "https://ex.com/b"]))],
+        FEED_STREAM_SCHEMA,
+    ).write.mode("append").parquet(in_dir)
+    q = stream_feed_seeds(spark, in_dir, ck, query_name="feed_seeds_t")
+    try:
+        q.processAllAvailable()
+        first = spark.sql("SELECT * FROM feed_seeds_t").collect()
+        assert sorted(r.url for r in first) == [
+            "https://ex.com/a", "https://ex.com/b"
+        ]
+        assert all(r.priority == 0.7 and r.depth == 0 for r in first)
+        assert all(r.published == datetime(2025, 5, 5, 10, 30) for r in first)
+        # second poll re-advertises a+b (dup) and adds c (new)
+        spark.createDataFrame(
+            [("f", datetime(2025, 5, 5, 12, 30),
+              xml(["https://ex.com/a", "https://ex.com/b", "https://ex.com/c"]))],
+            FEED_STREAM_SCHEMA,
+        ).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+        time.sleep(0.2)
+        urls = [r.url for r in spark.sql("SELECT * FROM feed_seeds_t").collect()]
+        assert sorted(urls) == [
+            "https://ex.com/a", "https://ex.com/b", "https://ex.com/c"
+        ], urls  # a/b seeded exactly once across both polls
+    finally:
+        q.stop()
