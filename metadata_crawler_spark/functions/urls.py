@@ -331,6 +331,47 @@ def filter_blocked_hosts(
     return df.join(blocked.distinct(), url_col, "left_anti")
 
 
+def mine_blocked_hosts(
+    df: DataFrame,
+    flag_col: str,
+    host_col: str | None = None,
+    url_col: str = "url",
+    min_docs: int = 20,
+    max_flag_frac: float = 0.5,
+) -> DataFrame:
+    """Mine blocklist CANDIDATES from per-document quality flags — the
+    RefinedWeb-style host-level cut: a host whose documents are mostly
+    junk (Gopher/C4/soft-404 flags) is cheaper to drop at the frontier
+    than to fetch-and-filter forever. Returns (domain, n_docs,
+    flag_frac) for hosts with >= ``min_docs`` support and flagged
+    fraction > ``max_flag_frac`` — exactly the ``blocklist`` shape
+    :func:`filter_blocked_hosts` consumes, closing the feedback loop
+    corpus quality -> frontier.
+
+    ONE host-keyed partial-agg shuffle (count + conditional count
+    combine map-side); NULL flags count as not-flagged so a host is
+    never blocked on missing data. ``min_docs`` is the support gate —
+    without it one bad page blocks a one-page host.
+    """
+    host = (
+        F.col(host_col) if host_col is not None else host_expr(F.col(url_col))
+    )
+    flagged = F.coalesce(F.col(flag_col), F.lit(False))
+    return (
+        df.select(host.alias("domain"), flagged.alias("_f"))
+        .where(F.col("domain").isNotNull() & (F.col("domain") != ""))
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(F.col("_f").cast("double")), 6).alias("flag_frac"),
+        )
+        .where(
+            (F.col("n_docs") >= min_docs)
+            & (F.col("flag_frac") > max_flag_frac)
+        )
+    )
+
+
 def url_template_expr(url: Column) -> Column:
     """Collapse a URL to its crawl-trap template (Heritrix/Nutch-style
     URI-uniqueness shape): host + path with long-hex runs -> 'H' and

@@ -363,3 +363,39 @@ def test_detect_url_traps_planted(spark):
     assert {r["id"] for r in slow.filter(F.col("trap")).collect()} == {
         r["id"] for r in out.filter(F.col("trap")).collect()
     }
+
+
+def test_mine_blocked_hosts_feedback_loop(spark):
+    """Quality flags -> host blocklist candidates -> frontier filter:
+    the full feedback loop. Support gate protects small hosts; NULL
+    flags never count against a host."""
+    from pyspark.sql import functions as F
+
+    from metadata_crawler_spark.functions.urls import (
+        filter_blocked_hosts,
+        mine_blocked_hosts,
+    )
+
+    rows = []
+    for i in range(30):  # junkfarm.com: 30 docs, 80% flagged
+        rows.append((f"https://junkfarm.com/p{i}", i % 5 != 0))
+    for i in range(30):  # good.org: 30 docs, 10% flagged
+        rows.append((f"https://good.org/a{i}", i % 10 == 0))
+    for i in range(5):   # tiny.net: all flagged but under min_docs
+        rows.append((f"https://tiny.net/x{i}", True))
+    rows.append(("https://nullish.io/only", None))  # NULL flag
+    df = spark.createDataFrame(rows, "url string, junk boolean")
+    mined = mine_blocked_hosts(df, "junk", min_docs=20, max_flag_frac=0.5)
+    out = {r.domain: r for r in mined.collect()}
+    assert set(out) == {"junkfarm.com"}
+    assert out["junkfarm.com"].n_docs == 30
+    assert out["junkfarm.com"].flag_frac == 0.8
+    # the mined set drives the frontier filter (parent-domain aware)
+    frontier = spark.createDataFrame(
+        [("https://junkfarm.com/new",), ("https://sub.junkfarm.com/new",),
+         ("https://good.org/new",)],
+        "url string",
+    )
+    kept = [r.url for r in filter_blocked_hosts(
+        frontier, mined.select("domain")).collect()]
+    assert kept == ["https://good.org/new"]
