@@ -125,6 +125,16 @@ class CrawlConfig:
     pagerank_every: int | None = None
     pagerank_iterations: int = 3
     pagerank_damping: float = 0.85
+    #: periodic host-blocklist mining (functions/urls.mine_blocked_hosts):
+    #: every N rounds, Gopher-flag the accumulated fetched text, mine
+    #: hosts whose documents are mostly junk (support-gated), commit the
+    #: candidates as this round's `blocklist` table, and drop their urls
+    #: (incl. subdomains) from the next frontier — the RefinedWeb
+    #: host-level cut closing the loop corpus quality -> frontier. Off by
+    #: default; None mines never.
+    blocklist_every: int | None = None
+    blocklist_min_docs: int = 20
+    blocklist_max_flag_frac: float = 0.5
     #: approximate seen-set tier: "bloom" (append-only, OR-union
     #: evolution, smallest bytes/key) or "cuckoo" (Fan et al. 2014 —
     #: deletable, so facet purges / stale sweeps can evict keys; evolves
@@ -658,6 +668,10 @@ class Crawler:
         # (including this round's, written above)
         if cfg.pagerank_every and round_no % cfg.pagerank_every == 0:
             nxt = self._pagerank_rescore(nxt, round_no)
+        # periodic host-level quality cut: junk-dominated hosts leave the
+        # frontier before their next fetch is even scheduled
+        if cfg.blocklist_every and round_no % cfg.blocklist_every == 0:
+            nxt = self._blocklist_sweep(nxt, round_no)
         obs_next = Observation(f"next_{round_no}")
         nxt = nxt.observe(obs_next, F.count(F.lit(1)).alias("n"))
         write_round_table(nxt, self.checkpoint_dir, round_no, "frontier_next")
@@ -722,6 +736,39 @@ class Crawler:
         return out.withColumn(
             "score", F.round("score", cfg.score_decimals)
         )
+
+    def _blocklist_sweep(self, frontier: DataFrame, upto: int) -> DataFrame:
+        """Mine junk-dominated hosts from ALL committed fetched text
+        (Gopher rule flags -> per-host flag rates, support-gated), commit
+        the candidates as this round's `blocklist` table, and anti-join
+        them (parent-domain aware) out of the next frontier. One
+        host-keyed partial agg over history + one suffix anti join on the
+        frontier — no frontier-sized state, resume-safe like every other
+        per-round table."""
+        from ..functions.quality import gopher_quality_flags
+        from ..functions.urls import filter_blocked_hosts, mine_blocked_hosts
+
+        cfg = self.config
+        fetched_all = read_rounds(
+            self.spark, self.checkpoint_dir, "fetched", upto
+        )
+        if fetched_all is None:
+            return frontier
+        docs = fetched_all.filter(
+            F.col("fetched") & F.col("text").isNotNull()
+        ).select(
+            "url", gopher_quality_flags(F.col("text"))["flagged"].alias("junk")
+        )
+        mined = mine_blocked_hosts(
+            docs, "junk",
+            min_docs=cfg.blocklist_min_docs,
+            max_flag_frac=cfg.blocklist_max_flag_frac,
+        )
+        path = write_round_table(mined, self.checkpoint_dir, upto, "blocklist")
+        committed = self.spark.read.parquet(path)
+        if not committed.take(1):
+            return frontier
+        return filter_blocked_hosts(frontier, committed.select("domain"))
 
     def _check_fail_under(self) -> None:
         """Whole-crawl --fail-under semantics (reference run.py:510-515):

@@ -698,3 +698,52 @@ def test_host_sketch_off_raises(spark, fixture_dir, tables, tmp_path_factory):
     c.run(tables["seeds"], rounds=1)
     with pytest.raises(ValueError, match="host_sketch"):
         c.host_cardinalities(0)
+
+
+def test_blocklist_sweep_round(spark, fixture_dir, tables, tmp_path_factory):
+    """blocklist_every wiring: the sweep commits a per-round `blocklist`
+    table and junk-dominated hosts leave the next frontier. With an
+    impossible flag threshold (>1.0 can never be exceeded) the sweep is
+    a no-op on the frontier but the (empty) table still commits; with
+    min_docs=1 and threshold 0 every fetched host with a flagged doc is
+    a candidate, and none of its urls survive into frontier_next."""
+    from metadata_crawler_spark.functions.urls import host_expr
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt_bl_off"))
+    cfg = CrawlConfig(
+        n_shards=8, bloom_expected_per_shard=4096, salt_parts=4,
+        blocklist_every=1, blocklist_max_flag_frac=1.5,
+    )
+    c = Crawler(
+        spark=spark, pages_path=os.path.join(fixture_dir, "pages.parquet"),
+        robots=tables["robots"], hosts=tables["hosts"],
+        checkpoint_dir=ckpt, config=cfg,
+    )
+    res = c.run(tables["seeds"], rounds=2)
+    assert sum(r["scheduled"] for r in res) > 0
+    bl = spark.read.parquet(os.path.join(ckpt, "round=00000", "blocklist"))
+    assert bl.columns == ["domain", "n_docs", "flag_frac"]
+    assert bl.count() == 0  # impossible threshold -> no candidates
+
+    ckpt2 = str(tmp_path_factory.mktemp("ckpt_bl_on"))
+    cfg2 = CrawlConfig(
+        n_shards=8, bloom_expected_per_shard=4096, salt_parts=4,
+        blocklist_every=1, blocklist_min_docs=1,
+        blocklist_max_flag_frac=0.0,
+    )
+    c2 = Crawler(
+        spark=spark, pages_path=os.path.join(fixture_dir, "pages.parquet"),
+        robots=tables["robots"], hosts=tables["hosts"],
+        checkpoint_dir=ckpt2, config=cfg2,
+    )
+    c2.run(tables["seeds"], rounds=1)
+    mined = spark.read.parquet(
+        os.path.join(ckpt2, "round=00000", "blocklist")
+    )
+    blocked = {r.domain for r in mined.collect()}
+    if blocked:  # fixture text flags somewhere (Gopher min_words etc.)
+        nxt = spark.read.parquet(
+            os.path.join(ckpt2, "round=00000", "frontier_next")
+        ).select(host_expr(F.col("url")).alias("h")).distinct()
+        hosts_next = {r.h for r in nxt.collect()}
+        assert not (blocked & hosts_next)
