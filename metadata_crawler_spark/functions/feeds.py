@@ -86,6 +86,9 @@ def parse_feed(
     ``keep_cols``: input columns threaded through to every entry row —
     a streaming caller keeps its event-time column so the watermark
     survives the explode (streaming/feed_stream.py)."""
+    clash = set(keep_cols) & {"feed_url", "kind", "url", "title", "published"}
+    if clash:
+        raise ValueError(f"keep_cols collide with entry columns: {clash}")
     frag = F.col("_frag")
 
     def entries(tag: str, kind: str, url_expr: Column, ts: Column) -> DataFrame:
