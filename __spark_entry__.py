@@ -1189,64 +1189,22 @@ SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= 5
 
 
 def q26_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-dedup family (r5 merge). 'lsh_pair' rows: LSH-bucketed
-    near-dup pairs (the scale path, never a cross join) — candidates =
-    bucket hamming <= 1 via multiprobe explode + equi-join, exact cosine
-    re-rank; the oracle replicates the seeded hyperplanes as SQL
-    literals. 'semdedup' rows: SemDeDup (Abbas et al. 2023) per-cluster
-    cosine dedup over deterministic centroids (the k lowest-id
-    embeddings, so DuckDB replicates the nearest-centroid assignment
-    with a k-row cross join + rank); drop rule = EXISTS higher-priority
-    in-cell partner above the cosine threshold, priority =
-    (cent_cos ASC, id ASC) — the paper's keep-farthest-from-centroid.
-    Tagged union (kind, id_a, id_b, v, flag)."""
+    """LSH-bucketed near-dup pairs (the scale path, never a cross join):
+    candidates = bucket hamming <= 1 via multiprobe explode + equi-join,
+    exact cosine re-rank. The oracle replicates the seeded hyperplanes as
+    SQL literals, so the bucketed semantics themselves are driver-checked."""
     _prep(spark)
-    import numpy as np
-
-    from metadata_crawler_spark.operators.dedup import (
-        embedding_neardup_pairs,
-        semdedup,
-    )
+    from metadata_crawler_spark.operators.dedup import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    lsh = embedding_neardup_pairs(
-        emb, threshold=0.3, method="lsh", n_planes=8
-    ).select(
-        F.lit("lsh_pair").alias("kind"),
-        F.col("id_a").cast("long").alias("id_a"),
-        F.col("id_b").cast("long").alias("id_b"),
-        F.col("cosine").alias("v"),
-        F.lit(None).cast("boolean").alias("flag"),
-    )
-    sem_in = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    cents = np.array(
-        [
-            r.embedding
-            for r in sem_in.filter(F.col("vec_id") < 8)
-            .orderBy("vec_id")
-            .select(F.col("embedding").cast("array<double>").alias("embedding"))
-            .collect()
-        ]
-    )
-    sem = semdedup(sem_in, cents, threshold=0.35, method="join").select(
-        F.lit("semdedup").alias("kind"),
-        F.col("id").alias("id_a"),
-        F.col("cell").cast("long").alias("id_b"),
-        F.col("cent_cos").alias("v"),
-        F.col("dropped").alias("flag"),
-    )
-    return lsh.unionByName(sem)
+    return embedding_neardup_pairs(emb, threshold=0.3, method="lsh", n_planes=8)
 
 
 def _q26_sql() -> str:
-    """DuckDB twin of the family. LSH half: the deterministic hyperplanes
-    (seeded numpy RNG, float64 — identical to similarity._planes) are
-    inlined as list literals; candidate set = bit_count(xor(buckets)) <= 1
-    (exactly the 1-bit multiprobe set); same ROUND'd-cosine threshold.
-    SemDeDup half: centroids = the 8 lowest-id embeddings; assignment =
-    rank-1 over ROUND(||c||^2 - 2 v.c, 6) with cell tie-break (the same
-    rounded-distance min_by the Spark path uses); drop flag = EXISTS
-    higher-priority in-cell partner with ROUND(cosine, 6) >= 0.35."""
+    """DuckDB twin of the LSH path: the deterministic hyperplanes (seeded
+    numpy RNG, float64 — identical to similarity._planes) are inlined as
+    list literals; candidate set = bit_count(xor(buckets)) <= 1 (exactly
+    the 1-bit multiprobe set); same ROUND'd-cosine threshold."""
     import numpy as np
 
     planes = np.random.default_rng(7).standard_normal((64, 8))
@@ -1259,50 +1217,16 @@ def _q26_sql() -> str:
     bucket = " + ".join(terms)
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 200),
-b AS (SELECT vec_id, e, ({bucket}) AS bucket FROM v),
-sv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 300),
-sc AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 8),
-sd AS (
-  SELECT sv.vec_id, sv.e, sc.cell, sc.ce,
-         ROUND(list_dot_product(sc.ce, sc.ce)
-               - 2 * list_dot_product(sv.e, sc.ce), 6) AS dist
-  FROM sv CROSS JOIN sc
-),
-sa AS (
-  SELECT vec_id, e, cell, ce FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-    FROM sd) WHERE rn = 1
-),
-ss AS (
-  SELECT vec_id, cell, e,
-         ROUND(list_dot_product(e, ce)
-               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))), 6)
-           AS cent_cos
-  FROM sa
-)
-SELECT 'lsh_pair' AS kind, a.vec_id AS id_a, c.vec_id AS id_b,
+b AS (SELECT vec_id, e, ({bucket}) AS bucket FROM v)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
        ROUND(list_dot_product(a.e, c.e)
              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
-         AS v,
-       NULL::BOOLEAN AS flag
+         AS cosine
 FROM b a JOIN b c
   ON a.vec_id < c.vec_id
  AND bit_count(xor(a.bucket::BIGINT, c.bucket::BIGINT)) <= 1
 WHERE ROUND(list_dot_product(a.e, c.e)
             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6) >= 0.3
-UNION ALL
-SELECT 'semdedup' AS kind, x.vec_id AS id_a, x.cell::BIGINT AS id_b,
-       x.cent_cos AS v,
-       EXISTS (
-         SELECT 1 FROM ss y
-         WHERE y.cell = x.cell AND y.vec_id != x.vec_id
-           AND ROUND(list_dot_product(x.e, y.e)
-                     / (sqrt(list_dot_product(x.e, x.e))
-                        * sqrt(list_dot_product(y.e, y.e))), 6) >= 0.35
-           AND (y.cent_cos < x.cent_cos
-                OR (y.cent_cos = x.cent_cos AND y.vec_id < x.vec_id))
-       ) AS flag
-FROM ss x
 """
 
 

@@ -446,195 +446,6 @@ def embedding_neardup_pairs(
     )
 
 
-def _cos_expr(a: str, b: str) -> Column:
-    """Cosine between two array<double> columns, pure JVM left-fold (the
-    sequential summation order DuckDB's list functions share — q26's
-    oracle-parity contract)."""
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
-    )
-    na = F.sqrt(
-        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
-    )
-    nb = F.sqrt(
-        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
-    )
-    return dot / (na * nb)
-
-
-SEMDEDUP_SCHEMA = "id long, cell int, cent_cos double, dropped boolean"
-
-
-def semdedup(
-    emb: DataFrame,
-    centroids,
-    threshold: float = 0.95,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    method: str = "join",
-) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding space,
-    then drop semantic duplicates WITHIN each cluster — pairs whose cosine
-    clears ``threshold`` keep only the member farthest from the centroid
-    (the paper's keep-low-centroid-similarity rule, which preserves the
-    cluster's hardest examples). Cross-cluster pairs are never compared:
-    that is the whole scaling story — the quadratic is bounded per cell,
-    and cells shard the corpus, so 100 TB of embeddings is n_cells
-    independent bounded problems instead of one global one.
-
-    ``centroids``: (k, dim) array — train with
-    ``similarity.train_ivf_centroids`` (distributed Lloyd's) or supply a
-    deterministic rule (the oracle-checked entry query uses the k
-    lowest-id embeddings so DuckDB can replicate the assignment).
-
-    Drop rule (deterministic, engine-portable): x is dropped iff some y
-    in the same cell has ROUND(cos(x, y), 6) >= threshold and higher
-    keep-priority, where priority orders by (ROUND(cent_cos, 6) ASC,
-    id ASC). The rule is a pure EXISTS — y's own dropped-ness does not
-    matter — so both methods and the SQL oracle agree exactly.
-
-    ``method='join'``: assignment = broadcast k-row centroid join +
-    min_by partial agg (one combiner-friendly shuffle); pair probe =
-    cell-keyed self-join (bounded per-cell quadratic) + left_semi flag.
-    All cosines are JVM left-folds — the oracle-exact path.
-    ``method='arrow'``: applyInPandas per cell, chunked numpy matmul
-    (memory O(chunk x cell), never materializing the full sim matrix) —
-    the throughput path for wide embeddings; pytest pins it equal to
-    'join' on the fixture corpus.
-
-    Reference analog: the closest reference behavior is version-keyed
-    dedup (api/metadata_stores.py latest-version ranking); semantic dedup
-    has no reference counterpart — it's part of the LLM-pipeline surface.
-    """
-    import numpy as np
-
-    cents = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
-    spark = emb.sparkSession
-    k, _dim = cents.shape
-    v = emb.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.col(vec_col).cast("array<double>").alias("e"),
-    )
-    if method == "arrow":
-        import pandas as pd
-
-        from .similarity import ivf_assign
-
-        assigned = ivf_assign(v, cents, 1, id_col="id", vec_col="e")
-        c_norm = np.sqrt((cents**2).sum(axis=1))
-
-        def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-            m = np.stack(pdf["vec"].map(lambda x: np.asarray(x, np.float64)))
-            cell = int(pdf["cell"].iloc[0])
-            norms = np.sqrt((m**2).sum(axis=1))
-            cc = np.round(m @ cents[cell] / (norms * c_norm[cell]), 6)
-            ids = pdf["id"].to_numpy()
-            # keep-priority: (cent_cos asc, id asc)
-            pri = np.lexsort((ids, cc))  # positions in priority order
-            rank = np.empty(len(ids), dtype=np.int64)
-            rank[pri] = np.arange(len(ids))
-            unit = m / norms[:, None]
-            dropped = np.zeros(len(ids), dtype=bool)
-            for lo in range(0, len(ids), 1024):
-                hi = min(lo + 1024, len(ids))
-                sims = np.round(unit[lo:hi] @ unit.T, 6)
-                hit = sims >= threshold
-                # a higher-priority (lower-rank) partner that clears the
-                # threshold drops the row; self never qualifies
-                better = rank[None, :] < rank[lo:hi, None]
-                dropped[lo:hi] = (hit & better).any(axis=1)
-            return pd.DataFrame(
-                {"id": ids, "cell": cell, "cent_cos": cc, "dropped": dropped}
-            )
-
-        return assigned.groupBy("cell").applyInPandas(per_cell, SEMDEDUP_SCHEMA)
-
-    cdf = spark.createDataFrame(
-        [(int(i), [float(x) for x in row]) for i, row in enumerate(cents)],
-        "cell int, ce array<double>",
-    )
-    dist = F.round(
-        F.aggregate(
-            F.transform("ce", lambda x: x * x), F.lit(0.0), lambda s, x: s + x
-        )
-        - 2.0
-        * F.aggregate(
-            F.zip_with("e", "ce", lambda x, y: x * y),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        ),
-        6,
-    )
-    assigned = (
-        v.crossJoin(F.broadcast(cdf))
-        .select("id", "e", "cell", "ce", dist.alias("dist"))
-        .groupBy("id")
-        .agg(
-            F.min_by(
-                F.struct("cell", "ce"), F.struct("dist", "cell")
-            ).alias("best"),
-            F.first("e").alias("e"),
-        )
-        .select(
-            "id",
-            "e",
-            F.col("best.cell").alias("cell"),
-            F.round(_cos_expr("e", "best.ce"), 6).alias("cent_cos"),
-        )
-    )
-    x = assigned.alias("x")
-    y = assigned.select(
-        F.col("id").alias("id_y"),
-        F.col("e").alias("e_y"),
-        F.col("cell").alias("cell_y"),
-        F.col("cent_cos").alias("cc_y"),
-    ).alias("y")
-    pair_cos = F.round(_cos_expr("x.e", "y.e_y"), 6)
-    dropped_ids = (
-        x.join(
-            y,
-            (F.col("x.cell") == F.col("cell_y"))
-            & (F.col("x.id") != F.col("id_y"))
-            & (pair_cos >= F.lit(threshold))
-            & (
-                (F.col("cc_y") < F.col("x.cent_cos"))
-                | (
-                    (F.col("cc_y") == F.col("x.cent_cos"))
-                    & (F.col("id_y") < F.col("x.id"))
-                )
-            ),
-            "left_semi",
-        )
-        .select("id")
-        .withColumn("dropped", F.lit(True))
-    )
-    return (
-        assigned.join(dropped_ids, "id", "left")
-        .select(
-            "id",
-            "cell",
-            "cent_cos",
-            F.coalesce("dropped", F.lit(False)).alias("dropped"),
-        )
-    )
-
-
-def semdedup_prune(
-    emb: DataFrame,
-    centroids,
-    threshold: float = 0.95,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    method: str = "arrow",
-) -> DataFrame:
-    """Survivors of :func:`semdedup`: the input rows minus dropped ids
-    (one id-keyed semi join — the corpus row, incl. text and payload
-    columns, never rides the per-cell quadratic)."""
-    flags = semdedup(emb, centroids, threshold, id_col, vec_col, method)
-    keep = flags.filter(~F.col("dropped")).select(F.col("id").alias(id_col))
-    return emb.join(keep, id_col, "left_semi")
-
-
 def paragraph_chunks_expr(text: Column, chunk_words: int = 10) -> Column:
     """Deterministic pseudo-paragraphs: consecutive ``chunk_words``-token
     windows of the whitespace-tokenized text (the fixture corpus carries

@@ -50,22 +50,21 @@ import numpy as np
 _CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
 # Close-neighbor distance map (spec section 5.2): dist_code 1..120 name a
-# (dx, dy) pixel offset; dist = dx + dy * width (clamped to >= 1). The
-# spec publishes the table as a literal; it is exactly the 120 nearest
-# already-decoded neighbors ordered by (squared distance, |dx|,
-# positive-dx-first) — the rule below reproduces the published table's
-# entries, verified against its first 96 rows.
+# (dx, dy) backward pixel offset; dist = dx + dy * width (clamped to
+# >= 1). The window is exactly the spec's plane-code grid — the current
+# row's 8 left neighbors plus a 16-wide (dx in [-7, 8]) x 7-row block
+# above — ordered by (squared distance, |dx|, positive-dx-first). That
+# rule reproduces the spec's published 120-entry table EXACTLY (pinned
+# entry-by-entry in tests/test_webp_codec.py against the independently
+# checksummed plane-code lookup grid, a permutation of 0..119).
 
 
 def _dist_map() -> tuple:
-    cands = [
-        (dx, dy)
-        for dy in range(0, 9)
-        for dx in range(-8, 9)
-        if dy > 0 or dx > 0
+    cands = [(dx, 0) for dx in range(1, 9)] + [
+        (dx, dy) for dy in range(1, 8) for dx in range(-7, 9)
     ]
     cands.sort(key=lambda p: (p[0] ** 2 + p[1] ** 2, abs(p[0]), p[0] < 0))
-    return tuple(cands[:120])
+    return tuple(cands)
 
 
 _DIST_MAP = _dist_map()

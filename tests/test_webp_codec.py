@@ -113,6 +113,36 @@ def _stream_header(bw: _BitWriter, w: int, h: int, alpha: int = 0) -> None:
     bw.write(0, 3)
 
 
+def test_distance_map_matches_spec_plane_code_grid():
+    """The derived distance map must equal the spec's published table.
+    Independent pin: the spec/libwebp expresses the same mapping as a
+    plane-code lookup grid (8 rows x 16 columns, y in 0..7, screen
+    x-offset in -8..7); that grid is a permutation of 0..119 plus eight
+    invalid cells — a strong self-checksum — and inverting it yields the
+    table in code order."""
+    from metadata_crawler_spark.operators.webp_codec import _DIST_MAP
+
+    lut = [
+        96, 73, 55, 39, 23, 13, 5, 1, 255, 255, 255, 255, 255, 255, 255, 255,
+        101, 78, 58, 42, 26, 16, 8, 2, 0, 3, 9, 17, 27, 43, 59, 79,
+        102, 86, 62, 46, 32, 20, 10, 6, 4, 7, 11, 21, 33, 47, 63, 87,
+        105, 90, 70, 52, 37, 28, 18, 14, 12, 15, 19, 29, 38, 53, 71, 91,
+        110, 99, 82, 66, 48, 35, 30, 24, 22, 25, 31, 36, 49, 67, 83, 100,
+        115, 108, 94, 76, 64, 50, 44, 40, 34, 41, 45, 51, 65, 77, 95, 109,
+        118, 113, 103, 92, 80, 68, 60, 56, 54, 57, 61, 69, 81, 93, 104, 114,
+        119, 116, 111, 106, 97, 88, 84, 74, 72, 75, 85, 89, 98, 107, 112, 117,
+    ]
+    vals = [v for v in lut if v != 255]
+    assert sorted(vals) == list(range(120))  # the checksum
+    table = [None] * 120
+    for idx, v in enumerate(lut):
+        if v == 255:
+            continue
+        y, x_lut = divmod(idx, 16)
+        table[v] = (-(x_lut - 8), y)  # screen offset -> backward offset
+    assert list(_DIST_MAP) == table
+
+
 def test_neighbor_distance_map():
     """dist_code 1 => (0, 1) => the pixel directly above: craft a 4x2
     image whose second row is an LZ77 copy of the first via the
@@ -152,6 +182,40 @@ def test_neighbor_distance_map():
     assert out.shape == (2, 4, 3)
     assert np.array_equal(out[1], out[0])  # second row copied from above
     assert tuple(out[0, 0]) == (10, 20, 30)
+
+
+def test_neighbor_distance_map_far_code():
+    """Tail of the map (dist_code 97 = (8, 0) = 8 pixels back): the far
+    codes the fixture encoder never emits still decode correctly."""
+    w, h = 12, 1
+    row = [(255, 10 * i, 10 * i + 1, 10 * i + 2) for i in range(8)]
+    bw = _BitWriter()
+    _stream_header(bw, w, h)
+    bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+    g_w, r_w, b_w, a_w, d_w = (_SymbolWriter() for _ in range(5))
+    for a, r, g, b in row:
+        g_w.add(g); r_w.add(r); b_w.add(b); a_w.add(a)
+    lsym, lextra, lnbits = _lz77_split(4)
+    g_w.add(256 + lsym, lextra, lnbits)
+    dsym, dextra, dnbits = _lz77_split(97)  # (8, 0) -> dist 8
+    d_w.add(dsym, dextra, dnbits)
+    g_codes = _write_prefix_code(bw, g_w.freqs, 280)
+    r_codes = _write_prefix_code(bw, r_w.freqs, 256)
+    b_codes = _write_prefix_code(bw, b_w.freqs, 256)
+    a_codes = _write_prefix_code(bw, a_w.freqs, 256)
+    d_codes = _write_prefix_code(bw, d_w.freqs, 40)
+    for a, r, g, b in row:
+        for codes, sym in ((g_codes, g), (r_codes, r), (b_codes, b), (a_codes, a)):
+            c, cl = codes[sym]; bw.write_code(c, cl)
+    c, cl = g_codes[256 + lsym]; bw.write_code(c, cl)
+    if lnbits:
+        bw.write(lextra, lnbits)
+    c, cl = d_codes[dsym]; bw.write_code(c, cl)
+    if dnbits:
+        bw.write(dextra, dnbits)
+    out = decode_webp(_riff_wrap(bw.bytes()))
+    assert out.shape == (1, 12, 3)
+    assert np.array_equal(out[0, 8:12], out[0, 0:4])  # copied from 8 back
 
 
 def test_meta_prefix_two_groups():
