@@ -22,18 +22,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .sitemaps import xml_unescape
+from .sitemaps import _frag_field, xml_unescape
 
 #: one parsed feed entry
 FEED_ENTRY_SCHEMA = (
     "feed_url string, kind string, url string, title string, "
     "published timestamp"
 )
-
-
-def _frag_field(frag: Column, tag: str) -> Column:
-    raw = F.regexp_extract(frag, rf"(?s)<{tag}[^>]*>\s*(.*?)\s*</{tag}>", 1)
-    return F.when(raw == "", None).otherwise(xml_unescape(raw))
 
 
 def _attr(frag: Column, pattern: str) -> Column:
@@ -108,11 +103,14 @@ def parse_feed(
             *keep_cols,
         ).where(F.col("url").isNotNull())
 
+    # RSS 2.0: isPermaLink DEFAULTS to true — a bare <guid>url</guid> is a
+    # permalink; only an explicit ="false" opts out
     rss_url = F.coalesce(
         _frag_field(frag, "link"),
         _attr(
             frag,
-            r'(?s)<guid[^>]*isPermaLink\s*=\s*["\']true["\'][^>]*>\s*(.*?)\s*</guid>',
+            r'(?s)<guid(?![^>]*isPermaLink\s*=\s*["\']false["\'])[^>]*>'
+            r"\s*(.*?)\s*</guid>",
         ),
     )
     rss = entries("item", "rss", rss_url, _rfc822_ts(_frag_field(frag, "pubDate")))
@@ -141,7 +139,12 @@ def discover_feeds(
     """RSS/Atom autodiscovery: ``<link type="application/rss+xml|
     atom+xml" href=...>`` in page heads -> (url, feed_url, feed_type).
     Attribute order handled by extracting per-tag fragments first, then
-    the href within each."""
+    the href within each. Real autodiscovery hrefs are overwhelmingly
+    RELATIVE ("/feed.xml"), so the href resolves against the page url
+    (anchors.resolve_href — tiered RFC 3986, JVM for the easy slice) —
+    the output is always a fetchable absolute url."""
+    from ..operators.anchors import resolve_href
+
     html = F.col(html_col).cast("string")
     tags = F.regexp_extract_all(
         html,
@@ -152,11 +155,12 @@ def discover_feeds(
     feed_type = F.when(
         F.lower(tag).contains("application/atom+xml"), "atom"
     ).otherwise("rss")
+    href = _attr(tag, r'(?is)href\s*=\s*["\']([^"\']*)["\']')
     return (
         df.select(F.col(url_col).alias("url"), F.explode(tags).alias("_tag"))
         .select(
             "url",
-            _attr(tag, r'(?is)href\s*=\s*["\']([^"\']*)["\']').alias("feed_url"),
+            resolve_href(F.col("url"), href).alias("feed_url"),
             feed_type.alias("feed_type"),
         )
         .where(F.col("feed_url").isNotNull())

@@ -529,7 +529,7 @@ def train_domain_classifier(
     ngram_sizes: tuple[int, ...] = (1, 2),
     hasher: str = "xxhash64",
     smoothing: float = 1.0,
-) -> tuple[DataFrame, dict[int, float]]:
+) -> tuple[DataFrame, dict[int, float], dict[int, float]]:
     """Multi-class sibling of :func:`train_quality_classifier` — the
     domain/topic labeler a mixing pipeline needs before
     ``operators/sampling.temperature_sample`` can rebalance by domain

@@ -738,31 +738,62 @@ class Crawler:
         )
 
     def _blocklist_sweep(self, frontier: DataFrame, upto: int) -> DataFrame:
-        """Mine junk-dominated hosts from ALL committed fetched text
-        (Gopher rule flags -> per-host flag rates, support-gated), commit
-        the candidates as this round's `blocklist` table, and anti-join
-        them (parent-domain aware) out of the next frontier. One
-        host-keyed partial agg over history + one suffix anti join on the
-        frontier — no frontier-sized state, resume-safe like every other
-        per-round table."""
+        """Mine junk-dominated hosts (Gopher rule flags -> per-host flag
+        rates, support-gated), commit the candidates as this round's
+        `blocklist` table, and anti-join them (parent-domain aware) out
+        of the next frontier.
+
+        INCREMENTAL: per-host (n_docs, n_flagged) counts are additive,
+        so each sweep flags only its own span of rounds — exactly
+        (upto - blocklist_every, upto], a pure function of the round
+        number, so a replayed sweep rewrites the identical partial — and
+        commits the O(hosts)-row partial as `host_quality`. The
+        blocklist then thresholds the SUM of all committed partials:
+        per-sweep work is O(span fetched text + hosts), never a rescan
+        of the whole crawl history."""
         from ..functions.quality import gopher_quality_flags
-        from ..functions.urls import filter_blocked_hosts, mine_blocked_hosts
+        from ..functions.urls import filter_blocked_hosts, host_expr
 
         cfg = self.config
-        fetched_all = read_rounds(
-            self.spark, self.checkpoint_dir, "fetched", upto
+        span_from = max(upto - (cfg.blocklist_every or 1) + 1, 0)
+        span = read_rounds(
+            self.spark, self.checkpoint_dir, "fetched", upto,
+            from_round=span_from,
         )
-        if fetched_all is None:
+        if span is not None:
+            junk = F.coalesce(
+                gopher_quality_flags(F.col("text"))["flagged"], F.lit(False)
+            )
+            partial = (
+                span.filter(F.col("fetched") & F.col("text").isNotNull())
+                .select(host_expr(F.col("url")).alias("domain"), junk.alias("_f"))
+                .where(F.col("domain").isNotNull() & (F.col("domain") != ""))
+                .groupBy("domain")
+                .agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum(F.col("_f").cast("long")).alias("n_flagged"),
+                )
+            )
+            write_round_table(
+                partial, self.checkpoint_dir, upto, "host_quality"
+            )
+        totals = read_rounds(
+            self.spark, self.checkpoint_dir, "host_quality", upto
+        )
+        if totals is None:
             return frontier
-        docs = fetched_all.filter(
-            F.col("fetched") & F.col("text").isNotNull()
-        ).select(
-            "url", gopher_quality_flags(F.col("text"))["flagged"].alias("junk")
-        )
-        mined = mine_blocked_hosts(
-            docs, "junk",
-            min_docs=cfg.blocklist_min_docs,
-            max_flag_frac=cfg.blocklist_max_flag_frac,
+        mined = (
+            totals.groupBy("domain")
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.round(F.sum("n_flagged") / F.sum("n_docs"), 6).alias(
+                    "flag_frac"
+                ),
+            )
+            .where(
+                (F.col("n_docs") >= cfg.blocklist_min_docs)
+                & (F.col("flag_frac") > cfg.blocklist_max_flag_frac)
+            )
         )
         path = write_round_table(mined, self.checkpoint_dir, upto, "blocklist")
         committed = self.spark.read.parquet(path)

@@ -49,12 +49,13 @@ def stream_feed_seeds(
         .withWatermark("fetched_at", watermark)
     )
     entries = parse_feed(stream, keep_cols=("fetched_at",))
+    # fetched_at exists only to carry the watermark through the explode;
+    # the emitted rows are exactly the engine's seed shape
     seeds = entries.dropDuplicatesWithinWatermark(["url"]).select(
         "url",
         F.lit(0).alias("depth"),
         F.lit(default_priority).alias("priority"),
         "published",
-        "fetched_at",
     )
     return (
         seeds.writeStream.format("memory")

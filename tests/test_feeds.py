@@ -32,6 +32,14 @@ RSS = """<?xml version="1.0"?>
     <pubDate>not a date</pubDate>
   </item>
   <item>
+    <title>bare guid is a permalink by default</title>
+    <guid>https://ex.com/d</guid>
+  </item>
+  <item>
+    <title>explicit non-permalink guid — dropped</title>
+    <guid isPermaLink="false">tag:ex.com,2025:xyz</guid>
+  </item>
+  <item>
     <title>no link at all — dropped</title>
   </item>
 </channel></rss>"""
@@ -71,7 +79,10 @@ def feed_df(spark):
 
 def test_parse_rss_entries(spark, feed_df):
     rows = {r.url: r for r in parse_feed(feed_df).filter("kind = 'rss'").collect()}
-    assert set(rows) == {"https://ex.com/a", "https://ex.com/b", "https://ex.com/c"}
+    assert set(rows) == {
+        "https://ex.com/a", "https://ex.com/b", "https://ex.com/c",
+        "https://ex.com/d",  # bare guid: isPermaLink defaults to true
+    }
     assert rows["https://ex.com/a"].title == "First & finest"
     assert rows["https://ex.com/a"].published == datetime(2025, 5, 5, 10, 30)
     assert rows["https://ex.com/b"].published == datetime(2025, 5, 6, 8, 0)
@@ -102,12 +113,15 @@ def test_autodiscovery(spark):
     out = sorted(
         (r.feed_url, r.feed_type) for r in discover_feeds(df).collect()
     )
-    assert out == [("/feed.xml", "rss"), ("https://ex.com/atom", "atom")]
+    # relative hrefs resolve against the page url (fetchable output)
+    assert out == [
+        ("https://ex.com/atom", "atom"), ("https://ex.com/feed.xml", "rss")
+    ]
 
 
 def test_feed_seeds_dedup_newest(spark, feed_df):
     seeds = {r.url: r for r in feed_seeds(parse_feed(feed_df)).collect()}
-    assert len(seeds) == 6
+    assert len(seeds) == 7
     s = seeds["https://ex.com/a"]
     assert (s.depth, s.priority) == (0, 0.7)
     assert s.published == datetime(2025, 5, 5, 10, 30)
