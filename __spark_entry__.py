@@ -2609,7 +2609,26 @@ def q53_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_s.tiny_body").alias("tiny_body"),
         F.col("_s.soft404").alias("soft404"),
     )
-    return rep.join(lm, "id").join(ct, "id", "left").join(s4, "id").select(
+    # r5 merge: the REST of the Gopher repetition ladder (top-3/4-gram +
+    # duplicate-5..10-gram char fractions, one explode for all eight —
+    # functions/quality.repetition_ngram_fractions)
+    from metadata_crawler_spark.functions.quality import (
+        repetition_ngram_fractions,
+    )
+
+    # doc_id%29 docs get their text doubled so the duplicate-n-gram
+    # branch fires on the fixture (random text never repeats 5-grams)
+    planted_rep = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 29 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    ladder = repetition_ngram_fractions(planted_rep, "text", "doc_id")
+    return rep.join(lm, "id").join(ct, "id", "left").join(s4, "id").join(
+        ladder, "id"
+    ).select(
         F.col("id").alias("doc_id"),
         F.col("n_words").cast("long").alias("n_words"),
         "mean_word_len",
@@ -2626,6 +2645,10 @@ def q53_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("ct_lang", F.lit("unknown")).alias("ct_lang"),
         F.coalesce("ct_dist", F.lit(-1)).cast("long").alias("ct_dist"),
         "title_404", "body_404", "tiny_body", "soft404",
+        "top3gram_char_frac", "top4gram_char_frac",
+        "dup5gram_char_frac", "dup6gram_char_frac", "dup7gram_char_frac",
+        "dup8gram_char_frac", "dup9gram_char_frac", "dup10gram_char_frac",
+        "rep_flagged",
     )
 
 
@@ -2840,12 +2863,90 @@ _Q53_SQL = _Q53_SQL.replace(
     "JOIN s404 ON b.doc_id = s404.doc_id",
     1,
 )
+# full Gopher repetition ladder (top-3/4 + dup-5..10 char fractions),
+# replicated per n with DuckDB list comprehensions over the same token
+# lists the base CTE already builds
+_RG_SELECTS = "\n    UNION ALL\n".join(
+    f"""    SELECT doc_id, {n} AS n,
+           unnest([array_to_string(rts[i:i+{n - 1}], ' ')
+                   FOR i IN range(1, len(rts) - {n} + 2)]) AS gram
+    FROM rt"""
+    for n in (3, 4, 5, 6, 7, 8, 9, 10)
+)
+_RCAPS_TOP = {3: 0.18, 4: 0.16}
+_RCAPS_DUP = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+_RPIV_COLS = ",\n".join(
+    f"       MAX(CASE WHEN n = {n} THEN topc END) AS topc{n},\n"
+    f"       MAX(CASE WHEN n = {n} THEN dupc END) AS dupc{n}"
+    for n in (3, 4, 5, 6, 7, 8, 9, 10)
+)
+_Q53_LADDER_CTES = f""",
+rt AS (
+  SELECT doc_id,
+         string_split_regex(trim(CASE WHEN doc_id % 29 = 0
+                                      THEN text || ' ' || text
+                                      ELSE text END), '\\s+') AS rts
+  FROM documents
+),
+rnc AS (
+  SELECT doc_id,
+         COALESCE(list_sum(list_transform(rts, x -> len(x))), 0) AS rnch
+  FROM rt
+),
+rg AS (
+{_RG_SELECTS}
+),
+rcnt AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM rg GROUP BY 1, 2, 3),
+rdoc AS (
+  SELECT doc_id, n,
+         MAX(cnt * (len(gram) - (n - 1))) AS topc,
+         SUM(CASE WHEN cnt > 1 THEN cnt * (len(gram) - (n - 1)) END) AS dupc
+  FROM rcnt GROUP BY 1, 2
+),
+rpiv AS (
+  SELECT doc_id,
+{_RPIV_COLS}
+  FROM rdoc GROUP BY doc_id
+)"""
+
+
+def _rfrac(col: str) -> str:
+    return (f"CASE WHEN rnc.rnch > 0 THEN "
+            f"ROUND(COALESCE(rpiv.{col}, 0) / rnc.rnch, 6) ELSE 0.0 END")
+
+
+_RL_SELECT = ",\n".join(
+    [f"       {_rfrac(f'topc{n}')} AS top{n}gram_char_frac" for n in (3, 4)]
+    + [f"       {_rfrac(f'dupc{n}')} AS dup{n}gram_char_frac"
+       for n in (5, 6, 7, 8, 9, 10)]
+)
+_RL_FLAG = "(" + "\n        OR ".join(
+    [f"{_rfrac(f'topc{n}')} > {c}" for n, c in _RCAPS_TOP.items()]
+    + [f"{_rfrac(f'dupc{n}')} > {c}" for n, c in _RCAPS_DUP.items()]
+) + ") AS rep_flagged"
+_Q53_SQL = _Q53_SQL.replace(
+    "\nSELECT b.doc_id", _Q53_LADDER_CTES + "\nSELECT b.doc_id", 1
+)
+_Q53_SQL = _Q53_SQL.replace(
+    "JOIN s404 ON b.doc_id = s404.doc_id",
+    "JOIN s404 ON b.doc_id = s404.doc_id\n"
+    "LEFT JOIN rpiv ON b.doc_id = rpiv.doc_id\n"
+    "JOIN rnc ON b.doc_id = rnc.doc_id",
+    1,
+)
 _Q53_SQL = _Q53_SQL.replace(
     "CAST(COALESCE(ct.ct_dist, -1) AS BIGINT) AS ct_dist",
     "CAST(COALESCE(ct.ct_dist, -1) AS BIGINT) AS ct_dist,\n"
     "       s404.title_404, s404.body_404, s404.tiny_body,\n"
     "       (s404.title_404 OR (s404.body_404 AND s404.tiny_body))\n"
     "         AS soft404",
+    1,
+)
+
+# the ladder columns append AFTER the s404 splice introduced "AS soft404"
+_Q53_SQL = _Q53_SQL.replace(
+    "         AS soft404",
+    "         AS soft404,\n" + _RL_SELECT + ",\n       " + _RL_FLAG,
     1,
 )
 

@@ -168,6 +168,120 @@ def gopher_repetition(
     return out
 
 
+#: Gopher §A1.1 repetition thresholds: top-n-gram char fraction caps for
+#: n=2,3,4 and duplicate-n-gram char fraction caps for n=5..10
+GOPHER_TOP_NGRAM_CAPS = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_CAPS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def repetition_ngram_fractions(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_ns: tuple[int, ...] = (3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+    top_caps: dict[int, float] | None = None,
+    dup_caps: dict[int, float] | None = None,
+) -> DataFrame:
+    """The REST of the Gopher repetition ladder (Rae et al. 2021 Table
+    A1) beyond :func:`gopher_repetition`'s top-2-gram: per document, the
+    fraction of characters covered by the most frequent n-gram (top-n,
+    n=3,4) and by ALL occurrences of duplicated n-grams (dup-n,
+    n=5..10). Character coverage is occurrence-counted (chars of one
+    occurrence = len(gram) - (n-1) separators, times occurrences) — the
+    same convention the top-2 metric documents; overlapping repeats can
+    push a fraction past 1.0, still a repetition signal. ``rep_flagged``
+    fires when any metric breaches its Gopher threshold.
+
+    Returns (id, top{n}gram_char_frac..., dup{n}gram_char_frac...,
+    rep_flagged). Plan: ALL eight metrics ride ONE explode of (n, gram)
+    structs -> one (id, n, gram) count -> one (id, n) partial agg ->
+    one (id) pivot — three combiner-friendly keyed shuffles total,
+    independent of how many n's are measured; document text never
+    shuffles.
+    """
+    top_caps = dict(GOPHER_TOP_NGRAM_CAPS if top_caps is None else top_caps)
+    dup_caps = dict(GOPHER_DUP_NGRAM_CAPS if dup_caps is None else dup_caps)
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("toks"),
+        F.size(toks).alias("n_words"),
+        F.aggregate(
+            F.transform(toks, F.length),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_chars"),
+    )
+
+    def grams_of(n: int) -> Column:
+        k = F.col("n_words") - (n - 1)
+        return F.when(
+            k <= 0, F.array().cast("array<struct<n: int, gram: string>>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                _ngram_struct_factory(n),
+            )
+        )
+
+    pairs = base.select(
+        "id", F.explode(F.concat(*[grams_of(n) for n in all_ns])).alias("g")
+    ).select("id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    occ_chars = F.col("cnt") * (F.length("gram") - (F.col("n") - 1))
+    per_n = (
+        pairs.groupBy("id", "n", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("id", "n")
+        .agg(
+            F.max(occ_chars).alias("topc"),
+            F.sum(F.when(F.col("cnt") > 1, occ_chars)).alias("dupc"),
+        )
+    )
+    piv = per_n.groupBy("id").pivot("n", list(all_ns)).agg(
+        F.first("topc").alias("topc"), F.first("dupc").alias("dupc")
+    )
+
+    def frac(raw: Column) -> Column:
+        return F.round(
+            F.when(
+                F.col("n_chars") > 0,
+                F.coalesce(raw, F.lit(0)) / F.col("n_chars"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    out_cols = [F.col("id")]
+    flags = []
+    for n in top_ns:
+        c = frac(F.col(f"{n}_topc")).alias(f"top{n}gram_char_frac")
+        out_cols.append(c)
+        if n in top_caps:
+            flags.append(
+                F.col(f"top{n}gram_char_frac") > F.lit(top_caps[n])
+            )
+    for n in dup_ns:
+        c = frac(F.col(f"{n}_dupc")).alias(f"dup{n}gram_char_frac")
+        out_cols.append(c)
+        if n in dup_caps:
+            flags.append(F.col(f"dup{n}gram_char_frac") > F.lit(dup_caps[n]))
+    out = base.select("id", "n_chars").join(piv, "id", "left").select(*out_cols)
+    flag = flags[0]
+    for f_ in flags[1:]:
+        flag = flag | f_
+    return out.withColumn("rep_flagged", F.coalesce(flag, F.lit(False)))
+
+
+def _ngram_struct_factory(n: int):
+    """Factory so the loop variable binds per-n (the _ngram_join_factory
+    convention)."""
+    return lambda i: F.struct(
+        F.lit(n).alias("n"),
+        F.concat_ws(" ", F.slice(F.col("toks"), i, n)).alias("gram"),
+    )
+
+
 def unigram_crossentropy(
     df: DataFrame,
     text_col: str,

@@ -944,3 +944,49 @@ def test_soft404_flags_matrix(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_repetition_ngram_fractions_vs_counter_reference(spark):
+    from collections import Counter
+
+    from metadata_crawler_spark.functions.quality import (
+        GOPHER_DUP_NGRAM_CAPS,
+        GOPHER_TOP_NGRAM_CAPS,
+        repetition_ngram_fractions,
+    )
+
+    docs = {
+        1: "a b a b a b",
+        2: "w x y z q w x y z q w x y z q",
+        3: "all distinct words in this one here",
+        4: "",
+    }
+
+    def ref(text, n):
+        toks = [t for t in text.split() if t]
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        nchars = sum(len(t) for t in toks)
+        if not grams or nchars == 0:
+            return 0.0, 0.0
+        c = Counter(grams)
+        occ = lambda g, k: k * (len(g) - (n - 1))
+        top = max(occ(g, k) for g, k in c.items())
+        dup = sum(occ(g, k) for g, k in c.items() if k > 1)
+        return round(top / nchars, 6), round(dup / nchars, 6)
+
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    out = {r.id: r for r in repetition_ngram_fractions(df, "text", "doc_id").collect()}
+    for i, text in docs.items():
+        for n in (3, 4):
+            assert out[i][f"top{n}gram_char_frac"] == ref(text, n)[0], (i, n)
+        for n in range(5, 11):
+            assert out[i][f"dup{n}gram_char_frac"] == ref(text, n)[1], (i, n)
+    # flag matches the canonical thresholds
+    for i, text in docs.items():
+        want = any(
+            ref(text, n)[0] > cap for n, cap in GOPHER_TOP_NGRAM_CAPS.items()
+            if n in (3, 4)
+        ) or any(
+            ref(text, n)[1] > cap for n, cap in GOPHER_DUP_NGRAM_CAPS.items()
+        )
+        assert out[i].rep_flagged == want, i
