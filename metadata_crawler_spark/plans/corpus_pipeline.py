@@ -79,6 +79,7 @@ def clean_corpus(
     lang_profiles: DataFrame | None = None,
     lang_keep: set[str] | None = None,
     lang_top_n: int = 100,
+    repetition_ladder: bool = False,
     stage_counts: dict | None = None,
 ) -> DataFrame:
     """Returns the surviving documents as (id, text) where ``text`` is
@@ -152,12 +153,25 @@ def clean_corpus(
         )
         base = _stage("lang_gate", base.join(kept, "id", "left_semi"))
 
-    # 1. quality gate (metrics keyed by id; keep unflagged)
+    # 1. quality gate (metrics keyed by id; keep unflagged).
+    # repetition_ladder=True additionally applies the full Gopher Table
+    # A1 ladder (top-3/4-gram + dup-5..10-gram char fractions,
+    # functions/quality.repetition_ngram_fractions) — off by default so
+    # q56's oracle keeps checking the unchanged base plan.
     good_ids = (
         gopher_repetition(base, "text", "id", min_distinct_frac, max_top2gram_frac)
         .filter(~F.col("flagged"))
         .select("id")
     )
+    if repetition_ladder:
+        from ..functions.quality import repetition_ngram_fractions
+
+        ladder_ok = (
+            repetition_ngram_fractions(base, "text", "id")
+            .filter(~F.col("rep_flagged"))
+            .select("id")
+        )
+        good_ids = good_ids.join(ladder_ok, "id", "left_semi")
     survivors = _stage("quality_gate", base.join(good_ids, "id", "left_semi"))
 
     # 1b. optional model-based quality gate: absolute threshold, or the

@@ -990,3 +990,22 @@ def test_repetition_ngram_fractions_vs_counter_reference(spark):
             ref(text, n)[1] > cap for n, cap in GOPHER_DUP_NGRAM_CAPS.items()
         )
         assert out[i].rep_flagged == want, i
+
+
+def test_repetition_ladder_gate_in_clean_corpus(spark):
+    from metadata_crawler_spark.plans.corpus_pipeline import clean_corpus
+
+    rows = [(i, f"unique{i} words flow nicely here and vary a lot {i}")
+            for i in range(20)]
+    rows.append((100, ("spam ham " * 40).strip()))   # dup-n-gram bomb
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base_kept = {r.id for r in clean_corpus(
+        df, "text", "doc_id", min_distinct_frac=0.0, max_top2gram_frac=2.0,
+    ).collect()}
+    ladder_kept = {r.id for r in clean_corpus(
+        df, "text", "doc_id", min_distinct_frac=0.0, max_top2gram_frac=2.0,
+        repetition_ladder=True,
+    ).collect()}
+    assert 100 in base_kept          # base thresholds disabled above
+    assert 100 not in ladder_kept    # the ladder catches the dup bomb
+    assert ladder_kept <= base_kept
