@@ -2978,9 +2978,13 @@ def q54_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .when(did % 11 == 3, F.lit(" call +1-555-000-1234 today"))
+        .when(did % 17 == 2, F.lit(" server 203.0.113.7 responded"))
         .otherwise(F.lit("")),
     )
     n_emails, n_phones = pii_counts(pii)
+    from metadata_crawler_spark.functions.quality import ip_count
+
+    n_ips = ip_count(pii)
     # r5 merge: the rest of the C4 suite (functions/quality.c4_quality_flags)
     # on plant-augmented text so every drop rule fires on the fixture
     from metadata_crawler_spark.functions.quality import c4_quality_flags
@@ -2996,7 +3000,8 @@ def q54_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         did.alias("doc_id"),
         n_emails.cast("long").alias("n_emails"),
         n_phones.cast("long").alias("n_phones"),
-        F.md5(redact_pii(pii)).alias("redacted_md5"),
+        n_ips.cast("long").alias("n_ips"),
+        F.md5(redact_pii(pii, ips=True)).alias("redacted_md5"),
         c4["n_sentences"].cast("long").alias("n_sentences"),
         c4["lt3_sentences"].alias("lt3_sentences"),
         c4["has_lorem_ipsum"].alias("has_lorem_ipsum"),
@@ -3013,6 +3018,7 @@ WITH p AS (
            WHEN doc_id % 7 = 0
              THEN ' contact user' || doc_id || '@mail.example.com now'
            WHEN doc_id % 11 = 3 THEN ' call +1-555-000-1234 today'
+           WHEN doc_id % 17 = 2 THEN ' server 203.0.113.7 responded'
            ELSE '' END AS pii,
          text || CASE
            WHEN doc_id % 13 = 1 THEN ' Lorem ipsum dolor.'
@@ -3026,11 +3032,15 @@ SELECT doc_id,
          AS n_emails,
        CAST(len(regexp_extract_all(pii,
          '\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(pii,
+         '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_ips,
        md5(regexp_replace(
-             regexp_replace(pii,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-               '<EMAIL>', 'g'),
-             '\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'))
+             regexp_replace(
+               regexp_replace(pii,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+             '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'))
          AS redacted_md5,
        CAST(len(regexp_extract_all(c4t, '[.!?]')) AS BIGINT) AS n_sentences,
        len(regexp_extract_all(c4t, '[.!?]')) < 3 AS lt3_sentences,

@@ -36,10 +36,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# email + NANP phone, deliberately simple and RE2-compatible so the same
-# pattern string runs unchanged in Spark and the DuckDB oracle
+# email + NANP phone + IPv4, deliberately simple and RE2-compatible so
+# the same pattern strings run unchanged in Spark and the DuckDB oracle
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+# dotted quad with octet-boundary guards (no lookbehind in RE2: anchor on
+# non-digit-dot neighborhood via word-ish boundaries)
+IP_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
 
 
 def pii_counts(text: Column) -> tuple[Column, Column]:
@@ -50,11 +53,22 @@ def pii_counts(text: Column) -> tuple[Column, Column]:
     )
 
 
-def redact_pii(text: Column) -> Column:
-    """Replace every email with <EMAIL> and phone with <PHONE>."""
-    return F.regexp_replace(
+def ip_count(text: Column) -> Column:
+    """IPv4 match count (the Dolma/RefinedWeb scrub's third PII class)."""
+    return F.regexp_count(text, F.lit(IP_RE))
+
+
+def redact_pii(text: Column, ips: bool = False) -> Column:
+    """Replace every email with <EMAIL> and phone with <PHONE>;
+    ``ips=True`` additionally masks IPv4 addresses as <IP> (opt-in so
+    existing redaction contracts — q56's end-to-end oracle, the
+    attribute sidecars — keep their byte-exact outputs)."""
+    out = F.regexp_replace(
         F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
     )
+    if ips:
+        out = F.regexp_replace(out, IP_RE, "<IP>")
+    return out
 
 
 def gopher_repetition(
