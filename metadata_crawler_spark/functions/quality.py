@@ -40,9 +40,14 @@ from pyspark.sql import types as T
 # the same pattern strings run unchanged in Spark and the DuckDB oracle
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
-# dotted quad with octet-boundary guards (no lookbehind in RE2: anchor on
-# non-digit-dot neighborhood via word-ish boundaries)
-IP_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+# dotted quad with REAL octet ranges (0-255); \b word boundaries bound
+# the ends — a dotted tail like '1.2.3.4.5' still matches its first four
+# parts (no lookahead in the shared RE2/Java subset), same behavior as
+# common scrubbers
+IP_RE = (
+    r"\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}"
+    r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b"
+)
 
 
 def pii_counts(text: Column) -> tuple[Column, Column]:
@@ -198,21 +203,27 @@ def repetition_ngram_fractions(
     dup_caps: dict[int, float] | None = None,
 ) -> DataFrame:
     """The REST of the Gopher repetition ladder (Rae et al. 2021 Table
-    A1) beyond :func:`gopher_repetition`'s top-2-gram: per document, the
-    fraction of characters covered by the most frequent n-gram (top-n,
-    n=3,4) and by ALL occurrences of duplicated n-grams (dup-n,
-    n=5..10). Character coverage is occurrence-counted (chars of one
-    occurrence = len(gram) - (n-1) separators, times occurrences) — the
-    same convention the top-2 metric documents; overlapping repeats can
-    push a fraction past 1.0, still a repetition signal. ``rep_flagged``
-    fires when any metric breaches its Gopher threshold.
+    A1) beyond :func:`gopher_repetition`'s top-2-gram, with the
+    REFERENCE-FAITHFUL semantics the published thresholds assume:
+
+    - top-n (n=3,4): chars of every occurrence of the most frequent
+      n-gram, COUNTED ONLY IF it occurs more than once (a single
+      occurrence is not repetition — without this guard every short
+      document flags, since one n-gram's chars dominate a small total);
+    - dup-n (n=5..10): fraction of characters inside ANY duplicated
+      n-gram, each character counted ONCE (positional union over
+      covered token indices, never the occurrence-sum that
+      double-counts overlaps and runs several times hotter than the
+      caps — the fraction is <= 1 by construction).
+
+    ``rep_flagged`` fires when any metric breaches its Gopher cap.
 
     Returns (id, top{n}gram_char_frac..., dup{n}gram_char_frac...,
-    rep_flagged). Plan: ALL eight metrics ride ONE explode of (n, gram)
-    structs -> one (id, n, gram) count -> one (id, n) partial agg ->
-    one (id) pivot — three combiner-friendly keyed shuffles total,
-    independent of how many n's are measured; document text never
-    shuffles.
+    rep_flagged). Plan: ALL the n's ride ONE explode of (n, gram, pos)
+    structs; the duplicate-coverage union explodes covered token
+    indices ONLY for the duplicated slice (the span_dedup pattern) and
+    joins per-token lengths; every shuffle is keyed (id[, n, ...]) and
+    combiner-friendly; document text never shuffles.
     """
     top_caps = dict(GOPHER_TOP_NGRAM_CAPS if top_caps is None else top_caps)
     dup_caps = dict(GOPHER_DUP_NGRAM_CAPS if dup_caps is None else dup_caps)
@@ -232,7 +243,8 @@ def repetition_ngram_fractions(
     def grams_of(n: int) -> Column:
         k = F.col("n_words") - (n - 1)
         return F.when(
-            k <= 0, F.array().cast("array<struct<n: int, gram: string>>")
+            k <= 0,
+            F.array().cast("array<struct<n: int, pos: int, gram: string>>"),
         ).otherwise(
             F.transform(
                 F.sequence(F.lit(1), k),
@@ -242,17 +254,42 @@ def repetition_ngram_fractions(
 
     pairs = base.select(
         "id", F.explode(F.concat(*[grams_of(n) for n in all_ns])).alias("g")
-    ).select("id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
-    occ_chars = F.col("cnt") * (F.length("gram") - (F.col("n") - 1))
-    per_n = (
-        pairs.groupBy("id", "n", "gram")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy("id", "n")
-        .agg(
-            F.max(occ_chars).alias("topc"),
-            F.sum(F.when(F.col("cnt") > 1, occ_chars)).alias("dupc"),
-        )
+    ).select(
+        "id",
+        F.col("g.n").alias("n"),
+        F.col("g.pos").alias("pos"),
+        F.col("g.gram").alias("gram"),
     )
+    counts = pairs.groupBy("id", "n", "gram").agg(F.count("*").alias("cnt"))
+    occ_chars = F.col("cnt") * (F.length("gram") - (F.col("n") - 1))
+    tops = counts.groupBy("id", "n").agg(
+        F.max(F.when(F.col("cnt") > 1, occ_chars)).alias("topc")
+    )
+    # duplicate coverage: positions of duplicated grams -> covered token
+    # indices (union via distinct) -> sum of those tokens' lengths
+    dup_occ = pairs.join(
+        counts.filter(F.col("cnt") > 1).select("id", "n", "gram"),
+        ["id", "n", "gram"],
+        "left_semi",
+    )
+    covered = dup_occ.select(
+        "id",
+        "n",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)
+        ).alias("tokidx"),
+    ).distinct()
+    tok_lens = base.select(
+        "id", F.posexplode("toks").alias("tokidx0", "tok")
+    ).select(
+        "id",
+        (F.col("tokidx0") + 1).alias("tokidx"),
+        F.length("tok").alias("toklen"),
+    )
+    dups = covered.join(tok_lens, ["id", "tokidx"]).groupBy("id", "n").agg(
+        F.sum("toklen").alias("dupc")
+    )
+    per_n = tops.join(dups, ["id", "n"], "full_outer")
     piv = per_n.groupBy("id").pivot("n", list(all_ns)).agg(
         F.first("topc").alias("topc"), F.first("dupc").alias("dupc")
     )
@@ -292,6 +329,7 @@ def _ngram_struct_factory(n: int):
     convention)."""
     return lambda i: F.struct(
         F.lit(n).alias("n"),
+        i.cast("int").alias("pos"),
         F.concat_ws(" ", F.slice(F.col("toks"), i, n)).alias("gram"),
     )
 
@@ -693,6 +731,10 @@ def train_domain_classifier(
     counts = feats.groupBy("bucket", "label").agg(
         F.count("*").cast("double").alias("c")
     )
+    # the (bucket, label) table is the model (bounded by n_buckets x
+    # labels): persist it so the totals pass, the weights collect and
+    # any scorer reuse don't re-run the corpus explode
+    counts = counts.persist()
     a, b = float(smoothing), float(n_buckets)
     weights = counts.select(
         "bucket",
@@ -805,11 +847,13 @@ def domain_classifier_scores(
             )
         ),
     )
-    return out.select(
-        "*",
-        F.col("_dc.domain").alias(domain_col),
-        F.col("_dc.domain_score").alias(score_col),
-    ).drop("_dc")
+    # withColumn REPLACES a pre-existing column of the same name instead
+    # of emitting an ambiguous duplicate
+    return (
+        out.withColumn(domain_col, F.col("_dc.domain"))
+        .withColumn(score_col, F.col("_dc.domain_score"))
+        .drop("_dc")
+    )
 
 
 #: case-insensitive markers of an error page served with HTTP 200 —

@@ -357,13 +357,34 @@ def mine_blocked_hosts(
         F.col(host_col) if host_col is not None else host_expr(F.col(url_col))
     )
     flagged = F.coalesce(F.col(flag_col), F.lit(False))
-    return (
+    counts = (
         df.select(host.alias("domain"), flagged.alias("_f"))
         .where(F.col("domain").isNotNull() & (F.col("domain") != ""))
         .groupBy("domain")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg(F.col("_f").cast("double")), 6).alias("flag_frac"),
+            F.sum(F.col("_f").cast("long")).alias("n_flagged"),
+        )
+    )
+    return blocked_hosts_from_counts(counts, min_docs, max_flag_frac)
+
+
+def blocked_hosts_from_counts(
+    counts: DataFrame, min_docs: int = 20, max_flag_frac: float = 0.5
+) -> DataFrame:
+    """The support/threshold cut over per-host (domain, n_docs,
+    n_flagged) counts — ONE shared rule, so the one-shot miner and the
+    crawl loop's incremental host_quality partials (plans/round_loop.
+    _blocklist_sweep sums additive per-sweep tables) cannot drift.
+    Accepts pre-aggregated counts (sums them again, a no-op on already
+    per-domain rows) and returns (domain, n_docs, flag_frac)."""
+    return (
+        counts.groupBy("domain")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.round(F.sum("n_flagged") / F.sum("n_docs"), 6).alias(
+                "flag_frac"
+            ),
         )
         .where(
             (F.col("n_docs") >= min_docs)

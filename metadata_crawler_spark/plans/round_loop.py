@@ -752,7 +752,11 @@ class Crawler:
         per-sweep work is O(span fetched text + hosts), never a rescan
         of the whole crawl history."""
         from ..functions.quality import gopher_quality_flags
-        from ..functions.urls import filter_blocked_hosts, host_expr
+        from ..functions.urls import (
+            blocked_hosts_from_counts,
+            filter_blocked_hosts,
+            host_expr,
+        )
 
         cfg = self.config
         span_from = max(upto - (cfg.blocklist_every or 1) + 1, 0)
@@ -782,18 +786,8 @@ class Crawler:
         )
         if totals is None:
             return frontier
-        mined = (
-            totals.groupBy("domain")
-            .agg(
-                F.sum("n_docs").alias("n_docs"),
-                F.round(F.sum("n_flagged") / F.sum("n_docs"), 6).alias(
-                    "flag_frac"
-                ),
-            )
-            .where(
-                (F.col("n_docs") >= cfg.blocklist_min_docs)
-                & (F.col("flag_frac") > cfg.blocklist_max_flag_frac)
-            )
+        mined = blocked_hosts_from_counts(
+            totals, cfg.blocklist_min_docs, cfg.blocklist_max_flag_frac
         )
         path = write_round_table(mined, self.checkpoint_dir, upto, "blocklist")
         committed = self.spark.read.parquet(path)

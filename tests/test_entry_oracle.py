@@ -6,7 +6,6 @@ harness (CORRECTNESS_r{N}.json)."""
 from __future__ import annotations
 
 import importlib.util
-import math
 import os
 from decimal import Decimal
 

@@ -970,8 +970,14 @@ def test_repetition_ngram_fractions_vs_counter_reference(spark):
             return 0.0, 0.0
         c = Counter(grams)
         occ = lambda g, k: k * (len(g) - (n - 1))
-        top = max(occ(g, k) for g, k in c.items())
-        dup = sum(occ(g, k) for g, k in c.items() if k > 1)
+        # top-n counts only if the most frequent gram actually repeats
+        top = max((occ(g, k) for g, k in c.items() if k > 1), default=0)
+        # dup-n: positional union — each covered token's chars once
+        covered = set()
+        for i, g in enumerate(grams):
+            if c[g] > 1:
+                covered.update(range(i, i + n))
+        dup = sum(len(toks[i]) for i in covered)
         return round(top / nchars, 6), round(dup / nchars, 6)
 
     df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
