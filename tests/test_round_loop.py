@@ -747,3 +747,46 @@ def test_blocklist_sweep_round(spark, fixture_dir, tables, tmp_path_factory):
         ).select(host_expr(F.col("url")).alias("h")).distinct()
         hosts_next = {r.h for r in nxt.collect()}
         assert not (blocked & hosts_next)
+
+
+def test_blocklist_partials_resume_equals_straight_run(
+    spark, fixture_dir, tables, tmp_path_factory
+):
+    """The incremental host_quality partials are a pure function of the
+    round number (each sweep covers exactly its own span), so a
+    kill-after-round-1 resume rebuilds identical partials and blocklist
+    totals to a straight run — the additive-counts contract."""
+    cfg = lambda: CrawlConfig(
+        n_shards=8, bloom_expected_per_shard=4096, salt_parts=4,
+        blocklist_every=1, blocklist_min_docs=1,
+        blocklist_max_flag_frac=0.0,
+    )
+    seeds = tables["seeds"]
+    ck_a = str(tmp_path_factory.mktemp("ckpt_bl_a"))
+    a = Crawler(
+        spark=spark, pages_path=os.path.join(fixture_dir, "pages.parquet"),
+        robots=tables["robots"], hosts=tables["hosts"],
+        checkpoint_dir=ck_a, config=cfg(),
+    )
+    a.run(seeds, rounds=3)
+    ck_b = str(tmp_path_factory.mktemp("ckpt_bl_b"))
+    b1 = Crawler(
+        spark=spark, pages_path=os.path.join(fixture_dir, "pages.parquet"),
+        robots=tables["robots"], hosts=tables["hosts"],
+        checkpoint_dir=ck_b, config=cfg(),
+    )
+    b1.run(seeds, rounds=1)
+    b2 = Crawler(  # fresh instance = restart
+        spark=spark, pages_path=os.path.join(fixture_dir, "pages.parquet"),
+        robots=tables["robots"], hosts=tables["hosts"],
+        checkpoint_dir=ck_b, config=cfg(),
+    )
+    b2.run(seeds, rounds=3)
+    for r in range(3):
+        for name in ("host_quality", "blocklist"):
+            pa = os.path.join(ck_a, f"round={r:05d}", name)
+            pb = os.path.join(ck_b, f"round={r:05d}", name)
+            ta = spark.read.parquet(pa)
+            tb = spark.read.parquet(pb)
+            assert ta.exceptAll(tb).count() == 0, (r, name)
+            assert tb.exceptAll(ta).count() == 0, (r, name)
