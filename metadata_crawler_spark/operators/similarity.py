@@ -369,3 +369,143 @@ def ivf_topk_pruned(
         F.col("id").alias("nbr_id"), F.col("vec").alias("v"), "cell"
     ).join(F.broadcast(qdf), "cell").filter(F.col("nbr_id") != F.col("query_id"))
     return _rerank_topk(cand, k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011) — the memory tier under IVF:
+# each vector compresses to m one-byte codes (dim*4 bytes -> m bytes,
+# 16-64x), and queries score candidates WITHOUT touching the original
+# vectors via asymmetric distance (ADC) lookup tables. At 10^10 vectors
+# this is the difference between the index fitting on the cluster or not.
+# ---------------------------------------------------------------------------
+
+
+def train_pq(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 256,
+    n_iter: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train (m, k_eff, dim/m) PQ codebooks: the vector splits into m
+    subspaces and each gets its own k-means codebook via the SAME
+    distributed Lloyd's as IVF (train_ivf_centroids over sliced
+    vectors) — m small passes, every heavy step on executors, only
+    k x dsub floats per subspace reach the driver. k_eff <= k when the
+    corpus has fewer distinct seed vectors (tiny fixtures)."""
+    dim = int(corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sub = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(
+                F.col(vec_col).cast("array<double>"), j * dsub + 1, dsub
+            ).alias("embedding"),
+        )
+        books.append(
+            train_ivf_centroids(sub, n_cells=k, n_iter=n_iter, seed=seed + j)
+        )
+    k_eff = min(b.shape[0] for b in books)
+    return np.stack([b[:k_eff] for b in books])
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): per subspace, the nearest codeword's index
+    — one numpy matmul per (subspace, Arrow batch) against the broadcast
+    codebooks; deterministic (first-min ties). The codes table IS the
+    compressed index a standing corpus persists."""
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, _k, dsub = cb.shape
+    norms = (cb**2).sum(axis=2)  # (m, k)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vs: pd.Series) -> pd.Series:
+        V = np.stack(vs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        out = np.empty((V.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            sub = V[:, j * dsub : (j + 1) * dsub]
+            d = norms[j][None, :] - 2.0 * (sub @ cb[j].T)
+            out[:, j] = d.argmin(axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        encode(F.col(vec_col).cast("array<double>")).alias("codes"),
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over a PQ codes table: each query
+    precomputes an (m, k_codes) lookup table of exact subspace distances
+    to every codeword; a candidate's approximate squared L2 is then m
+    table gathers + a sum — the original vectors are NEVER read. All
+    query LUTs broadcast together ((n_queries, m, k) floats); each Arrow
+    batch keeps only its LOCAL top-k per query, so at most
+    partitions x queries x k rows reach the final per-query rank.
+    Returns (query_id, nbr_id, adc, rank)."""
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, _kc, dsub = cb.shape
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>")
+    ).collect()
+    qids = np.array([int(r[0]) for r in qrows])
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    luts = np.stack(
+        [
+            ((cb[j][None, :, :] - Q[:, j * dsub : (j + 1) * dsub][:, None, :]) ** 2).sum(
+                axis=2
+            )
+            for j in range(m)
+        ],
+        axis=1,
+    )  # (n_queries, m, k_codes)
+    spark = codes.sparkSession
+    bc = spark.sparkContext.broadcast((qids, luts))
+    out_schema = "query_id long, nbr_id long, adc double"
+
+    def score(it):
+        qids_, luts_ = bc.value
+        nq = len(qids_)
+        for pdf in it:
+            C = np.stack(pdf["codes"].map(np.asarray))  # (b, m)
+            ids = pdf["id"].to_numpy()
+            # adc[b, q] = sum_j luts[q, j, C[b, j]]
+            adc = np.zeros((C.shape[0], nq))
+            for j in range(m):
+                adc += luts_[:, j, :][:, C[:, j]].T  # (b, nq)
+            kk = min(k, C.shape[0])
+            part = np.argpartition(adc, kk - 1, axis=0)[:kk]  # (kk, nq)
+            rows = {
+                "query_id": np.repeat(qids_, kk),
+                "nbr_id": ids[part].T.reshape(-1),
+                "adc": np.take_along_axis(adc, part, axis=0).T.reshape(-1),
+            }
+            yield pd.DataFrame(rows)
+
+    local = codes.mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("nbr_id").asc()
+    )
+    return (
+        local.filter(F.col("query_id") != F.col("nbr_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", F.round("adc", 6).alias("adc"), "rank")
+    )
