@@ -509,3 +509,56 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", F.round("adc", 6).alias("adc"), "rank")
     )
+
+
+def write_ivfpq_corpus(
+    corpus: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The composed IVF-PQ index (the FAISS IVFPQ shape): PQ codes
+    PARTITIONED BY IVF cell. Disk holds m bytes + a cell id per vector;
+    queries read only their nprobe cell directories AND score from
+    codes — the original embedding column appears nowhere in the
+    standing index."""
+    assigned = ivf_assign(corpus, centroids, 1, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(
+        assigned.select(F.col("id").alias("vec_id"), "vec", "cell"),
+        codebooks,
+        id_col="vec_id",
+        vec_col="vec",
+    ).join(
+        assigned.select(F.col("id").alias("id"), "cell"), "id"
+    )
+    codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivfpq_topk_pruned(
+    spark,
+    corpus_path: str,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k against a write_ivfpq_corpus() index: the queries'
+    nprobe nearest cells become an IN-list partition filter (the
+    ivf_topk_pruned contract), then pq_topk scores ONLY those cells'
+    codes from broadcast lookup tables. Returns
+    (query_id, nbr_id, adc, rank) — candidates limited to the probed
+    cells, exactly IVF-PQ's recall/latency trade."""
+    probe = ivf_assign(
+        queries, centroids, nprobe, id_col=id_col, vec_col=vec_col
+    ).select("id", "cell")
+    cells_ = sorted({int(r["cell"]) for r in probe.collect()})
+    codes = spark.read.parquet(corpus_path).filter(F.col("cell").isin(cells_))
+    return pq_topk(
+        codes.select("id", "codes"), queries, codebooks,
+        k=k, id_col=id_col, vec_col=vec_col,
+    )

@@ -289,3 +289,41 @@ def test_pq_topk_recall_vs_exact(spark):
     per_q = Counter(r.query_id for r in out)
     assert all(v == 10 for v in per_q.values())
     assert all(1 <= r.rank <= 10 for r in out)
+
+
+def test_ivfpq_pruned_reads_only_probe_cells(spark, tmp_path):
+    import numpy as np
+
+    from metadata_crawler_spark.operators.similarity import (
+        ivfpq_topk_pruned,
+        pq_encode,
+        pq_topk,
+        train_ivf_centroids,
+        train_pq,
+        write_ivfpq_corpus,
+    )
+
+    V, df = _pq_fixture(spark, n=300, dim=16, seed=5)
+    cents = train_ivf_centroids(df, n_cells=8, n_iter=4)
+    books = train_pq(df, m=4, k=16, n_iter=4)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_corpus(df, path, cents, books)
+    # the standing index holds codes + cell only — no embeddings on disk
+    stored = spark.read.parquet(path)
+    assert set(stored.columns) == {"id", "codes", "cell"}
+    queries = df.filter("vec_id < 4")
+    out = ivfpq_topk_pruned(
+        spark, path, queries, cents, books, k=5, nprobe=8
+    )
+    # nprobe == n_cells -> same results as unpruned ADC over all codes
+    full = pq_topk(stored.select("id", "codes"), queries, books, k=5)
+    a = sorted((r.query_id, r.nbr_id, r.adc) for r in out.collect())
+    b = sorted((r.query_id, r.nbr_id, r.adc) for r in full.collect())
+    assert a == b
+    # partition pruning reaches the scan
+    probe_plan = ivfpq_topk_pruned(
+        spark, path, queries, cents, books, k=5, nprobe=2
+    )
+    rows = probe_plan.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2, 3}
+    assert all(1 <= r.rank <= 5 for r in rows)
