@@ -50,13 +50,17 @@ def ingest_pages(
     min_words: int = 1,
     respect_noindex: bool = True,
     boilerplate: bool = True,
+    drop_soft404: bool = False,
 ) -> DataFrame:
     """(url, host, charset, title, canonical, published_ts, noindex,
     nofollow, text, n_blocks, boilerplate_frac, lang, ws_tokens,
-    bpe_ish_tokens, compression_ratio, too_repetitive, too_random) —
-    one map-side pass; `boilerplate=False` keeps the flat tag-strip text
-    instead of the jusText main content (for corpora where chrome is
-    wanted, e.g. link-graph mining)."""
+    bpe_ish_tokens, compression_ratio, too_repetitive, too_random,
+    soft404) — one map-side pass; `boilerplate=False` keeps the flat
+    tag-strip text instead of the jusText main content (for corpora
+    where chrome is wanted, e.g. link-graph mining). ``drop_soft404``
+    filters error pages served as 200 (quality.soft404_flags over the
+    in-pass title + extracted text) — the flag column is always
+    appended so callers can audit what a drop WOULD remove."""
     d = pages.withColumn("_dec", decode_html_udf(F.col(html_col)))
     d = d.withColumn("_meta", extract_meta_udf(F.col("_dec.text")))
     d = d.withColumn("_rb", page_robots_flags(F.col("_dec.text")))
@@ -88,6 +92,13 @@ def ingest_pages(
         bp_frac.alias("boilerplate_frac"),
     )
     d = _text_metrics(d)
+    from ..functions.quality import soft404_flags
+
+    d = d.withColumn(
+        "soft404", soft404_flags(F.col("text"), F.col("title"))["soft404"]
+    )
+    if drop_soft404:
+        d = d.filter(~F.col("soft404"))
     if respect_noindex:
         d = d.filter(~F.col("noindex"))
     return d.filter(F.col("ws_tokens") >= F.lit(int(min_words)))
@@ -174,7 +185,16 @@ def ingest_mixed(
         F.col("n_pages").alias("n_blocks"),
         F.lit(None).cast("double").alias("boilerplate_frac"),
     )
-    pdf_out = _text_metrics(pdf_rows).filter(
-        F.col("ws_tokens") >= F.lit(int(min_words))
-    ).withColumn("content_kind", F.lit("pdf"))
+    from ..functions.quality import soft404_flags
+
+    pdf_out = (
+        _text_metrics(pdf_rows)
+        # a PDF can still be an error page's body; title is NULL here so
+        # only the body/tiny signals apply
+        .withColumn(
+            "soft404", soft404_flags(F.col("text"), F.col("title"))["soft404"]
+        )
+        .filter(F.col("ws_tokens") >= F.lit(int(min_words)))
+        .withColumn("content_kind", F.lit("pdf"))
+    )
     return html_out.unionByName(pdf_out)

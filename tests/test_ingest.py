@@ -110,3 +110,29 @@ def test_ingest_mixed_pdf_dispatch(spark):
         ingest_mixed(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_ingest_drop_soft404(spark):
+    from metadata_crawler_spark.plans.ingest import ingest_pages
+
+    body = (
+        "the quick brown fox jumps over the lazy dog and then it runs "
+        "back to the barn where it sleeps for the rest of the day with "
+        "all of the other animals that live there in peace and quiet"
+    )
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/ok",
+             f"<html><head><title>Fine page</title></head>"
+             f"<body><p>{body}</p></body></html>".encode()),
+            ("https://a.com/gone",
+             b"<html><head><title>404 Not Found</title></head>"
+             b"<body><p>The page you requested is missing from this "
+             b"site entirely and forever more today.</p></body></html>"),
+        ],
+        "url string, html binary",
+    )
+    audit = {r.url: r.soft404 for r in ingest_pages(pages).collect()}
+    assert audit == {"https://a.com/ok": False, "https://a.com/gone": True}
+    kept = [r.url for r in ingest_pages(pages, drop_soft404=True).collect()]
+    assert kept == ["https://a.com/ok"]
