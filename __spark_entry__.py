@@ -2868,8 +2868,9 @@ _Q53_SQL = _Q53_SQL.replace(
 # lists the base CTE already builds
 _RG_SELECTS = "\n    UNION ALL\n".join(
     f"""    SELECT doc_id, {n} AS n,
-           unnest([array_to_string(rts[i:i+{n - 1}], ' ')
-                   FOR i IN range(1, len(rts) - {n} + 2)]) AS gram
+           unnest([{{'pos': i,
+                    'gram': array_to_string(rts[i:i+{n - 1}], ' ')}}
+                   FOR i IN range(1, len(rts) - {n} + 2)]) AS u
     FROM rt"""
     for n in (3, 4, 5, 6, 7, 8, 9, 10)
 )
@@ -2894,14 +2895,44 @@ rnc AS (
   FROM rt
 ),
 rg AS (
+  SELECT doc_id, n, u.pos AS pos, u.gram AS gram FROM (
 {_RG_SELECTS}
+  )
 ),
 rcnt AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM rg GROUP BY 1, 2, 3),
-rdoc AS (
+rtop AS (
   SELECT doc_id, n,
-         MAX(cnt * (len(gram) - (n - 1))) AS topc,
-         SUM(CASE WHEN cnt > 1 THEN cnt * (len(gram) - (n - 1)) END) AS dupc
+         MAX(CASE WHEN cnt > 1 THEN cnt * (len(gram) - (n - 1)) END) AS topc
   FROM rcnt GROUP BY 1, 2
+),
+rcov AS (
+  SELECT DISTINCT doc_id, n, tokidx FROM (
+    SELECT g.doc_id, g.n,
+           unnest(range(g.pos, g.pos + g.n)) AS tokidx
+    FROM rg g JOIN rcnt c
+      ON g.doc_id = c.doc_id AND g.n = c.n AND g.gram = c.gram
+    WHERE c.cnt > 1
+  )
+),
+rtl AS (
+  SELECT doc_id, u.i AS tokidx, u.l AS toklen FROM (
+    SELECT doc_id,
+           unnest([{{'i': i, 'l': len(rts[i])}}
+                   FOR i IN range(1, len(rts) + 1)]) AS u
+    FROM rt
+  )
+),
+rdupc AS (
+  SELECT cv.doc_id, cv.n, SUM(t.toklen) AS dupc
+  FROM rcov cv JOIN rtl t
+    ON cv.doc_id = t.doc_id AND cv.tokidx = t.tokidx
+  GROUP BY 1, 2
+),
+rdoc AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         COALESCE(a.n, b.n) AS n, a.topc, b.dupc
+  FROM rtop a FULL JOIN rdupc b
+    ON a.doc_id = b.doc_id AND a.n = b.n
 ),
 rpiv AS (
   SELECT doc_id,
@@ -3033,14 +3064,14 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(pii,
          '\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
        CAST(len(regexp_extract_all(pii,
-         '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_ips,
+         '\\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\b')) AS BIGINT) AS n_ips,
        md5(regexp_replace(
              regexp_replace(
                regexp_replace(pii,
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
                  '<EMAIL>', 'g'),
                '\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
-             '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'))
+             '\\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\b', '<IP>', 'g'))
          AS redacted_md5,
        CAST(len(regexp_extract_all(c4t, '[.!?]')) AS BIGINT) AS n_sentences,
        len(regexp_extract_all(c4t, '[.!?]')) < 3 AS lt3_sentences,
