@@ -232,7 +232,58 @@ def q02_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(False).alias("f3"),
         F.lit(False).alias("f4"),
     )
-    return traps.unionByName(redirects)
+    # r5 family merge: PSL registered-domain extraction (the politeness/
+    # budget grouping key — functions/domains.registered_domain_join,
+    # longest-suffix-match against the builtin plain-rule table) over a
+    # deterministic host lattice covering multi-level ccTLDs, private
+    # registries, the implicit default, suffix==host, and IPv4 literals.
+    from metadata_crawler_spark.functions.domains import (
+        registered_domain_join,
+        suffix_table,
+    )
+
+    hid = (F.col("doc_id") % 30).cast("string")
+    rd_src = d.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("www.site"), hid, F.lit(".co.uk")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("blog"), hid, F.lit(".example.com")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit("u"), hid, F.lit(".github.io")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("a.b.site"), hid, F.lit(".com.au")),
+        )
+        .otherwise(
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit("10.0.0."), (F.col("doc_id") % 9).cast("string")),
+            ).otherwise(F.lit("github.io"))
+        )
+        .alias("host"),
+    )
+    regd = registered_domain_join(
+        rd_src, suffix_table(spark), host_col="host"
+    ).select(
+        F.lit("regdomain").alias("kind"),
+        (F.col("doc_id") + 30_000_000).alias("doc_id"),
+        F.col("host").alias("url"),
+        F.col("reg_domain").alias("url2"),
+        F.lit(None).cast("string").alias("tmpl"),
+        F.lit(None).cast("long").alias("n1"),
+        F.lit(False).alias("f1"),
+        F.lit(False).alias("f2"),
+        F.lit(False).alias("f3"),
+        F.lit(False).alias("f4"),
+    )
+    return traps.unionByName(redirects).unionByName(regd)
 
 
 _Q02_SQL = """
@@ -297,6 +348,32 @@ WITH RECURSIVE urls AS (
 ), rfinal AS (
   SELECT url, arg_max(cur, hops) AS cur, max(hops) AS hops
   FROM rwalk GROUP BY url
+), rdh AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 5 = 0 THEN 'www.site' || (doc_id % 30) || '.co.uk'
+      WHEN doc_id % 5 = 1 THEN 'blog' || (doc_id % 30) || '.example.com'
+      WHEN doc_id % 5 = 2 THEN 'u' || (doc_id % 30) || '.github.io'
+      WHEN doc_id % 5 = 3 THEN 'a.b.site' || (doc_id % 30) || '.com.au'
+      WHEN doc_id % 2 = 0 THEN '10.0.0.' || (doc_id % 9)
+      ELSE 'github.io'
+    END AS host
+  FROM documents WHERE doc_id % 11 = 0
+), rdp AS (
+  SELECT doc_id, host, string_split(host, '.') AS parts FROM rdh
+), rdc AS (
+  SELECT doc_id,
+    unnest([array_to_string(parts[i:], '.') FOR i IN range(1, len(parts) + 1)]) AS sfx
+  FROM rdp
+), rdhit AS (
+  SELECT c.doc_id, MAX(s.n_labels) AS psn
+  FROM rdc c JOIN (VALUES __RD_SUFFIX_VALUES__) s(suffix, n_labels)
+    ON c.sfx = s.suffix
+  GROUP BY 1
+), rdfin AS (
+  SELECT p.doc_id, p.host, p.parts,
+         COALESCE(h.psn, 1) AS psn, len(p.parts) AS nj
+  FROM rdp p LEFT JOIN rdhit h ON p.doc_id = h.doc_id
 )
 SELECT 'trap' AS kind, doc_id, raw_url AS url, canon_url AS url2,
   template AS tmpl,
@@ -316,7 +393,31 @@ SELECT 'redirect', CAST(NULL AS BIGINT), f.url,
   s.url IS NOT NULL,
   FALSE, FALSE, FALSE
 FROM rfinal f LEFT JOIN redges s ON f.cur = s.url
+UNION ALL
+SELECT 'regdomain', doc_id + 30000000, host,
+  CASE WHEN regexp_matches(host, '^[a-z0-9_-]+(\\.[a-z0-9_-]+)+$')
+        AND NOT regexp_matches(host, '^\\d{1,3}(\\.\\d{1,3}){3}$')
+        AND nj > psn
+       THEN array_to_string(parts[nj - psn:], '.') END,
+  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), FALSE, FALSE, FALSE, FALSE
+FROM rdfin
 """
+
+# the oracle's rule table is generated from the SAME builtin plain-rule
+# set the Spark side joins against — one source of truth.
+def _rd_suffix_values() -> str:
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    if here not in sys.path:
+        sys.path.insert(0, here)
+    from metadata_crawler_spark.functions.domains import compile_rules
+
+    plain = sorted(compile_rules()[0])
+    return ", ".join(f"('{s}', {len(s.split('.'))})" for s in plain)
+
+
+_Q02_SQL = _Q02_SQL.replace("__RD_SUFFIX_VALUES__", _rd_suffix_values())
 
 
 # ---------------------------------------------------------------------------
