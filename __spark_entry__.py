@@ -3281,12 +3281,25 @@ def q55_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_decimals=4,  # log-prob sums are ~1000-magnitude: 6 decimals
         # sits inside cross-engine summation noise, 4 does not
     ).select("doc_id", "domain", "domain_score")
-    return base.join(scored, "doc_id").join(dsir, "doc_id").join(
+    # r5 merge: CCNet head/middle/tail perplexity tertiles per language
+    # (functions/quality.perplexity_buckets; exact ntile flavor — the
+    # production percentile_approx+broadcast flavor is pytest-verified
+    # against it in tests/test_quality.py). xent is ROUND'd to 6 decimals
+    # in BOTH engines before it becomes the ordering key.
+    from metadata_crawler_spark.functions.quality import perplexity_buckets
+
+    wide = base.join(scored, "doc_id").join(dsir, "doc_id").join(
         bg, "doc_id"
-    ).join(dom, "doc_id").select(
+    ).join(dom, "doc_id").join(d.select("doc_id", "lang"), "doc_id")
+    out = perplexity_buckets(
+        wide, "xent", "doc_id", lang_col="lang",
+        out_col="ccnet_bucket", exact=True,
+    )
+    return out.select(
         "doc_id", "n_tokens", "xent", "clf_score",
         "dsir_logw", "dsir_keep_prob", "dsir_keep",
         "n_bigrams", "xent2", "domain", "domain_score",
+        "lang", "ccnet_bucket",
     )
 
 
@@ -3445,10 +3458,15 @@ SELECT x.doc_id, x.n_tokens, x.xent, s.clf_score,
        ds.u < ds.keep_p AS dsir_keep,
        COALESCE(x2.n_bigrams, 0) AS n_bigrams,
        x2.xent2,
-       dbest.domain, dbest.domain_score
+       dbest.domain, dbest.domain_score,
+       doc.lang,
+       CASE NTILE(3) OVER (PARTITION BY doc.lang ORDER BY x.xent, x.doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS ccnet_bucket
 FROM x JOIN s USING (doc_id) JOIN ds USING (doc_id)
 LEFT JOIN x2 USING (doc_id)
 JOIN dbest USING (doc_id)
+JOIN documents doc ON doc.doc_id = x.doc_id
 """
 
 

@@ -485,6 +485,73 @@ def bigram_crossentropy(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    lang_col: str | None = None,
+    out_col: str = "ppl_bucket",
+    labels: tuple[str, str, str] = ("head", "middle", "tail"),
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3): split
+    each language's documents into perplexity tertiles — "head" (lowest
+    perplexity, Wikipedia-like), "middle", "tail" — so a pretraining mix
+    can sample buckets at different rates. ``score_col`` is any LM
+    quality score (``unigram_crossentropy``'s xent, the bigram rung, or
+    a real KenLM perplexity column).
+
+    Production path (``exact=False``): per-language p33/p66 thresholds
+    via ``percentile_approx`` — ONE tiny partial-aggregated shuffle of
+    (lang, score) pairs and a broadcast join back; the corpus itself
+    never re-shuffles, so the shape survives a 100 TB corpus where a
+    per-language window would funnel each language through single
+    reducers. Tie policy: score <= threshold buckets low, matching the
+    CDF definition.
+
+    Oracle path (``exact=True``): ``ntile(3)`` over (lang, score, id) —
+    exact tertiles with a total order, expressible identically in SQL
+    engines, for parity tests and small corpora.
+    """
+    from pyspark.sql import Window
+
+    lang = F.col(lang_col) if lang_col is not None else F.lit("")
+    if exact:
+        w = Window.partitionBy(lang).orderBy(F.col(score_col), F.col(id_col))
+        tile = F.ntile(3).over(w)
+        bucket = (
+            F.when(tile == 1, labels[0])
+            .when(tile == 2, labels[1])
+            .otherwise(labels[2])
+        )
+        return df.withColumn(out_col, bucket)
+    cuts = (
+        df.groupBy(lang.alias("_pb_lang"))
+        .agg(
+            F.percentile_approx(
+                F.col(score_col), [1.0 / 3.0, 2.0 / 3.0], accuracy
+            ).alias("_pb_cuts")
+        )
+        .select(
+            "_pb_lang",
+            F.col("_pb_cuts")[0].alias("_pb_t1"),
+            F.col("_pb_cuts")[1].alias("_pb_t2"),
+        )
+    )
+    joined = df.join(
+        F.broadcast(cuts), lang == F.col("_pb_lang"), "left"
+    )
+    bucket = (
+        F.when(F.col(score_col) <= F.col("_pb_t1"), labels[0])
+        .when(F.col(score_col) <= F.col("_pb_t2"), labels[1])
+        .otherwise(labels[2])
+    )
+    return joined.withColumn(out_col, bucket).drop(
+        "_pb_lang", "_pb_t1", "_pb_t2"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Model-based quality scoring (fastText/DCLM-style linear classifier)
 # ---------------------------------------------------------------------------

@@ -80,6 +80,7 @@ def clean_corpus(
     lang_keep: set[str] | None = None,
     lang_top_n: int = 100,
     repetition_ladder: bool = False,
+    ccnet_keep: tuple[str, ...] | None = None,
     stage_counts: dict | None = None,
 ) -> DataFrame:
     """Returns the surviving documents as (id, text) where ``text`` is
@@ -114,8 +115,13 @@ def clean_corpus(
     count() pass, and no double-count hazard from branched consumers
     (the checkpoint is the single materialization; downstream reuse
     reads the materialized blocks). Keys land in pipeline order:
-    input, lang_gate, quality_gate, clf_gate, exact_dedup, fuzzy_dedup, semdedup,
-    paragraph_dedup, decontamination.
+    input, lang_gate, quality_gate, clf_gate, ccnet_gate, exact_dedup,
+    fuzzy_dedup, semdedup, paragraph_dedup, decontamination.
+
+    CCNet bucket gate (``ccnet_keep``, e.g. ``("head", "middle")``):
+    per-language perplexity tertiles of the self-corpus unigram
+    cross-entropy (``quality.perplexity_buckets``); languages come from
+    ``lang_profiles`` when given, else one global distribution.
 
     SemDeDup stage (``embeddings`` + ``semdedup_centroids``, r5):
     embedding-space dedup after the text-level dedups — see
@@ -209,6 +215,34 @@ def clean_corpus(
             # scoring once — bounded, vs pinning (id, text, score) for
             # the whole application lifetime
             scored.unpersist()
+
+    # 1c. optional CCNet perplexity-bucket gate (Wenzek et al. 2020):
+    # per-language tertiles of the unigram cross-entropy; only documents
+    # in ``ccnet_keep`` buckets survive (CCNet keeps head+middle).
+    # Buckets come from the production percentile_approx + broadcast
+    # flavor — the corpus never funnels through per-language windows.
+    # Stage key: ccnet_gate.
+    if ccnet_keep is not None:
+        from ..functions.quality import perplexity_buckets, unigram_crossentropy
+
+        x = unigram_crossentropy(survivors, "text", "id").select("id", "xent")
+        lang_col = None
+        if lang_profiles is not None:
+            from ..functions.langid import classify_lang
+
+            langs = classify_lang(
+                survivors, lang_profiles, "text", "id", top_n=lang_top_n
+            ).select("id", "lang")
+            x = x.join(langs, "id", "left")
+            lang_col = "lang"
+        keep_ids = (
+            perplexity_buckets(x, "xent", "id", lang_col=lang_col)
+            .filter(F.col("ppl_bucket").isin(list(ccnet_keep)))
+            .select("id")
+        )
+        survivors = _stage(
+            "ccnet_gate", survivors.join(keep_ids, "id", "left_semi")
+        )
 
     # 2. PII scrub
     red = survivors.select("id", redact_pii(F.col("text")).alias("text"))

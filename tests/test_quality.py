@@ -1015,3 +1015,87 @@ def test_repetition_ladder_gate_in_clean_corpus(spark):
     assert 100 in base_kept          # base thresholds disabled above
     assert 100 not in ladder_kept    # the ladder catches the dup bomb
     assert ladder_kept <= base_kept
+
+
+def test_perplexity_buckets_planted_tertiles(spark):
+    """CCNet head/middle/tail (quality.perplexity_buckets): exact ntile
+    flavor buckets a planted 1..9-score language into 3/3/3, per
+    language independently; the approx (percentile_approx + broadcast)
+    production flavor agrees on a well-separated distribution and never
+    shuffles the corpus side."""
+    from metadata_crawler_spark.functions.quality import perplexity_buckets
+
+    rows = [(f"en{i}", "en", float(i)) for i in range(1, 10)]
+    rows += [(f"de{i}", "de", float(100 + i)) for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "id string, lang string, score double")
+    exact = perplexity_buckets(
+        df, "score", "id", lang_col="lang", exact=True
+    ).collect()
+    by = {r["id"]: r["ppl_bucket"] for r in exact}
+    for lang in ("en", "de"):
+        assert [by[f"{lang}{i}"] for i in range(1, 10)] == (
+            ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+        )
+    approx = perplexity_buckets(df, "score", "id", lang_col="lang")
+    got = {r["id"]: r["ppl_bucket"] for r in approx.collect()}
+    agree = sum(got[k] == by[k] for k in by)
+    assert agree >= len(by) - 2  # ties at the cut may differ by policy
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    # production flavor: corpus side joins broadcast thresholds — no
+    # per-language window funneling the corpus through one reducer
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_perplexity_buckets_no_lang(spark):
+    from metadata_crawler_spark.functions.quality import perplexity_buckets
+
+    df = spark.createDataFrame(
+        [(str(i), float(i % 30)) for i in range(90)], "id string, score double"
+    )
+    out = perplexity_buckets(df, "score", "id", exact=True)
+    counts = (
+        out.groupBy("ppl_bucket").count().toPandas()
+        .set_index("ppl_bucket")["count"].to_dict()
+    )
+    assert counts == {"head": 30, "middle": 30, "tail": 30}
+
+
+def test_clean_corpus_ccnet_gate(spark):
+    """ccnet_keep=("head","middle") drops roughly the top perplexity
+    tertile; stage_counts records the ccnet_gate boundary; the gate
+    composes with the rest of the pipeline (survivors are a subset of
+    the ungated run)."""
+    from metadata_crawler_spark.plans.corpus_pipeline import clean_corpus
+
+    # 60 docs rotating through one 30-word shared vocabulary (every
+    # token seen ~48x -> low xent) + 20 docs of singleton tokens (high
+    # xent -> the tail bucket). 24 distinct words per doc so the Gopher
+    # gate passes everything.
+    vocab = [f"w{k}" for k in range(30)]
+    rows = [
+        (i, " ".join(vocab[(i * 7 + j) % 30] for j in range(24)))
+        for i in range(60)
+    ] + [
+        (100 + i, " ".join(f"u{i}x{j}" for j in range(24)))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts: dict = {}
+    kept = {
+        r["id"]
+        for r in clean_corpus(
+            df, "text", "doc_id",
+            ccnet_keep=("head", "middle"),
+            stage_counts=counts,
+        ).collect()
+    }
+    assert counts["quality_gate"] == 80
+    # the rare-vocabulary plant IS the tail bucket: all 20 dropped,
+    # every shared-vocabulary doc survives the gate
+    assert counts["ccnet_gate"] == 60
+    assert all(100 + i not in kept for i in range(20))
+    ungated = {
+        r["id"] for r in clean_corpus(df, "text", "doc_id").collect()
+    }
+    assert kept <= ungated
