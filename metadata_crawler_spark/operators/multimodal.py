@@ -16,7 +16,10 @@ genuinely need absent libraries):
    IDCT, gray/4:4:4/4:2:0, restart markers, r5; baseline AND
    progressive SOF2 — spectral selection, successive approximation,
    EOB runs — so the dominant large-web-image layout decodes jar-free),
-   PPM/PGM images (``decode_ppm``) and WAV PCM audio (``decode_wav``).
+   PPM/PGM images (``decode_ppm``), WAV PCM audio (``decode_wav``) and
+   FLAC lossless audio (``flac_codec.decode_flac``: full subframe set —
+   CONSTANT/VERBATIM/FIXED/LPC — rice/rice2 partitioned residuals, all
+   stereo decorrelation modes, CRC-checked frames, r5).
    These run fully in this sandbox; ``media_pixel_stats`` drives them
    through mapInPandas to per-blob pixel/sample statistics columns.
    GIF (``gif_codec.decode_gif``: full variable-width LZW, interlace,
@@ -593,8 +596,15 @@ def media_pixel_stats(df: DataFrame) -> DataFrame:
                             px_std=float(np.round(a.std(), 6)),
                             ok=True,
                         )
-                    elif fmt == "wav":
-                        x, rate = decode_wav(b)
+                    elif fmt in ("wav", "flac"):
+                        # flac: REAL lossless decode (operators/flac_codec,
+                        # CRC-checked), same (samples, rate) contract as wav
+                        if fmt == "wav":
+                            x, rate = decode_wav(b)
+                        else:
+                            from .flac_codec import decode_flac
+
+                            x, rate = decode_flac(b)
                         row.update(
                             channels=int(x.shape[1]), sample_rate=int(rate),
                             n_samples=int(x.shape[0]),
