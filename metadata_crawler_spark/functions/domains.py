@@ -160,14 +160,17 @@ def _trigger_sets(compiled) -> tuple[frozenset[str], frozenset[str]]:
     domain is computable in pure JVM expressions."""
     plain, wild, exc = compiled
     t1, t2 = set(), set()
-    for r in plain | exc:
+    # 1-label PLAIN rules are skipped on purpose: they yield exactly the
+    # implicit-default result (registered domain = last two labels), so
+    # routing them to Python would send ~every row of a full-PSL config
+    # (which lists every TLD as a plain rule) through Arrow for nothing.
+    # Exceptions and wildcards can change the outcome at any depth, so
+    # their 1-label forms stay hard.
+    for r in plain:
         ls = r.split(".")
         if len(ls) >= 2:
             t2.add(".".join(ls[-2:]))
-        else:
-            t1.add(ls[-1])  # a 1-label plain rule == the default rule,
-            # but an exception to it could differ; keep it hard.
-    for r in wild:
+    for r in wild | exc:
         ls = r.split(".")
         if len(ls) >= 2:
             t2.add(".".join(ls[-2:]))
@@ -212,7 +215,12 @@ def with_registered_domain(
     host = F.lower(
         F.col(host_col) if host_col is not None else host_expr(F.col(url_col))
     )
-    host = F.regexp_replace(host, r"\.$", "")
+    # same normalization SEQUENCE as py_registered_domain (strip
+    # whitespace, then strip dots) so both tiers classify malformed
+    # hosts identically — a one-trailing-dot-only strip here would NULL
+    # '.a.example.com' on the fast tier while the UDF tier resolves it
+    host = F.regexp_replace(host, r"^\s+|\s+$", "")
+    host = F.regexp_replace(host, r"^\.+|\.+$", "")
     labels = F.split(host, r"\.")
     n = F.size(labels)
     last1 = F.element_at(labels, -1)
@@ -260,14 +268,23 @@ def registered_domain_join(
     default unmatched hosts to the implicit ``*`` rule (last 2 labels).
     SQL-expressible (the DuckDB oracle runs the same unnest + argmax),
     and the right shape when the rule table is user-supplied and too hot
-    to ship in a closure. One row-keyed shuffle (the per-row argmax);
-    the production zero-shuffle path is :func:`with_registered_domain`."""
+    to ship in a closure. Hit lookups are keyed on DISTINCT hosts (one
+    host-keyed shuffle over |hosts| << |rows|, joined back); the
+    production zero-shuffle path is :func:`with_registered_domain`."""
     host = F.lower(
         F.col(host_col) if host_col is not None else host_expr(F.col(url_col))
     )
-    host = F.regexp_replace(host, r"\.$", "")
-    rid = F.monotonically_increasing_id()
-    base = df.withColumn("_rdhost", host).withColumn("_rid", rid)
+    host = F.regexp_replace(host, r"^\s+|\s+$", "")
+    host = F.regexp_replace(host, r"^\.+|\.+$", "")
+    base = df.withColumn("_rdhost", host)
+    # the longest matched suffix is a pure function of the HOST, so the
+    # hit table is keyed on distinct hosts — no synthetic row id (a
+    # monotonically_increasing_id self-join pairs rows only if both plan
+    # branches happen to enumerate identically; host keys are
+    # deterministic under retries/repartitioning) and repeated hosts pay
+    # the explode once. Web corpora have |hosts| << |rows|, so the hit
+    # table is small and usually broadcasts back.
+    dhosts = base.select("_rdhost").distinct()
     labels = F.split(F.col("_rdhost"), r"\.")
     n = F.size(labels)
     # every dot-suffix INCLUDING the full host: a host that is itself a
@@ -280,21 +297,21 @@ def registered_domain_join(
             lambda i: F.concat_ws(".", F.slice(labels, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    cand = base.select("_rid", "_rdhost", F.explode(suffixes).alias("_sfx"))
+    cand = dhosts.select("_rdhost", F.explode(suffixes).alias("_sfx"))
     hits = (
         cand.join(
             F.broadcast(suffix_df.select(F.col("suffix").alias("_sfx"), "n_labels")),
             "_sfx",
             "inner",
         )
-        .groupBy("_rid")
+        .groupBy("_rdhost")
         .agg(F.max("n_labels").alias("_psn"))
     )
     valid = (
         F.col("_rdhost").rlike(r"^[a-z0-9_-]+(\.[a-z0-9_-]+)+$")
         & ~F.col("_rdhost").rlike(_IPV4_RE_J)
     )
-    joined = base.join(hits, "_rid", "left")
+    joined = base.join(hits, "_rdhost", "left")
     nj = F.size(F.split(F.col("_rdhost"), r"\."))
     psn = F.coalesce(F.col("_psn"), F.lit(1))
     out = F.when(
@@ -303,4 +320,4 @@ def registered_domain_join(
             F.slice(F.split(F.col("_rdhost"), r"\."), nj - psn, psn + 1), "."
         ),
     )
-    return joined.withColumn(out_col, out).drop("_rid", "_rdhost", "_psn")
+    return joined.withColumn(out_col, out).drop("_rdhost", "_psn")

@@ -539,8 +539,11 @@ def perplexity_buckets(
             F.col("_pb_cuts")[1].alias("_pb_t2"),
         )
     )
+    # eqNullSafe: a NULL lang group still gets ITS OWN cuts row (groupBy
+    # keeps NULL keys); plain == would never match it and every NULL-lang
+    # doc would silently land in "tail"
     joined = df.join(
-        F.broadcast(cuts), lang == F.col("_pb_lang"), "left"
+        F.broadcast(cuts), lang.eqNullSafe(F.col("_pb_lang")), "left"
     )
     bucket = (
         F.when(F.col(score_col) <= F.col("_pb_t1"), labels[0])

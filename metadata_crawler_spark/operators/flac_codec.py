@@ -303,11 +303,12 @@ def decode_flac(blob: bytes) -> tuple[np.ndarray, int]:
             bits.read(16)
         elif sr_code == 15:
             raise ValueError("flac: invalid sample rate code")
-        bps = (
-            info["bits_per_sample"]
-            if ss_code == 0
-            else _SAMPLE_SIZE_CODES[ss_code]
-        )
+        if ss_code == 0:
+            bps = info["bits_per_sample"]
+        elif ss_code in _SAMPLE_SIZE_CODES:
+            bps = _SAMPLE_SIZE_CODES[ss_code]
+        else:  # reserved code 3: ValueError per the corrupt-media contract
+            raise ValueError("flac: reserved sample size code")
         # header CRC-8 covers sync..crc byte exclusive
         hdr_end = bits.byte_pos()
         expect8 = bits.read(8)

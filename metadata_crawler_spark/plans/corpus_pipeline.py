@@ -149,11 +149,20 @@ def clean_corpus(
     # downstream compute. Trained Cavnar-Trenkle profiles
     # (functions/langid.train_lang_profiles) classify every doc; only
     # ``lang_keep`` languages survive. Stage key: lang_gate.
+    lang_assign: DataFrame | None = None
     if lang_profiles is not None and lang_keep:
         from ..functions.langid import classify_lang
 
+        lang_assign = classify_lang(
+            base, lang_profiles, "text", "id", top_n=lang_top_n
+        ).select("id", "lang")
+        if ccnet_keep is not None:
+            # the ccnet gate reuses these labels; materialize the tiny
+            # (id, lang) projection once so classify_lang's gram-explode
+            # pass doesn't re-run from scratch at the second consumer
+            lang_assign = lang_assign.localCheckpoint()
         kept = (
-            classify_lang(base, lang_profiles, "text", "id", top_n=lang_top_n)
+            lang_assign
             .filter(F.col("lang").isin(sorted(lang_keep)))
             .select("id")
         )
@@ -227,7 +236,11 @@ def clean_corpus(
 
         x = unigram_crossentropy(survivors, "text", "id").select("id", "xent")
         lang_col = None
-        if lang_profiles is not None:
+        if lang_assign is not None:
+            # labels already computed (and checkpointed) by the lang gate
+            x = x.join(lang_assign, "id", "left")
+            lang_col = "lang"
+        elif lang_profiles is not None:
             from ..functions.langid import classify_lang
 
             langs = classify_lang(

@@ -188,3 +188,34 @@ def test_site_politeness_serializes_subdomains(spark):
     ).collect()
     zero_offsets = [r for r in per_host if r["fetch_offset_ms"] == 0]
     assert len(zero_offsets) == 3  # www, news, other each rank-1 at 0
+
+
+def test_tier_consistency_on_malformed_hosts(spark):
+    """Review fix: both tiers share py_registered_domain's normalization
+    sequence (strip whitespace, then dots) — a leading-dot host resolves
+    identically whether or not its TLD is in the trigger set."""
+    hosts = [
+        ".a.github.io", ".a.example.com", " b.example.com ",
+        "c.example.com.", " .d.example.com", "e.co.uk.",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r["host"]: r["reg_domain"]
+        for r in with_registered_domain(df, host_col="host").collect()
+    }
+    for h in hosts:
+        assert got[h] == py_registered_domain(h), h
+    assert got[".a.github.io"] == "a.github.io"
+    assert got[".a.example.com"] == "example.com"
+
+
+def test_trigger_sets_skip_single_label_plain_rules():
+    """Review fix: a full-PSL config (every TLD as a 1-label plain rule)
+    must NOT route every row to the Python tier — 1-label plain rules
+    equal the implicit default; wildcards/exceptions stay hard."""
+    from metadata_crawler_spark.functions.domains import _trigger_sets
+
+    compiled = compile_rules(["com", "org", "uk", "co.uk", "*.ck", "!www.ck"])
+    t1, t2 = _trigger_sets(compiled)
+    assert t1 == {"ck"}
+    assert t2 == {"co.uk", "www.ck"}

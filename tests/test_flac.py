@@ -136,3 +136,15 @@ def test_media_pixel_stats_flac_parity(spark):
         assert f["sample_rate"] == w["sample_rate"] == 8000
         assert f["rms"] == pytest.approx(w["rms"], abs=1e-4)
         assert f["duration_s"] == w["duration_s"]
+
+
+def test_reserved_sample_size_code_is_value_error():
+    """Review fix: reserved ss_code=3 raises ValueError (the corrupt-
+    media contract), not KeyError."""
+    blob = bytearray(encode_flac(_smooth(256), block_size=256))
+    info = parse_streaminfo(bytes(blob))
+    f = info["frames_at"]
+    # frame byte 3 = ch_code<<4 | ss_code<<1 | reserved; force ss=3
+    blob[f + 3] = (blob[f + 3] & 0xF0) | (3 << 1)
+    with pytest.raises(ValueError, match="sample size"):
+        decode_flac(bytes(blob))

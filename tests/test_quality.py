@@ -1099,3 +1099,51 @@ def test_clean_corpus_ccnet_gate(spark):
         r["id"] for r in clean_corpus(df, "text", "doc_id").collect()
     }
     assert kept <= ungated
+
+
+def test_perplexity_buckets_null_lang_group(spark):
+    """Review fix: NULL-lang rows form their own threshold group in the
+    approx flavor (eqNullSafe join) instead of all landing in 'tail'."""
+    from metadata_crawler_spark.functions.quality import perplexity_buckets
+
+    rows = [(f"n{i}", None, float(i)) for i in range(1, 10)]
+    rows += [(f"e{i}", "en", float(i)) for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "id string, lang string, score double")
+    got = {
+        r["id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(
+            df, "score", "id", lang_col="lang"
+        ).collect()
+    }
+    null_buckets = {got[f"n{i}"] for i in range(1, 10)}
+    assert null_buckets == {"head", "middle", "tail"}
+
+
+def test_clean_corpus_lang_plus_ccnet_reuses_labels(spark):
+    """lang_keep + ccnet_keep together: one classify_lang pass feeds
+    both gates; pipeline completes with both stage counts recorded."""
+    from metadata_crawler_spark.functions.langid import train_lang_profiles
+    from metadata_crawler_spark.plans.corpus_pipeline import clean_corpus
+
+    en = "the quick brown fox jumps over the lazy dog near the old river"
+    de = "der schnelle braune fuchs springt ueber den faulen hund am fluss"
+    labeled = spark.createDataFrame(
+        [("en", en), ("de", de)], "lang string, text string"
+    )
+    profiles = train_lang_profiles(labeled, top_n=200)
+    vocab_en = en.split()
+    rows = [
+        (i, " ".join(vocab_en[(i + j) % len(vocab_en)] for j in range(24)))
+        for i in range(30)
+    ] + [(100 + i, de + f" extra{i} wort{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts: dict = {}
+    out = clean_corpus(
+        df, "text", "doc_id",
+        lang_profiles=profiles, lang_keep={"en"},
+        ccnet_keep=("head", "middle"),
+        stage_counts=counts,
+    ).collect()
+    assert counts["lang_gate"] == 30  # german docs gated out
+    assert 0 < counts["ccnet_gate"] <= counts["quality_gate"]
+    assert all(r["id"] < 100 for r in out)
