@@ -182,8 +182,13 @@ def media_phash(
                         row.update(
                             phash=dhash64(fr[0]), ahash=ahash64(fr[0]), ok=True
                         )
-                    elif fmt == "wav":
-                        x, rate = decode_wav(b)
+                    elif fmt in ("wav", "flac"):
+                        if fmt == "wav":
+                            x, rate = decode_wav(b)
+                        else:  # FLAC decodes losslessly -> identical
+                            from .flac_codec import decode_flac  # fingerprint
+
+                            x, rate = decode_flac(b)
                         row.update(phash=audio_fp64(x, rate), ok=True)
                 except Exception:
                     row["ok"] = False

@@ -123,6 +123,15 @@ class CrawlConfig:
     #: cash-splitting keeps rounds cheap; the periodic global sweep
     #: re-prioritizes by link authority. None/0 = off (default).
     pagerank_every: int | None = None
+    #: serialize fetch offsets across ALL subdomains of one registrable
+    #: domain (PSL — operators/frontier.with_site): a thousand
+    #: *.blogspot.com hosts stop hitting the origin simultaneously.
+    #: Robots matching and budgets stay per-host (RFC 9309 origin scope).
+    #: Costs one site-keyed window per round; off by default.
+    site_politeness: bool = False
+    #: PSL rule overrides for site grouping (None = builtin subset;
+    #: production passes the full downloaded public-suffix list)
+    psl_rules: tuple | None = None
     pagerank_iterations: int = 3
     pagerank_damping: float = 0.85
     #: periodic host-blocklist mining (functions/urls.mine_blocked_hosts):
@@ -519,8 +528,13 @@ class Crawler:
             new_urls, hosts_cur, self.robots, cfg.default_budget,
             self.robots_broadcast(), self.hosts_broadcast(),
         ).persist()
+        topk = per_host_topk(gated, "budget", cfg.salt_parts)
+        if cfg.site_politeness:
+            from ..operators.frontier import with_site
+
+            topk = with_site(topk, rules=cfg.psl_rules)
         scheduled = with_politeness_schedule(
-            per_host_topk(gated, "budget", cfg.salt_parts)
+            topk, by_site=cfg.site_politeness
         )
         if cfg.max_urls_per_round is not None:
             # deterministic valve: global order, not task order

@@ -253,3 +253,32 @@ def test_simhash_pigeonhole_guard(spark):
         simhash_neardup_pairs(df, max_hamming=4, block_bits=16)
     with pytest.raises(ValueError):
         simhash_neardup_pairs(df, max_hamming=3, block_bits=24)
+
+
+def test_flac_fingerprint_matches_wav(spark):
+    """FLAC is lossless: the spectral audio fingerprint of a FLAC blob
+    equals the fingerprint of the WAV carrying the same PCM."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from metadata_crawler_spark.operators.flac_codec import encode_flac
+    from metadata_crawler_spark.operators.perceptual import media_phash
+
+    rng = np.random.default_rng(9)
+    pcm = (rng.integers(-20000, 20000, size=4000)).astype(np.int64)
+    flac = encode_flac(pcm, sample_rate=8000, mode="fixed2", rice_param=8)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(pcm.astype("<i2").tobytes())
+    df = spark.createDataFrame(
+        [(0, bytearray(flac)), (1, bytearray(buf.getvalue()))],
+        "media_id long, media binary",
+    )
+    out = {r["media_id"]: r for r in media_phash(df).collect()}
+    assert out[0]["ok"] and out[1]["ok"]
+    assert out[0]["phash"] == out[1]["phash"]
