@@ -1460,11 +1460,21 @@ def q29_crawl_schedule_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("url_hash_hi", "url_hash_lo")
     bloom = bloom_build(seen, 8, expected_per_shard=1024)
     new_urls = dedup_against_seen(frontier, seen, bloom, 8)
-    sched = schedule_round(new_urls, hosts, robots, salt_parts=4).select(
+    # r5 family merge: site_politeness=True — offsets serialize across
+    # subdomains of one registrable domain (operators/frontier.with_site,
+    # running sum of prior delays; oracle = the same window in SQL). The
+    # classic per-host offset stays derivable as (rank-1)*delay, so ONE
+    # scheduling pass yields both columns.
+    sched = schedule_round(
+        new_urls, hosts, robots, salt_parts=4, site_politeness=True
+    ).select(
         "url", "host",
         F.col("depth").cast("long").alias("depth"),
         F.col("rank").cast("long").alias("rank"),
-        F.col("fetch_offset_ms").cast("long").alias("fetch_offset_ms"),
+        ((F.col("rank") - 1) * F.col("crawl_delay_ms"))
+        .cast("long").alias("fetch_offset_ms"),
+        "site",
+        F.col("fetch_offset_ms").cast("long").alias("site_offset_ms"),
     )
     # family merge (VERDICT r4 item 8): fixed-3-iteration PageRank over
     # the fixture link graph (href edges out of the html column), vertex
@@ -1485,7 +1495,8 @@ def q29_crawl_schedule_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(edges, iterations=3, vertices=frontier.select("url"))
     return sched.join(pr, "url").select(
-        sched["*"], F.round("pr", 9).alias("pr")
+        "url", "host", "depth", "rank", "fetch_offset_ms",
+        F.round("pr", 9).alias("pr"), "site", "site_offset_ms",
     )
 
 
@@ -1528,11 +1539,30 @@ robo AS (
                     WHERE starts_with(g.path, d))
 ),
 ranked AS (
-  SELECT url, host, depth, crawl_delay_ms,
+  SELECT url, host, depth, score, crawl_delay_ms,
          COALESCE(budget, 8) AS budget,
          ROW_NUMBER() OVER (PARTITION BY host
                             ORDER BY depth ASC, score DESC, url ASC) AS rank
   FROM robo
+),
+topk AS (SELECT * FROM ranked WHERE rank <= budget),
+-- site-politeness family merge: site = registrable domain (fixture
+-- hosts are all implicit-default PSL shapes -> last two labels);
+-- offsets = running sum of PRIOR rows' delays within the site, same
+-- (depth, score DESC, url) order the per-host rank uses
+sitep AS (
+  SELECT *,
+    CASE WHEN regexp_extract(host, '([a-z0-9_-]+\\.[a-z0-9_-]+)$', 1) <> ''
+         THEN regexp_extract(host, '([a-z0-9_-]+\\.[a-z0-9_-]+)$', 1)
+         ELSE host END AS site
+  FROM topk
+),
+siteo AS (
+  SELECT *,
+    COALESCE(SUM(crawl_delay_ms) OVER (
+      PARTITION BY site ORDER BY depth ASC, score DESC, url ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS site_offset_ms
+  FROM sitep
 ),
 -- PageRank family merge: 3 unrolled iterations of the same simplified
 -- recurrence operators/frontier.pagerank runs (no dangling spread);
@@ -1565,9 +1595,9 @@ pr3 AS (SELECT pv.url, (1.0 - 0.85) / pn.n + 0.85 * COALESCE(c3.m, 0.0) AS pr
 SELECT r.url, r.host, CAST(r.depth AS BIGINT) AS depth,
        CAST(r.rank AS BIGINT) AS rank,
        CAST((r.rank - 1) * r.crawl_delay_ms AS BIGINT) AS fetch_offset_ms,
-       ROUND(pr3.pr, 9) AS pr
-FROM ranked r JOIN pr3 ON r.url = pr3.url
-WHERE r.rank <= r.budget
+       ROUND(pr3.pr, 9) AS pr,
+       r.site, CAST(r.site_offset_ms AS BIGINT) AS site_offset_ms
+FROM siteo r JOIN pr3 ON r.url = pr3.url
 """
 
 
