@@ -17,6 +17,10 @@ remaining standard families:
 - :func:`unigram_crossentropy` — the CCNet perplexity-bucket analog:
   per-document mean -log2 p(token) under the corpus's own unigram
   distribution.
+- :func:`perplexity_buckets` — the CCNet head/middle/tail split itself
+  (Wenzek et al. 2020 §4.3): per-language score tertiles via
+  percentile_approx + broadcast thresholds (production) or ntile(3)
+  (exact, engine-parity).
 
 Everything is JVM-side; the only shuffle in the module is
 ``gopher_repetition``'s bigram count, keyed (id, bigram) with a map-side
