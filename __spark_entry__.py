@@ -435,8 +435,16 @@ def q03_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (host = doc_id%20, content class = doc_id%97 — 97 coprime to 20
     spreads each content class across hosts). The oracle replicates the
     mirror semantics on content equality directly (hash values never
-    leave the plan). Tagged union (kind, k1, k2, n1, n2, n3, v)."""
+    leave the plan). r5 continuation adds 'dust' rows — DUST rewrite-rule
+    mining (operators/dust.mine_dust_rules, Bar-Yossef et al. 2007) over
+    a synthesized alias corpus: every doc gets a canonical URL, %3 docs
+    an '-amp' path alias, %5 docs a '?print=1' alias, all sharing the
+    doc's content key; the two planted rules must come back with exact
+    support/applications/valid/precision (the DuckDB twin recomputes
+    lcp/lcs diffs via correlated generate_series subqueries).
+    Tagged union (kind, k1, k2, n1, n2, n3, v)."""
     _prep(spark)
+    from metadata_crawler_spark.operators.dust import mine_dust_rules
     from metadata_crawler_spark.operators.mirrors import detect_mirrors
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -473,7 +481,41 @@ def q03_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_b").alias("n3"),
         F.col("containment").alias("v"),
     )
-    return exact.unionByName(mirrors)
+    canon = d.select(
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".ex.com/article/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("c"), F.col("doc_id").cast("string")).alias("h"),
+    )
+    amp = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".ex.com/article-amp/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("c"), F.col("doc_id").cast("string")).alias("h"),
+    )
+    prn = d.filter(F.col("doc_id") % 5 == 0).select(
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".ex.com/article/"), F.col("doc_id").cast("string"),
+            F.lit("?print=1"),
+        ).alias("url"),
+        F.concat(F.lit("c"), F.col("doc_id").cast("string")).alias("h"),
+    )
+    dust = mine_dust_rules(
+        canon.unionByName(amp).unionByName(prn),
+        hash_col="h", min_support=3, min_precision=0.8,
+    ).select(
+        F.lit("dust").alias("kind"),
+        F.col("alpha").alias("k1"),
+        F.col("beta").alias("k2"),
+        F.col("support").alias("n1"),
+        F.col("applications").alias("n2"),
+        F.col("valid").alias("n3"),
+        F.col("precision").alias("v"),
+    )
+    return exact.unionByName(mirrors).unionByName(dust)
 
 
 _Q03_SQL = """
@@ -503,6 +545,69 @@ SELECT 'mirror', host_a, host_b, shared, sa.n, sb.n,
        ROUND(shared / LEAST(sa.n, sb.n), 6)
 FROM pr JOIN sz sa ON pr.host_a = sa.host JOIN sz sb ON pr.host_b = sb.host
 WHERE shared >= 2 AND ROUND(shared / LEAST(sa.n, sb.n), 6) >= 0.05
+UNION ALL
+SELECT 'dust', alpha, beta, support, applications, valid,
+       ROUND(valid / applications, 6)
+FROM (
+  WITH du AS (
+    SELECT 'http://h' || (doc_id % 7) || '.ex.com/article/' || doc_id AS url,
+           'c' || doc_id AS h
+    FROM documents
+    UNION ALL
+    SELECT 'http://h' || (doc_id % 7) || '.ex.com/article-amp/' || doc_id,
+           'c' || doc_id
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT 'http://h' || (doc_id % 7) || '.ex.com/article/' || doc_id
+             || '?print=1',
+           'c' || doc_id
+    FROM documents WHERE doc_id % 5 = 0
+  ), grp AS (
+    SELECT url, h,
+           COUNT(*) OVER (PARTITION BY h) AS n_grp,
+           FIRST_VALUE(url) OVER (
+             PARTITION BY h ORDER BY LENGTH(url), url) AS rep
+    FROM du
+  ), prs AS (
+    SELECT url, rep FROM grp WHERE n_grp BETWEEN 2 AND 50 AND url <> rep
+  ), dp AS (
+    SELECT url, rep,
+      (SELECT COALESCE(MAX(i), 0)
+         FROM generate_series(1, 200) t(i)
+        WHERE i <= LEAST(LENGTH(url), LENGTH(rep))
+          AND SUBSTR(url, 1, CAST(i AS INT)) = SUBSTR(rep, 1, CAST(i AS INT))
+      ) AS lcp
+    FROM prs
+  ), ds AS (
+    SELECT url, rep, lcp,
+      (SELECT COALESCE(MAX(i), 0)
+         FROM generate_series(1, 200) t(i)
+        WHERE i <= LEAST(LENGTH(url), LENGTH(rep)) - lcp
+          AND RIGHT(url, CAST(i AS INT)) = RIGHT(rep, CAST(i AS INT))
+      ) AS lcs
+    FROM dp
+  ), cand AS (
+    SELECT SUBSTR(url, CAST(lcp + 1 AS INT),
+                  CAST(LENGTH(url) - lcp - lcs AS INT)) AS alpha,
+           SUBSTR(rep, CAST(lcp + 1 AS INT),
+                  CAST(LENGTH(rep) - lcp - lcs AS INT)) AS beta
+    FROM ds
+  ), rules AS (
+    SELECT alpha, beta, COUNT(*) AS support FROM cand
+    WHERE LENGTH(alpha) BETWEEN 1 AND 40 AND LENGTH(beta) <= 40
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+  ), apps AS (
+    SELECT r.alpha, r.beta, r.support, u.h,
+           REPLACE(u.url, r.alpha, r.beta) AS rew
+    FROM rules r JOIN du u ON POSITION(r.alpha IN u.url) > 0
+  )
+  SELECT a.alpha, a.beta, ANY_VALUE(a.support) AS support,
+         COUNT(*) AS applications,
+         SUM(CASE WHEN t.h = a.h THEN 1 ELSE 0 END) AS valid
+  FROM apps a LEFT JOIN du t ON t.url = a.rew
+  GROUP BY a.alpha, a.beta
+)
+WHERE ROUND(valid / applications, 6) >= 0.8
 """
 
 
