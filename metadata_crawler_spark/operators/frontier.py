@@ -352,6 +352,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     vertices: DataFrame | None = None,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a (src, dst) link multigraph — the
     periodic frontier re-scoring pass (VERDICT r4 item 8): OPIC's local
@@ -371,6 +372,17 @@ def pagerank(
 
     ``vertices`` (one ``url`` column) fixes the vertex set; default =
     every url appearing as src or dst. Returns (url, pr).
+
+    ``teleport`` personalizes the walk: a (url[, weight]) DataFrame
+    replaces the uniform restart — pr_0 = t and the restart term becomes
+    ``(1-d) * t(v)`` where t is the weight vector normalized over the
+    graph's vertices (weights on non-vertices are ignored; duplicate
+    seed rows sum; missing ``weight`` column means uniform-over-seeds).
+    This is the TrustRank shape (:func:`trustrank`). The normalizing
+    total rides an Observation on the teleport checkpoint — no extra
+    job — and raises if no positive-weight seed is a graph vertex.
+    With ``teleport=None`` the plan is byte-identical to before (scalar
+    restart literal), so the q29 oracle's unrolled CTEs stay exact.
 
     Scale shape: edges join outdeg ONCE and checkpoint (the graph is the
     big table — it never moves again across iterations thanks to the
@@ -401,8 +413,34 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     contrib_edges = e.join(outdeg, "src").localCheckpoint()
 
-    pr = verts.select("url", F.lit(1.0 / n).alias("pr"))
-    base = (1.0 - damping) / n
+    if teleport is None:
+        pr = verts.select("url", F.lit(1.0 / n).alias("pr"))
+        restart = F.lit((1.0 - damping) / n)
+    else:
+        w = (
+            F.col("weight").cast("double")
+            if "weight" in teleport.columns
+            else F.lit(1.0)
+        )
+        seeds = (
+            teleport.select(F.col("url"), w.alias("w0"))
+            .groupBy("url")
+            .agg(F.sum("w0").alias("w0"))
+        )
+        tele = verts.join(seeds, "url", "left").select(
+            "url", F.coalesce("w0", F.lit(0.0)).alias("w0")
+        )
+        tele, tot = checkpoint_observed(tele, F.sum("w0"))
+        tot = float(tot or 0.0)
+        if tot <= 0.0:
+            raise ValueError(
+                "pagerank teleport: no positive-weight seed is a graph vertex"
+            )
+        verts = tele.select(
+            "url", (F.col("w0") / F.lit(tot)).alias("t")
+        ).localCheckpoint()
+        pr = verts.select("url", F.col("t").alias("pr"))
+        restart = F.lit(1.0 - damping) * F.col("t")
     for _ in range(iterations):
         inbound = (
             contrib_edges.join(pr, contrib_edges["src"] == pr["url"])
@@ -418,13 +456,84 @@ def pagerank(
             .select(
                 "url",
                 (
-                    F.lit(base)
+                    restart
                     + F.lit(damping) * F.coalesce("m", F.lit(0.0))
                 ).alias("pr"),
             )
             .localCheckpoint()
         )
     return pr
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    vertices: DataFrame | None = None,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004):
+    PageRank whose restart jumps only to a curated trusted seed set, so
+    rank can reach a page only through link paths that start at trust.
+    A crawl frontier uses it beside plain PageRank: link farms
+    manufacture PageRank among themselves but cannot manufacture paths
+    FROM the trusted core, so trust-starved high-PR pages are spam
+    candidates (:func:`spam_mass`) and get demoted before they eat
+    fetch budget. Reference analog: the reference trusts its configured
+    search directories wholesale (drs config roots); TrustRank is that
+    same whitelist made transitive over discovered links.
+
+    ``seeds``: (url[, weight]) — biased trust (e.g. directory sites)
+    via the optional weight column. Same fixed-iteration, 2-shuffle,
+    lineage-checkpointed shape as :func:`pagerank`; returns (url, pr)
+    where pr is the trust score.
+    """
+    return pagerank(
+        edges,
+        iterations=iterations,
+        damping=damping,
+        src=src,
+        dst=dst,
+        vertices=vertices,
+        teleport=seeds,
+    )
+
+
+def spam_mass(pr: DataFrame, tr: DataFrame) -> DataFrame:
+    """Relative spam mass (Gyöngyi, Berkhin, Garcia-Molina & Pedersen,
+    VLDB 2006 "Link spam detection based on mass estimation"): the
+    fraction of a page's PageRank NOT explained by trust-reachable rank,
+
+        mass(v) = (pr_n(v) - tr_n(v)) / pr_n(v)
+
+    with both vectors L1-normalized first so the two walks are
+    comparable (our pagerank does not redistribute dangling mass, so
+    raw totals differ between runs). mass near 1 = rank earned almost
+    entirely from untrusted regions (link-spam candidate); mass <= 0 =
+    trust-rich. Inputs are the (url, pr) outputs of :func:`pagerank`
+    and :func:`trustrank` on the SAME graph; vertices missing from the
+    trust side score tr = 0. The two normalizing totals are single-row
+    aggregates (bounded driver data). Returns (url, pr, tr, spam_mass).
+    """
+    pr_tot = float(pr.agg(F.sum("pr")).collect()[0][0] or 0.0)
+    tr_tot = float(tr.agg(F.sum("pr")).collect()[0][0] or 0.0)
+    if pr_tot <= 0.0 or tr_tot <= 0.0:
+        raise ValueError("spam_mass: degenerate rank vector (sum <= 0)")
+    j = pr.select("url", (F.col("pr") / F.lit(pr_tot)).alias("prn")).join(
+        tr.select(F.col("url"), (F.col("pr") / F.lit(tr_tot)).alias("trn")),
+        "url",
+        "left",
+    )
+    trn = F.coalesce("trn", F.lit(0.0))
+    return j.select(
+        "url",
+        F.col("prn").alias("pr"),
+        trn.alias("tr"),
+        F.when(F.col("prn") > 0, (F.col("prn") - trn) / F.col("prn"))
+        .alias("spam_mass"),
+    )
 
 
 def hits(

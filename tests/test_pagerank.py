@@ -44,3 +44,107 @@ def test_hits_empty_graph(spark):
 
     df = spark.createDataFrame([], "src string, dst string")
     assert hits(df).count() == 0
+
+
+def _np_pagerank(edges, urls, t, damping=0.85, iterations=3):
+    """numpy twin of operators/frontier.pagerank with teleport vector t
+    (dangling mass NOT redistributed, same as the Spark code)."""
+    import numpy as np
+
+    ix = {u: i for i, u in enumerate(urls)}
+    out = np.zeros(len(urls))
+    for s, _ in edges:
+        out[ix[s]] += 1
+    pr = t.copy()
+    for _ in range(iterations):
+        m = np.zeros(len(urls))
+        for s, d in edges:
+            m[ix[d]] += pr[ix[s]] / out[ix[s]]
+        pr = (1 - damping) * t + damping * m
+    return {u: pr[ix[u]] for u in urls}
+
+
+def test_trustrank_numpy_parity_and_weights(spark):
+    import numpy as np
+
+    from metadata_crawler_spark.operators.frontier import trustrank
+
+    edges = [
+        ("s0", "a"), ("s0", "b"), ("s1", "b"), ("a", "c"), ("b", "c"),
+        ("c", "s0"), ("x", "y"), ("y", "x"), ("c", "x"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame(
+        [("s0", 3.0), ("s1", 1.0), ("ghost", 5.0)], "url string, weight double"
+    )
+    got = {r["url"]: r["pr"] for r in trustrank(df, seeds, iterations=3).collect()}
+
+    urls = sorted({u for e in edges for u in e})
+    t = np.zeros(len(urls))
+    t[urls.index("s0")] = 3.0 / 4.0  # ghost is not a vertex: ignored
+    t[urls.index("s1")] = 1.0 / 4.0
+    ref = _np_pagerank(edges, urls, t)
+    for u in urls:
+        assert abs(got[u] - ref[u]) < 1e-12, u
+
+
+def test_trustrank_uniform_seed_weight_default(spark):
+    import numpy as np
+
+    from metadata_crawler_spark.operators.frontier import trustrank
+
+    edges = [("s", "a"), ("a", "b"), ("b", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    # no weight column, duplicate seed rows collapse
+    seeds = spark.createDataFrame([("s",), ("s",), ("a",)], "url string")
+    got = {r["url"]: r["pr"] for r in trustrank(df, seeds, iterations=2).collect()}
+    urls = sorted({u for e in edges for u in e})
+    t = np.zeros(len(urls))
+    t[urls.index("s")] = 2.0 / 3.0
+    t[urls.index("a")] = 1.0 / 3.0
+    ref = _np_pagerank(edges, urls, t, iterations=2)
+    for u in urls:
+        assert abs(got[u] - ref[u]) < 1e-12, u
+
+
+def test_trustrank_disjoint_seeds_raise(spark):
+    import pytest
+
+    from metadata_crawler_spark.operators.frontier import trustrank
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([("nope",)], "url string")
+    with pytest.raises(ValueError, match="no positive-weight seed"):
+        trustrank(df, seeds).count()
+
+
+def test_spam_mass_flags_link_farm(spark):
+    """Planted spam farm: a clique of farm pages all pointing at one
+    target gives the target high PageRank, but no path from the trusted
+    core reaches it -> spam_mass ~ 1; trust-reachable pages score low."""
+    from metadata_crawler_spark.operators.frontier import (
+        pagerank,
+        spam_mass,
+        trustrank,
+    )
+
+    edges = [("seed", f"g{i}") for i in range(4)]
+    edges += [(f"g{i}", "seed") for i in range(4)]
+    farm = [f"f{i}" for i in range(12)]
+    for a in farm:
+        edges.append((a, "target"))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("seed",)], "url string")
+    pr = pagerank(df, iterations=4)
+    tr = trustrank(df, seeds, iterations=4)
+    sm = {r["url"]: r for r in spam_mass(pr, tr).collect()}
+
+    # the farm pumped the target into the top PageRank tier
+    top_pr = sorted(sm.values(), key=lambda r: -r["pr"])[:3]
+    assert "target" in {r["url"] for r in top_pr}
+    # ... but its rank is almost all untrusted
+    assert sm["target"]["spam_mass"] > 0.9
+    for u in ("seed", "g0", "g1", "g2", "g3"):
+        assert sm[u]["spam_mass"] < 0.5, u
+    # and plain pagerank is reproduced unchanged on the trusted side
+    assert sm["seed"]["tr"] > sm["target"]["tr"]
