@@ -5,12 +5,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def checkpoint_observed(df: DataFrame, metric):
-    """``localCheckpoint`` with a metric observed ON the checkpoint job
+def checkpoint_observed(df: DataFrame, metric, *metrics):
+    """``localCheckpoint`` with metrics observed ON the checkpoint job
     itself (VERDICT r4 nit 4: a separate ``count()``/``limit(1).count()``
     probe is one extra Spark job per call — an Observation rides the job
     that materializes the checkpoint, so the probe is free). Returns
-    (checkpointed_df, observed_value).
+    (checkpointed_df, observed_value) for a single metric, or
+    (checkpointed_df, (value, ...)) when extra metrics are passed — all
+    ride the same job.
 
     Shared by iterative convergence loops (``dedup.neardup_clusters``,
     ``frontier.pagerank``) and the pipeline stage counters
@@ -19,5 +21,9 @@ def checkpoint_observed(df: DataFrame, metric):
     from pyspark.sql import Observation
 
     obs = Observation()
-    out = df.observe(obs, metric.alias("m")).localCheckpoint()
-    return out, obs.get["m"]
+    named = [m.alias(f"m{i}") for i, m in enumerate((metric, *metrics))]
+    out = df.observe(obs, *named).localCheckpoint()
+    got = obs.get
+    if not metrics:
+        return out, got["m0"]
+    return out, tuple(got[f"m{i}"] for i in range(len(named)))

@@ -29,9 +29,11 @@ deterministic simplifications (each noted against the paper):
    left of u, ``beta`` = what is left of rep. The paper enumerates all
    consistent envelopes and refines; the minimal middle is the unique
    deterministic member of that lattice, and the precision gate below
-   rejects the over-general ones it sometimes produces. Pairs whose
-   minimal ``alpha`` is empty (rep is a pure superstring of u) yield
-   no rule — an empty pattern cannot drive a substring replace.
+   rejects the over-general ones it sometimes produces. The minimal
+   ``alpha`` is provably non-empty for distinct pair members (a prefix
+   + suffix covering u entirely would force u == rep), so the
+   length(alpha) > 0 filter below is purely defensive — an empty
+   pattern could not drive a substring replace.
 3. **Replace-all application.** Rules apply as ``replace(url, alpha,
    beta)`` over every occurrence (Spark and DuckDB replace() agree on
    this), so validation and application share exact semantics.
@@ -116,7 +118,10 @@ def mine_dust_rules(
 
     ``hash_col`` names a precomputed content-hash column; otherwise
     ``md5(content_col)`` is used. ``precision`` is ROUND(...,6) so the
-    value is engine-portable (DuckDB oracle parity).
+    value is engine-portable (DuckDB oracle parity). Under
+    ``validate_fraction`` < 1 a rule whose ``alpha`` matches no sampled
+    URL has no measurable precision and is rejected (absent from the
+    output) — the conservative reading of the precision gate.
     """
     if not 0.0 < validate_fraction <= 1.0:
         raise ValueError(f"validate_fraction in (0,1], got {validate_fraction}")
@@ -169,6 +174,7 @@ def mine_dust_rules(
         .select(
             "alpha",
             "beta",
+            "support",
             "h",
             F.replace(F.col("url"), F.col("alpha"), F.col("beta")).alias("rew"),
         )
@@ -178,15 +184,17 @@ def mine_dust_rules(
         "rew",
         "left",
     )
+    # support is functionally dependent on (alpha, beta) — riding it
+    # through apps and the groupBy key (the oracle's ANY_VALUE shape)
+    # avoids re-joining the rules subplan to recover it
     scored = (
-        hits.groupBy("alpha", "beta")
+        hits.groupBy("alpha", "beta", "support")
         .agg(
             F.count(F.lit(1)).alias("applications"),
             F.sum(
                 F.when(F.col("h2").eqNullSafe(F.col("h")), 1).otherwise(0)
             ).alias("valid"),
         )
-        .join(rules, ["alpha", "beta"])
         .select(
             "alpha",
             "beta",

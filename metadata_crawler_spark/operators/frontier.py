@@ -380,7 +380,9 @@ def pagerank(
     seed rows sum; missing ``weight`` column means uniform-over-seeds).
     This is the TrustRank shape (:func:`trustrank`). The normalizing
     total rides an Observation on the teleport checkpoint — no extra
-    job — and raises if no positive-weight seed is a graph vertex.
+    job — and raises if no positive-weight seed is a graph vertex or
+    if any seed weight is negative (a mixed-sign vector would make
+    negative "probabilities").
     With ``teleport=None`` the plan is byte-identical to before (scalar
     restart literal), so the q29 oracle's unrolled CTEs stay exact.
 
@@ -430,8 +432,15 @@ def pagerank(
         tele = verts.join(seeds, "url", "left").select(
             "url", F.coalesce("w0", F.lit(0.0)).alias("w0")
         )
-        tele, tot = checkpoint_observed(tele, F.sum("w0"))
+        tele, (tot, wmin) = checkpoint_observed(
+            tele, F.sum("w0"), F.min("w0")
+        )
         tot = float(tot or 0.0)
+        if wmin is not None and float(wmin) < 0.0:
+            # a mixed-sign weight vector can still sum positive but
+            # would yield negative teleport probabilities (and negative
+            # ranks) silently — reject it outright
+            raise ValueError("pagerank teleport: negative seed weight")
         if tot <= 0.0:
             raise ValueError(
                 "pagerank teleport: no positive-weight seed is a graph vertex"

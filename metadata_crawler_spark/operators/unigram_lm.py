@@ -82,14 +82,16 @@ def _forward(word: str, logp: dict[str, float], max_len: int) -> list[float]:
 
 def _expected_counts(
     word: str, cnt: float, logp: dict[str, float], max_len: int
-) -> dict[str, float]:
+) -> tuple[dict[str, float], float]:
     """Forward-backward expected piece counts for one word (x cnt).
-    Returns {} for words the vocabulary cannot segment."""
+    Returns (counts, log Z) so the caller gets the word's likelihood
+    from the same forward pass; counts is {} (and Z is -inf) for words
+    the vocabulary cannot segment."""
     n = len(word)
     alpha = _forward(word, logp, max_len)
     z = alpha[n]
     if z == _NEG_INF:
-        return {}
+        return {}, z
     beta = [_NEG_INF] * (n + 1)
     beta[n] = 0.0
     for j in range(n - 1, -1, -1):
@@ -111,7 +113,7 @@ def _expected_counts(
                 continue
             e = math.exp(alpha[i] + lp + beta[i + l] - z) * cnt
             out[piece] = out.get(piece, 0.0) + e
-    return out
+    return out, z
 
 
 def seed_pieces(
@@ -173,9 +175,9 @@ def _em_pass(
             ll = 0.0
             for w, c in zip(pdf["word"], pdf["cnt"]):
                 c = float(c)
-                for piece, e in _expected_counts(w, c, theta, ml).items():
+                ec, z = _expected_counts(w, c, theta, ml)
+                for piece, e in ec.items():
                     acc[piece] = acc.get(piece, 0.0) + e
-                z = _forward(w, theta, ml)[len(w)]
                 if z != _NEG_INF:
                     ll += c * z
             out = pd.DataFrame(
@@ -195,6 +197,10 @@ def _em_pass(
         .collect()
     )
     bc.destroy()
+    # collect() row order follows partition layout; sort before the
+    # driver-side float folds so sums/dict order (and hence the last-ulp
+    # bits of every logp) are identical on any cluster size
+    rows.sort(key=lambda r: (r["piece"] is None, r["piece"] or ""))
     counts = {r["piece"]: r["e"] for r in rows if r["piece"] is not None}
     ll = sum(r["ll"] for r in rows)
     for p in logp:
@@ -231,7 +237,10 @@ def train_unigram(
     """
     if not 0.0 < shrink_factor < 1.0:
         raise ValueError(f"shrink_factor in (0,1), got {shrink_factor}")
-    seeds = seed_pieces(words, max_piece_len, max_seed).collect()
+    seeds = sorted(
+        seed_pieces(words, max_piece_len, max_seed).collect(),
+        key=lambda r: r["piece"],
+    )  # fixed fold order: same float total/logp bits on any cluster size
     total = sum(r["freq"] for r in seeds)
     logp = {r["piece"]: math.log(r["freq"] / total) for r in seeds}
     single = {p for p in logp if len(p) == 1}

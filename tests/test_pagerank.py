@@ -118,6 +118,21 @@ def test_trustrank_disjoint_seeds_raise(spark):
         trustrank(df, seeds).count()
 
 
+def test_trustrank_negative_seed_weight_raises(spark):
+    import pytest
+
+    from metadata_crawler_spark.operators.frontier import trustrank
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    # mixed-sign weights sum positive but would mean negative teleport
+    # probabilities: rejected outright
+    seeds = spark.createDataFrame(
+        [("a", 2.0), ("b", -1.0)], "url string, weight double"
+    )
+    with pytest.raises(ValueError, match="negative seed weight"):
+        trustrank(df, seeds).count()
+
+
 def test_spam_mass_flags_link_farm(spark):
     """Planted spam farm: a clique of farm pages all pointing at one
     target gives the target high PageRank, but no path from the trusted

@@ -29,11 +29,12 @@ def test_expected_counts_hand_dp():
     pa, pb, pab = 0.5, 0.3, 0.2
     logp = {"a": math.log(pa), "b": math.log(pb), "ab": math.log(pab)}
     z = pa * pb + pab
-    got = _expected_counts("ab", 10.0, logp, max_len=2)
+    got, logz = _expected_counts("ab", 10.0, logp, max_len=2)
     assert got["a"] == pytest.approx(10.0 * pa * pb / z, rel=1e-12)
     assert got["b"] == pytest.approx(10.0 * pa * pb / z, rel=1e-12)
     assert got["ab"] == pytest.approx(10.0 * pab / z, rel=1e-12)
     # and the forward Z agrees with the closed form
+    assert logz == pytest.approx(math.log(z), rel=1e-12)
     assert _forward("ab", logp, 2)[2] == pytest.approx(math.log(z), rel=1e-12)
 
 
