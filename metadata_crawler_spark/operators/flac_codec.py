@@ -442,10 +442,30 @@ def _residual_of(x: list[int], coeffs: list[int], shift: int) -> list[int]:
     return out
 
 
+def _clamp_part_order(part_order: int, n: int, order: int) -> int:
+    """Largest legal partition order <= the requested one for a block of
+    ``n`` samples and predictor ``order``: every partition must divide
+    ``n`` and the first partition (which loses ``order`` warmup samples)
+    must stay non-empty. The final partial block of a stream routinely
+    violates the caller's requested order (found by fuzzing: n=1,
+    part_order=1 emitted a stream the decoder correctly rejects)."""
+    po = part_order
+    while po > 0 and (n % (1 << po) or (n >> po) <= order):
+        po -= 1
+    return po
+
+
 def _encode_subframe(w: _BitWriter, x: list[int], bps: int, mode: str,
                      lpc_coeffs: list[int] | None, lpc_shift: int,
                      rice_param: int, part_order: int,
                      rice2: bool, wasted: int) -> None:
+    if mode.startswith("fixed") and int(mode[-1]) >= len(x):
+        # a predictor order >= the (final partial) block length cannot
+        # even write its warmup samples — verbatim is the lossless
+        # fallback real encoders use for the tail block
+        mode = "verbatim"
+    if mode == "lpc" and lpc_coeffs and len(lpc_coeffs) >= len(x):
+        mode = "verbatim"
     if wasted:
         assert all(v % (1 << wasted) == 0 for v in x)
         x = [v >> wasted for v in x]
@@ -479,7 +499,8 @@ def _encode_subframe(w: _BitWriter, x: list[int], bps: int, mode: str,
         resid = _residual_of(x, _FIXED_COEFFS[order], 0)
         w.write(1 if rice2 else 0, 2)
         _rice_encode(w, resid, rice_param, 5 if rice2 else 4,
-                     part_order, order, len(x))
+                     _clamp_part_order(part_order, len(x), order),
+                     order, len(x))
         return
     if mode == "lpc":
         assert lpc_coeffs
@@ -499,7 +520,8 @@ def _encode_subframe(w: _BitWriter, x: list[int], bps: int, mode: str,
         resid = _residual_of(x, lpc_coeffs, lpc_shift)
         w.write(1 if rice2 else 0, 2)
         _rice_encode(w, resid, rice_param, 5 if rice2 else 4,
-                     part_order, order, len(x))
+                     _clamp_part_order(part_order, len(x), order),
+                     order, len(x))
         return
     raise ValueError(f"unknown subframe mode {mode}")
 
