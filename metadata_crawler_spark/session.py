@@ -92,13 +92,26 @@ def get_spark(
     # Local-mode workers are fresh interpreters: make the package importable
     # regardless of the launch directory (cluster equivalent: --py-files).
     pp = os.environ.get("PYTHONPATH", "")
-    if _REPO_ROOT not in pp.split(os.pathsep):
+    if os.path.isdir(os.path.join(_REPO_ROOT, "metadata_crawler_spark")) and (
+        _REPO_ROOT not in pp.split(os.pathsep)
+    ):
         os.environ["PYTHONPATH"] = (
             _REPO_ROOT + (os.pathsep + pp if pp else "")
         )
+    # Master resolution (north rule: the crawl runs via spark-submit on a
+    # real cluster): SPARK_GRAFT_MASTER overrides explicitly; under
+    # spark-submit the driver attaches to an existing JVM gateway
+    # (PYSPARK_GATEWAY_PORT) whose --master must NOT be clobbered by a
+    # hardcoded local[N] — only a standalone python launch defaults to
+    # local mode.
+    master = os.environ.get("SPARK_GRAFT_MASTER")
+    b = SparkSession.builder.appName(app)
+    if master:
+        b = b.master(master)
+    elif "PYSPARK_GATEWAY_PORT" not in os.environ:
+        b = b.master(f"local[{cores}]")
     b = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app)
+        b
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))

@@ -115,19 +115,29 @@ def write_derivative_segments(
     def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
+        from .warc import _open_out
+
         pid = TaskContext.get().partitionId()
         path = os.path.join(out_dir, f"part-{pid:05d}.warc.{kind}.gz")
         n = 0
         n_bytes = 0
-        # stream members straight to disk: peak memory = one record
-        with open(path, "wb") as fh:
+        # stream members to the atomic-publish stream (tmp+rename local,
+        # pyarrow.fs for object stores — the WARC sink's contract; a
+        # plain open() here would leave a half segment under the final
+        # name on task kill, breaking the idempotent-retry claim):
+        # peak memory = one record
+        epoch = datetime(1970, 1, 1)
+        fh, finalize = _open_out(path)
+        try:
             for pdf in batches:
                 for url, ts, payload in zip(
                     pdf["url"], pdf["warc_ts"], pdf[col]
                 ):
                     rec = render_derivative_record(
                         str(url),
-                        ts.to_pydatetime(),
+                        # NULL/NaT ts: epoch sentinel, not a crash (same
+                        # rule as the WARC sink)
+                        epoch if pd.isna(ts) else ts.to_pydatetime(),
                         ("" if payload is None else str(payload)).encode(),
                         warc_type,
                     )
@@ -135,8 +145,11 @@ def write_derivative_segments(
                     fh.write(member)
                     n += 1
                     n_bytes += len(member)
+        finally:
+            finalize()
         if n == 0:
-            os.remove(path)  # empty partitions leave no zero-byte files
+            if os.path.exists(path):  # local; object stores publish on close
+                os.remove(path)  # empty partitions leave no zero-byte files
             return
         yield pd.DataFrame(
             {"path": [path], "n_records": [n], "n_bytes": [n_bytes]}
@@ -184,17 +197,20 @@ def _read_derivatives(spark, path_glob: str, kind: str) -> DataFrame:
         for pdf in batches:
             for uri in pdf["path"]:
                 fh = _open_uri(uri)  # _open_uri already handles .gz
-                rows: list[tuple] = []
-                for url, ts, payload, seg in parse_warc_stream(
-                    fh, os.path.basename(uri), accept_types=(warc_type,)
-                ):
-                    rows.append(
-                        (url, ts, payload.decode("utf-8", "replace"), seg)
-                    )
-                    if len(rows) >= chunk_rows:
+                try:
+                    rows: list[tuple] = []
+                    for url, ts, payload, seg in parse_warc_stream(
+                        fh, os.path.basename(uri), accept_types=(warc_type,)
+                    ):
+                        rows.append(
+                            (url, ts, payload.decode("utf-8", "replace"), seg)
+                        )
+                        if len(rows) >= chunk_rows:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows = []
+                    if rows:
                         yield pd.DataFrame(rows, columns=cols)
-                        rows = []
-                if rows:
-                    yield pd.DataFrame(rows, columns=cols)
+                finally:
+                    fh.close()
 
     return paths.mapInPandas(parse, schema)

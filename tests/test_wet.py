@@ -109,3 +109,34 @@ def test_wet_no_empty_partition_files(spark, tmp_path):
     files = glob.glob(out + "/*.gz")
     assert len(files) == len(manifest) <= 3
     assert sum(m.n_records for m in manifest) == len(RECS)
+
+
+def test_wet_null_timestamp_writes_epoch_sentinel(spark, tmp_path):
+    """NULL/NaT warc_ts must serialize as the epoch sentinel (the WARC
+    sink's rule), not crash the task."""
+    pages = spark.createDataFrame(
+        [("https://n.com/x", None, b"<html><body>null ts</body></html>",
+          "s0")],
+        "url string, warc_ts timestamp, html binary, segment string",
+    )
+    out = str(tmp_path / "wet_null")
+    manifest = write_wet(pages, out).collect()
+    assert sum(r["n_records"] for r in manifest) == 1
+    got = read_wet(spark, out + "/*.gz").collect()
+    assert len(got) == 1
+    assert got[0]["warc_ts"] == datetime(1970, 1, 1)
+
+
+def test_wet_write_publishes_atomically(spark, tmp_path):
+    """Segments appear only under their final name: no .tmp residue and
+    every published file is complete member-gzip (the tmp+rename
+    contract write_derivative_segments shares with the WARC sink)."""
+    pages = _pages(spark, tmp_path)
+    out = str(tmp_path / "wet_atomic")
+    write_wet(pages, out).collect()
+    assert glob.glob(out + "/*.tmp") == []
+    for path in glob.glob(out + "/*.gz"):
+        with open(path, "rb") as fh:
+            raw = fh.read()
+        assert raw[:2] == b"\x1f\x8b"
+        gzip.decompress(raw)  # complete members, no truncation
