@@ -21,6 +21,7 @@ BUDGET_S = 5.0
 FUZZ = settings(
     max_examples=60,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.too_slow],
 )
 

@@ -23,6 +23,7 @@ from hypothesis import strategies as st
 FAST = settings(
     max_examples=40,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.too_slow],
 )
 
@@ -278,6 +279,7 @@ _URLISH = st.one_of(
 
 
 @settings(max_examples=200, deadline=None,
+    derandomize=True,
           suppress_health_check=[HealthCheck.too_slow])
 @given(url=_URLISH)
 def test_canon_url_py_idempotent(url):
@@ -288,6 +290,7 @@ def test_canon_url_py_idempotent(url):
 
 
 @settings(max_examples=200, deadline=None,
+    derandomize=True,
           suppress_health_check=[HealthCheck.too_slow])
 @given(url=_URLISH)
 def test_canon_batch_matches_reference(url):
@@ -318,6 +321,7 @@ _HOSTISH = st.one_of(
 
 
 @settings(max_examples=300, deadline=None,
+    derandomize=True,
           suppress_health_check=[HealthCheck.too_slow])
 @given(host=_HOSTISH)
 def test_psl_structural_invariants(host):

@@ -25,6 +25,7 @@ from hypothesis import strategies as st
 FUZZ = settings(
     max_examples=80,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.too_slow],
 )
 

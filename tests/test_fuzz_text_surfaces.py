@@ -18,6 +18,7 @@ from hypothesis import strategies as st
 FUZZ = settings(
     max_examples=150,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.too_slow],
 )
 
