@@ -43,38 +43,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .quality import _nonempty_tokens
+from .quality import _nonempty_tokens, ngram_word_structs
 
 __all__ = ["trigram_crossentropy", "trigram_structs"]
 
 
 def trigram_structs(arr: Column) -> Column:
-    """(w1, w2, w3) structs for positions 3..size of a token array; an
-    explicit empty array below 3 tokens (sequence(3, n) DESCENDS for
-    n < 3 and element_at past the end throws under ANSI — the same
-    short-doc guard as the bigram builder)."""
-    tris = F.transform(
-        F.sequence(F.lit(3), F.size(arr)),
-        lambda i: F.struct(
-            F.element_at(arr, i - 2).alias("w1"),
-            F.element_at(arr, i - 1).alias("w2"),
-            F.element_at(arr, i).alias("w3"),
-        ),
-    )
-    empty = F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
-    return F.when(F.size(arr) >= 3, tris).otherwise(empty)
+    """(w1, w2, w3) structs for positions 3..size of a token array; the
+    shared ``quality.ngram_word_structs`` builder carries the short-doc
+    empty-array guard for every rung of the ladder."""
+    return ngram_word_structs(arr, 3)
 
 
 def _bigram_structs(arr: Column) -> Column:
-    pairs = F.transform(
-        F.sequence(F.lit(2), F.size(arr)),
-        lambda i: F.struct(
-            F.element_at(arr, i - 1).alias("w1"),
-            F.element_at(arr, i).alias("w2"),
-        ),
-    )
-    empty = F.array().cast("array<struct<w1:string,w2:string>>")
-    return F.when(F.size(arr) >= 2, pairs).otherwise(empty)
+    return ngram_word_structs(arr, 2)
 
 
 def trigram_crossentropy(
@@ -115,7 +97,11 @@ def trigram_crossentropy(
         F.count("*").cast("double").alias("vsize"),
     )
     if vocab_broadcast is None:
-        vocab_broadcast = small_enough_to_broadcast(btab)
+        # probe the TRIGRAM table — the largest of the three tables the
+        # hint broadcasts (trigram vocab is typically 2-4x bigram vocab
+        # on web text; gating on btab could pass the probe and then OOM
+        # the driver collecting ttab)
+        vocab_broadcast = small_enough_to_broadcast(ttab)
     u = F.broadcast(utab) if vocab_broadcast else utab
     b = F.broadcast(btab) if vocab_broadcast else btab
     t = F.broadcast(ttab) if vocab_broadcast else ttab

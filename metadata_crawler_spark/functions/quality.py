@@ -338,6 +338,27 @@ def _ngram_struct_factory(n: int):
     )
 
 
+def ngram_word_structs(arr: Column, n: int) -> Column:
+    """(w1..wn) structs for positions n..size of a token array — the
+    shared builder behind every rung of the LM ladder (bigram here,
+    trigram in functions/ngram_lm.py), so the subtle guard lives ONCE:
+    ``sequence(n, size)`` DESCENDS when size < n (step inferred -1) and
+    ``element_at`` past the end throws under ANSI, so short docs get an
+    explicit empty array instead."""
+    structs = F.transform(
+        F.sequence(F.lit(n), F.size(arr)),
+        lambda i: F.struct(
+            *[
+                F.element_at(arr, i - (n - 1 - k)).alias(f"w{k + 1}")
+                for k in range(n)
+            ]
+        ),
+    )
+    fields = ",".join(f"w{k + 1}:string" for k in range(n))
+    empty = F.array().cast(f"array<struct<{fields}>>")
+    return F.when(F.size(arr) >= n, structs).otherwise(empty)
+
+
 def unigram_crossentropy(
     df: DataFrame,
     text_col: str,
@@ -424,18 +445,7 @@ def bigram_crossentropy(
     ttoks_arr = _nonempty_tokens(F.col(text_col))
 
     def bigram_structs(arr: Column) -> Column:
-        # guard: sequence(2, size) DESCENDS when size < 2 (step inferred
-        # -1) and element_at past the end throws under ANSI — short docs
-        # get an explicit empty array instead
-        pairs = F.transform(
-            F.sequence(F.lit(2), F.size(arr)),
-            lambda i: F.struct(
-                F.element_at(arr, i - 1).alias("w1"),
-                F.element_at(arr, i).alias("w2"),
-            ),
-        )
-        empty = F.array().cast("array<struct<w1:string,w2:string>>")
-        return F.when(F.size(arr) >= 2, pairs).otherwise(empty)
+        return ngram_word_structs(arr, 2)
 
     train_tok = tdf.select(F.explode(ttoks_arr).alias("tok"))
     utab = train_tok.groupBy("tok").agg(F.count("*").alias("ucnt"))

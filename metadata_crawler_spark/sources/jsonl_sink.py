@@ -69,8 +69,8 @@ def write_jsonl_shards(
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pid = TaskContext.get().partitionId()
-        state = {"fh": None, "gz": None, "fin": None, "name": "", "rows": 0,
-                 "seq": 0}
+        state = {"fh": None, "gz": None, "fin": None, "abort": None,
+                 "name": "", "rows": 0, "seq": 0}
         out: list[tuple] = []
 
         def close_current() -> None:
@@ -89,23 +89,35 @@ def write_jsonl_shards(
             )
             state["seq"] += 1
             state["rows"] = 0
-            state["fh"], state["fin"] = _open_out(state["name"])
+            state["fh"], state["fin"], state["abort"] = _open_out(
+                state["name"]
+            )
             state["gz"] = (
                 gzip.GzipFile(fileobj=state["fh"], mode="wb", mtime=0)
                 if compress
                 else None
             )
 
-        for pdf in batches:
-            for line in pdf["j"]:
-                if state["fh"] is None:
-                    open_next()
-                (state["gz"] or state["fh"]).write(line.encode("utf-8") + b"\n")
-                state["rows"] += 1
-                # gzip buffers, so fh.tell() lags slightly — close enough
-                # for a roll threshold (exact size lands in the manifest)
-                if state["fh"].tell() >= target_shard_bytes:
-                    close_current()
+        try:
+            for pdf in batches:
+                for line in pdf["j"]:
+                    if state["fh"] is None:
+                        open_next()
+                    (state["gz"] or state["fh"]).write(
+                        line.encode("utf-8") + b"\n"
+                    )
+                    state["rows"] += 1
+                    # gzip buffers, so fh.tell() lags slightly — close
+                    # enough for a roll threshold (exact size lands in
+                    # the manifest)
+                    if state["fh"].tell() >= target_shard_bytes:
+                        close_current()
+        except BaseException:
+            # failed task: never publish the partial shard (the retry
+            # rewrites the same deterministic names)
+            if state["fh"] is not None:
+                state["abort"]()
+            raise
         close_current()
         yield pd.DataFrame(out, columns=["shard", "n_rows", "n_bytes"])
 

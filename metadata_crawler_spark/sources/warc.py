@@ -402,12 +402,15 @@ WARC_INDEX_SCHEMA = (
 
 
 def _open_out(uri: str):
-    """(stream, finalize) for one output segment. Local paths write to a
-    ``.tmp`` sibling and os.replace on finalize (atomic publish — a
-    killed task never leaves a half segment under the final name, and a
-    retried task with the same deterministic name overwrites cleanly).
-    Object-store URIs write via pyarrow.fs output streams (no rename —
-    object stores publish on close)."""
+    """(stream, finalize, abort) for one output segment. Local paths
+    write to a ``.tmp`` sibling and os.replace on finalize (atomic
+    publish — a killed task never leaves a half segment under the final
+    name, and a retried task with the same deterministic name overwrites
+    cleanly). Object-store URIs write via pyarrow.fs output streams (no
+    rename — object stores publish on close). ``abort`` is the failure
+    path: callers MUST route exceptions through it, never ``finalize``
+    — finalize-in-a-finally would PUBLISH the partial segment (rename
+    locally, close-publishes the object remotely)."""
     import os
     from urllib.parse import unquote, urlparse
 
@@ -422,7 +425,22 @@ def _open_out(uri: str):
 
             filesystem, path = pafs.FileSystem.from_uri(uri)
             stream = filesystem.open_output_stream(path, compression=None)
-            return stream, stream.close
+
+            def abort_remote() -> None:
+                # close() publishes on object stores, so delete right
+                # after — best-effort: a retry overwrites the same key
+                # anyway, this just shrinks the partial's visibility
+                # window to the close->delete gap.
+                try:
+                    stream.close()
+                except Exception:
+                    pass
+                try:
+                    filesystem.delete_file(path)
+                except Exception:
+                    pass
+
+            return stream, stream.close, abort_remote
     tmp = local + ".tmp"
     os.makedirs(os.path.dirname(local) or ".", exist_ok=True)
     fh = open(tmp, "wb")
@@ -433,7 +451,17 @@ def _open_out(uri: str):
         fh.close()
         os.replace(tmp, local)
 
-    return fh, finalize
+    def abort() -> None:
+        try:
+            fh.close()
+        except Exception:
+            pass
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+
+    return fh, finalize, abort
 
 
 def write_warc_segments(
@@ -480,39 +508,48 @@ def write_warc_segments(
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pid = TaskContext.get().partitionId()
         seq = 0
-        fh = finalize = None
+        fh = finalize = abort = None
         seg_name = ""
         written = 0
         out: list[tuple] = []
 
         def roll() -> None:
-            nonlocal fh, finalize, seg_name, written, seq
+            nonlocal fh, finalize, abort, seg_name, written, seq
             if fh is not None:
                 finalize()
             seg_name = f"{out_dir.rstrip('/')}/{prefix}-{pid:05d}-{seq:04d}.warc.gz"
             seq += 1
             written = 0
-            fh, finalize = _open_out(seg_name)
+            fh, finalize, abort = _open_out(seg_name)
 
-        for pdf in batches:
-            for url, ts, html in zip(
-                pdf[url_col], pdf[ts_col], pdf[html_col]
-            ):
-                if fh is None or written >= target_segment_bytes:
-                    roll()
-                if pd.isna(ts):  # NULL/NaT ts: epoch sentinel, not a crash
-                    pyts = datetime(1970, 1, 1)
-                elif hasattr(ts, "to_pydatetime"):
-                    pyts = ts.to_pydatetime()
-                else:
-                    pyts = ts
-                blob = b"" if html is None else bytes(html)
-                member = gzip.compress(
-                    render_warc([(url, pyts, blob)]), mtime=0
-                )
-                fh.write(member)
-                out.append((url, pyts, seg_name, written, len(member)))
-                written += len(member)
+        try:
+            for pdf in batches:
+                for url, ts, html in zip(
+                    pdf[url_col], pdf[ts_col], pdf[html_col]
+                ):
+                    if fh is None or written >= target_segment_bytes:
+                        roll()
+                    if pd.isna(ts):  # NULL/NaT ts: epoch sentinel
+                        pyts = datetime(1970, 1, 1)
+                    elif hasattr(ts, "to_pydatetime"):
+                        pyts = ts.to_pydatetime()
+                    else:
+                        pyts = ts
+                    blob = b"" if html is None else bytes(html)
+                    member = gzip.compress(
+                        render_warc([(url, pyts, blob)]), mtime=0
+                    )
+                    fh.write(member)
+                    out.append((url, pyts, seg_name, written, len(member)))
+                    written += len(member)
+        except BaseException:
+            # never publish the partial segment under its final name —
+            # unwind the open tmp/object and let the task retry rewrite
+            # the same deterministic names (earlier rolled segments are
+            # complete and idempotently overwritten by the retry)
+            if abort is not None:
+                abort()
+            raise
         if fh is not None:
             finalize()
         yield pd.DataFrame(

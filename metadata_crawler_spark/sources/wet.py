@@ -122,17 +122,21 @@ def write_derivative_segments(
         n = 0
         n_bytes = 0
         # stream members to the atomic-publish stream (tmp+rename local,
-        # pyarrow.fs for object stores — the WARC sink's contract; a
-        # plain open() here would leave a half segment under the final
-        # name on task kill, breaking the idempotent-retry claim):
-        # peak memory = one record
+        # pyarrow.fs for object stores — the WARC sink's contract):
+        # peak memory = one record. Opened LAZILY on the first record so
+        # an empty partition never creates (let alone publishes) a
+        # zero-byte segment, and finalized ONLY on success — an
+        # exception routes through abort() so a failed task never
+        # publishes its partial segment under the final name.
         epoch = datetime(1970, 1, 1)
-        fh, finalize = _open_out(path)
+        fh = finalize = abort = None
         try:
             for pdf in batches:
                 for url, ts, payload in zip(
                     pdf["url"], pdf["warc_ts"], pdf[col]
                 ):
+                    if fh is None:
+                        fh, finalize, abort = _open_out(path)
                     rec = render_derivative_record(
                         str(url),
                         # NULL/NaT ts: epoch sentinel, not a crash (same
@@ -145,12 +149,13 @@ def write_derivative_segments(
                     fh.write(member)
                     n += 1
                     n_bytes += len(member)
-        finally:
-            finalize()
-        if n == 0:
-            if os.path.exists(path):  # local; object stores publish on close
-                os.remove(path)  # empty partitions leave no zero-byte files
+        except BaseException:
+            if abort is not None:
+                abort()
+            raise
+        if fh is None:  # empty partition: no file, no manifest row
             return
+        finalize()
         yield pd.DataFrame(
             {"path": [path], "n_records": [n], "n_bytes": [n_bytes]}
         )

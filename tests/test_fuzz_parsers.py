@@ -10,51 +10,12 @@ record parser (resync path).
 
 from __future__ import annotations
 
-import time
-
-import numpy as np
-from hypothesis import HealthCheck, given, settings
+from hypothesis import given
 from hypothesis import strategies as st
 
-BUDGET_S = 5.0
-
-FUZZ = settings(
-    max_examples=60,
-    deadline=None,
-    derandomize=True,
-    suppress_health_check=[HealthCheck.too_slow],
-)
-
-
-def _rng(seed: int) -> np.random.Generator:
-    return np.random.default_rng(seed)
-
-
-def _mutate(blob: bytes, seed: int, n_flips: int, trunc: bool) -> bytes:
-    rng = _rng(seed)
-    b = bytearray(blob)
-    if trunc and len(b) > 1:
-        b = b[: int(rng.integers(1, len(b)))]
-    for _ in range(n_flips):
-        if not b:
-            break
-        i = int(rng.integers(0, len(b)))
-        b[i] ^= 1 << int(rng.integers(0, 8))
-    return bytes(b)
-
-
-def _terminates(fn, blob) -> None:
-    t0 = time.monotonic()
-    try:
-        out = fn(blob)
-        # exhaust generators (the WARC parser is lazy)
-        if hasattr(out, "__iter__") and not isinstance(
-            out, (str, bytes, dict, list, tuple)
-        ):
-            list(out)
-    except Exception:
-        pass
-    assert time.monotonic() - t0 < BUDGET_S, "parser exceeded time budget"
+from fuzz_util import FUZZ
+from fuzz_util import mutate as _mutate
+from fuzz_util import terminates as _terminates
 
 
 def _valid_pdf() -> bytes:

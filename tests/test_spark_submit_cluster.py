@@ -86,7 +86,12 @@ def test_spark_submit_pyfiles_local_cluster(tmp_path):
     env.pop("PYTHONPATH", None)
     env["PYSPARK_PYTHON"] = sys.executable
     env["PYSPARK_DRIVER_PYTHON"] = sys.executable
-    env["SPARK_GRAFT_MASTER"] = "local-cluster[2,2,1200]"
+    # --master must be the ONLY route to the master: with
+    # SPARK_GRAFT_MASTER exported, get_spark would take its explicit
+    # override branch and the gateway-honoring branch this test pins
+    # (don't clobber a submitted --master with local[N]) would go
+    # untested — a reintroduced clobber would still pass.
+    env.pop("SPARK_GRAFT_MASTER", None)
     # keep the pseudo-cluster modest: fixture corpus, few shuffle parts
     ck = str(tmp_path / "ck")
     proc = subprocess.run(

@@ -140,3 +140,27 @@ def test_wet_write_publishes_atomically(spark, tmp_path):
             raw = fh.read()
         assert raw[:2] == b"\x1f\x8b"
         gzip.decompress(raw)  # complete members, no truncation
+
+
+def test_wet_failed_task_publishes_nothing(spark, tmp_path):
+    """A task that dies mid-partition must not leave a partial segment
+    under the FINAL name (a later read_wet glob would ingest it as
+    complete) — the exception path routes through _open_out's abort,
+    which unlinks the tmp instead of renaming it."""
+    import pandas as pd
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    def boom(batches):
+        for pdf in batches:
+            yield pdf
+            raise RuntimeError("planted mid-partition failure")
+
+    pages = _pages(spark, tmp_path).repartition(1).mapInPandas(
+        boom, "url string, warc_ts timestamp, html binary, segment string"
+    )
+    out = str(tmp_path / "wet_fail")
+    with pytest.raises(PythonException):
+        write_wet(pages, out).collect()
+    assert glob.glob(out + "/*.gz") == [], "partial segment was published"
+    assert glob.glob(out + "/*.tmp") == [], "tmp residue left behind"
