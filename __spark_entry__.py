@@ -3398,6 +3398,16 @@ def q55_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = bigram_crossentropy(d, "text", "doc_id").select(
         F.col("id").alias("doc_id"), "n_bigrams", "xent2"
     )
+    # r5 merge: trigram Stupid-Backoff (third LM rung — three-word
+    # collocations; functions/ngram_lm.trigram_crossentropy), oracle
+    # replicates the two-level backoff CASE exactly
+    from metadata_crawler_spark.functions.ngram_lm import (
+        trigram_crossentropy,
+    )
+
+    tg = trigram_crossentropy(d, "text", "doc_id").select(
+        F.col("id").alias("doc_id"), "n_trigrams", "xent3"
+    )
     # r5 merge: multi-class NB domain classifier (the WebOrganizer/DCLM
     # mixing-stage labeler) over synthetic doc_id%3 domains — training
     # AND the argmax scoring rule replicated in SQL.
@@ -3425,7 +3435,9 @@ def q55_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wide = base.join(scored, "doc_id").join(dsir, "doc_id").join(
         bg, "doc_id"
-    ).join(dom, "doc_id").join(d.select("doc_id", "lang"), "doc_id")
+    ).join(tg, "doc_id").join(dom, "doc_id").join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
     out = perplexity_buckets(
         wide, "xent", "doc_id", lang_col="lang",
         out_col="ccnet_bucket", exact=True,
@@ -3433,7 +3445,8 @@ def q55_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_tokens", "xent", "clf_score",
         "dsir_logw", "dsir_keep_prob", "dsir_keep",
-        "n_bigrams", "xent2", "domain", "domain_score",
+        "n_bigrams", "xent2", "n_trigrams", "xent3",
+        "domain", "domain_score",
         "lang", "ccnet_bucket",
     )
 
@@ -3549,6 +3562,40 @@ x2 AS (
          ROUND(AVG(-log2(sbs)), 6) AS xent2
   FROM sb GROUP BY doc_id
 ),
+tgs AS (
+  SELECT doc_id,
+         unnest([struct_pack(w1 := l[i], w2 := l[i+1], w3 := l[i+2])
+                 FOR i IN range(1, len(l) - 1)]) AS tg
+  FROM d
+),
+tt AS (
+  SELECT tg.w1 AS w1, tg.w2 AS w2, tg.w3 AS w3, COUNT(*) AS tcnt
+  FROM tgs GROUP BY 1, 2, 3
+),
+sb3 AS (
+  SELECT tgs.doc_id,
+         CASE WHEN tt.tcnt IS NOT NULL AND COALESCE(ctx.bcnt, 0) > 0
+              THEN tt.tcnt / CAST(ctx.bcnt AS DOUBLE)
+              ELSE 0.4 * (
+                CASE WHEN b23.bcnt IS NOT NULL AND COALESCE(c2.ucnt, 0) > 0
+                     THEN b23.bcnt / CAST(c2.ucnt AS DOUBLE)
+                     ELSE 0.4 * (COALESCE(c3.ucnt, 0) + 1)
+                          / (sc.total + sc.vsize)
+                END)
+         END AS sbs
+  FROM tgs
+  LEFT JOIN tt ON tgs.tg.w1 = tt.w1 AND tgs.tg.w2 = tt.w2
+              AND tgs.tg.w3 = tt.w3
+  LEFT JOIN bt ctx ON tgs.tg.w1 = ctx.w1 AND tgs.tg.w2 = ctx.w2
+  LEFT JOIN bt b23 ON tgs.tg.w2 = b23.w1 AND tgs.tg.w3 = b23.w2
+  LEFT JOIN u2 c2 ON tgs.tg.w2 = c2.tok
+  LEFT JOIN u2 c3 ON tgs.tg.w3 = c3.tok, sc
+),
+x3 AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_trigrams,
+         ROUND(AVG(-log2(sbs)), 6) AS xent3
+  FROM sb3 GROUP BY doc_id
+),
 d3 AS (SELECT doc_id, (doc_id % 3)::INT AS label FROM documents),
 lbl AS (SELECT DISTINCT label FROM d3),
 f3 AS (SELECT doc_id, (doc_id % 3)::INT AS label, bucket FROM feats),
@@ -3593,6 +3640,8 @@ SELECT x.doc_id, x.n_tokens, x.xent, s.clf_score,
        ds.u < ds.keep_p AS dsir_keep,
        COALESCE(x2.n_bigrams, 0) AS n_bigrams,
        x2.xent2,
+       COALESCE(x3.n_trigrams, 0) AS n_trigrams,
+       x3.xent3,
        dbest.domain, dbest.domain_score,
        doc.lang,
        CASE NTILE(3) OVER (PARTITION BY doc.lang ORDER BY x.xent, x.doc_id)
@@ -3600,6 +3649,7 @@ SELECT x.doc_id, x.n_tokens, x.xent, s.clf_score,
        END AS ccnet_bucket
 FROM x JOIN s USING (doc_id) JOIN ds USING (doc_id)
 LEFT JOIN x2 USING (doc_id)
+LEFT JOIN x3 USING (doc_id)
 JOIN dbest USING (doc_id)
 JOIN documents doc ON doc.doc_id = x.doc_id
 """
