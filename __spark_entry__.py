@@ -3393,19 +3393,22 @@ def q55_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         "xent",
     )
-    # r5 merge: Stupid-Backoff bigram cross-entropy (the next CCNet LM
-    # rung — word order visible; functions/quality.bigram_crossentropy)
-    bg = bigram_crossentropy(d, "text", "doc_id").select(
-        F.col("id").alias("doc_id"), "n_bigrams", "xent2"
-    )
-    # r5 merge: trigram Stupid-Backoff (third LM rung — three-word
-    # collocations; functions/ngram_lm.trigram_crossentropy), oracle
-    # replicates the two-level backoff CASE exactly
+    # r5 merge: Stupid-Backoff bigram + trigram cross-entropy (the next
+    # two CCNet LM rungs; functions/quality.bigram_crossentropy +
+    # functions/ngram_lm.trigram_crossentropy). The unigram/bigram count
+    # tables build ONCE (sb_count_tables) and feed both rungs — shared
+    # plan fragments reuse the explode shuffles and each rung's
+    # broadcast probe runs against the one shared table set.
     from metadata_crawler_spark.functions.ngram_lm import (
         trigram_crossentropy,
     )
+    from metadata_crawler_spark.functions.quality import sb_count_tables
 
-    tg = trigram_crossentropy(d, "text", "doc_id").select(
+    sb_tables = sb_count_tables(d, "text")
+    bg = bigram_crossentropy(d, "text", "doc_id", tables=sb_tables).select(
+        F.col("id").alias("doc_id"), "n_bigrams", "xent2"
+    )
+    tg = trigram_crossentropy(d, "text", "doc_id", tables=sb_tables).select(
         F.col("id").alias("doc_id"), "n_trigrams", "xent3"
     )
     # r5 merge: multi-class NB domain classifier (the WebOrganizer/DCLM

@@ -55,10 +55,6 @@ def trigram_structs(arr: Column) -> Column:
     return ngram_word_structs(arr, 3)
 
 
-def _bigram_structs(arr: Column) -> Column:
-    return ngram_word_structs(arr, 2)
-
-
 def trigram_crossentropy(
     df: DataFrame,
     text_col: str,
@@ -66,22 +62,24 @@ def trigram_crossentropy(
     train_df: DataFrame | None = None,
     alpha: float = 0.4,
     vocab_broadcast: bool | None = None,
+    tables: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """(id, n_trigrams, xent3) per document; docs with < 3 tokens get
     n_trigrams=0 and a NULL xent3 (the operator is total over its
     input). ``train_df`` scores ``df`` under a held-out model (the CCNet
-    shape); default is the corpus's own counts."""
+    shape); default is the corpus's own counts. ``tables`` accepts the
+    (utab, btab, scal) from ``quality.sb_count_tables`` so a caller
+    running multiple ladder rungs (q55) builds the lower-order count
+    tables ONCE instead of once per rung."""
     from ..operators.frontier import small_enough_to_broadcast
+
+    from .quality import sb_count_tables
 
     tdf = train_df if train_df is not None else df
     ttoks = _nonempty_tokens(F.col(text_col))
 
-    train_tok = tdf.select(F.explode(ttoks).alias("tok"))
-    utab = train_tok.groupBy("tok").agg(F.count("*").alias("ucnt"))
-    btab = (
-        tdf.select(F.explode(_bigram_structs(ttoks)).alias("bg"))
-        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-        .agg(F.count("*").alias("bcnt"))
+    utab, btab, scal = (
+        tables if tables is not None else sb_count_tables(tdf, text_col)
     )
     ttab = (
         tdf.select(F.explode(trigram_structs(ttoks)).alias("tg"))
@@ -91,10 +89,6 @@ def trigram_crossentropy(
             F.col("tg.w3").alias("w3"),
         )
         .agg(F.count("*").alias("tcnt"))
-    )
-    scal = utab.agg(
-        F.sum("ucnt").cast("double").alias("total"),
-        F.count("*").cast("double").alias("vsize"),
     )
     if vocab_broadcast is None:
         # probe the TRIGRAM table — the largest of the three tables the

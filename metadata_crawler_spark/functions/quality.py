@@ -409,6 +409,35 @@ def unigram_crossentropy(
     )
 
 
+def sb_count_tables(
+    tdf: DataFrame, text_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(utab, btab, scal) — the unigram/bigram count tables + (total,
+    vsize) scalar every Stupid-Backoff rung scores against. Build ONCE
+    per training corpus and pass to both :func:`bigram_crossentropy` and
+    ``ngram_lm.trigram_crossentropy`` via ``tables=``: the ladder then
+    shares one token-explode and one bigram-explode shuffle (identical
+    plan fragments -> exchange reuse) and one broadcast-size probe per
+    table instead of rebuilding per rung."""
+    ttoks_arr = _nonempty_tokens(F.col(text_col))
+    train_tok = tdf.select(F.explode(ttoks_arr).alias("tok"))
+    utab = train_tok.groupBy("tok").agg(F.count("*").alias("ucnt"))
+    btab = (
+        tdf.select(F.explode(ngram_word_structs(ttoks_arr, 2)).alias("bg"))
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count("*").alias("bcnt"))
+    )
+    # scalars off ONE partial-agg scan of the training corpus: total
+    # tokens + distinct vocab (the latter needs the tok shuffle anyway,
+    # so derive both from utab — one extra agg over an already-built
+    # table, not a second corpus read)
+    scal = utab.agg(
+        F.sum("ucnt").cast("double").alias("total"),
+        F.count("*").cast("double").alias("vsize"),
+    )
+    return utab, btab, scal
+
+
 def bigram_crossentropy(
     df: DataFrame,
     text_col: str,
@@ -416,6 +445,7 @@ def bigram_crossentropy(
     train_df: DataFrame | None = None,
     alpha: float = 0.4,
     vocab_broadcast: bool | None = None,
+    tables: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Stupid-Backoff bigram cross-entropy (Brants et al. 2007) — the
     next rung of the CCNet LM-quality ladder above
@@ -442,25 +472,12 @@ def bigram_crossentropy(
     from ..operators.frontier import small_enough_to_broadcast
 
     tdf = train_df if train_df is not None else df
-    ttoks_arr = _nonempty_tokens(F.col(text_col))
 
     def bigram_structs(arr: Column) -> Column:
         return ngram_word_structs(arr, 2)
 
-    train_tok = tdf.select(F.explode(ttoks_arr).alias("tok"))
-    utab = train_tok.groupBy("tok").agg(F.count("*").alias("ucnt"))
-    btab = (
-        tdf.select(F.explode(bigram_structs(ttoks_arr)).alias("bg"))
-        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-        .agg(F.count("*").alias("bcnt"))
-    )
-    # scalars off ONE partial-agg scan of the training corpus: total
-    # tokens + distinct vocab (the latter needs the tok shuffle anyway,
-    # so derive both from utab — one extra agg over an already-built
-    # table, not a second corpus read)
-    scal = utab.agg(
-        F.sum("ucnt").cast("double").alias("total"),
-        F.count("*").cast("double").alias("vsize"),
+    utab, btab, scal = (
+        tables if tables is not None else sb_count_tables(tdf, text_col)
     )
     if vocab_broadcast is None:
         vocab_broadcast = small_enough_to_broadcast(utab)

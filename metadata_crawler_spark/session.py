@@ -35,6 +35,21 @@ _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
 _REPO_ROOT = os.path.dirname(_PKG_DIR)
 
 
+def build_pyfiles_zip(zpath: str) -> str:
+    """Zip the package for ``--py-files`` / ``addPyFile``. ONE builder so
+    ship_package and the spark-submit parity test ship the identical
+    artifact shape (arcnames relative to the repo root, ``.py`` only)."""
+    import zipfile
+
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(_PKG_DIR):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, _REPO_ROOT))
+    return zpath
+
+
 def ship_package(spark: SparkSession) -> SparkSession:
     """Ship this package to executors — ``spark-submit --py-files`` parity.
 
@@ -49,15 +64,10 @@ def ship_package(spark: SparkSession) -> SparkSession:
     if getattr(spark, "_mcs_shipped", False):
         return spark
     import tempfile
-    import zipfile
 
-    zpath = os.path.join(tempfile.gettempdir(), "metadata_crawler_spark_pyfiles.zip")
-    with zipfile.ZipFile(zpath, "w") as zf:
-        for root, _dirs, files in os.walk(_PKG_DIR):
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    zf.write(full, os.path.relpath(full, _REPO_ROOT))
+    zpath = build_pyfiles_zip(
+        os.path.join(tempfile.gettempdir(), "metadata_crawler_spark_pyfiles.zip")
+    )
     spark.sparkContext.addPyFile(zpath)
     spark._mcs_shipped = True
     return spark
@@ -87,6 +97,7 @@ def get_spark(
     100 TB ones; on a real cluster this would be set per-round from the
     frontier size (see plans/round_loop.py).
     """
+    caller_set_width = cores is not None or shuffle_partitions is not None
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or cores
     # Local-mode workers are fresh interpreters: make the package importable
@@ -105,15 +116,26 @@ def get_spark(
     # hardcoded local[N] — only a standalone python launch defaults to
     # local mode.
     master = os.environ.get("SPARK_GRAFT_MASTER")
+    under_gateway = "PYSPARK_GATEWAY_PORT" in os.environ
     b = SparkSession.builder.appName(app)
     if master:
         b = b.master(master)
-    elif "PYSPARK_GATEWAY_PORT" not in os.environ:
+    elif not under_gateway:
         b = b.master(f"local[{cores}]")
+    # Parallelism knobs: when attached to a spark-submit gateway and the
+    # caller asked for nothing specific, the submitted ``--conf`` values
+    # are the operator's cluster tuning — overriding them with the
+    # local-mode default (32) is the same clobber class as the fixed
+    # hardcoded-master bug, one knob over (a 100 TB shuffle forced to 32
+    # partitions). Only set them when we own the session (local mode /
+    # explicit SPARK_GRAFT_MASTER) or the caller passed them explicitly.
+    if caller_set_width or master or not under_gateway:
+        b = (
+            b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+            .config("spark.default.parallelism", str(cores))
+        )
     b = (
         b
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.default.parallelism", str(cores))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

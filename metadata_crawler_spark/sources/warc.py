@@ -248,11 +248,24 @@ def _maybe_gzip(fh: IO[bytes], path: str) -> IO[bytes]:
     """Common Crawl ships ``.warc.gz`` — wrap compressed segments in a
     STREAMING gzip reader (stdlib; decompresses ``read_size`` at a time,
     so the memory bound of parse_warc_stream is unchanged). Plain
-    ``.warc`` passes through untouched."""
+    ``.warc`` passes through untouched. The wrapper OWNS the underlying
+    stream: stdlib GzipFile.close() does not close a caller-provided
+    fileobj, so readers' ``finally: fh.close()`` would otherwise leak the
+    raw fd/Arrow stream to GC — in a long-lived executor reading many
+    segments that accumulates to 'Too many open files'."""
     if path.endswith(".gz"):
         import gzip
 
-        return gzip.GzipFile(fileobj=fh, mode="rb")  # type: ignore[return-value]
+        class _OwningGzipFile(gzip.GzipFile):
+            def close(self) -> None:
+                raw = self.fileobj  # captured BEFORE super() nulls it
+                try:
+                    super().close()
+                finally:
+                    if raw is not None:
+                        raw.close()
+
+        return _OwningGzipFile(fileobj=fh, mode="rb")  # type: ignore[return-value]
     return fh
 
 

@@ -130,6 +130,11 @@ def test_unigram_viterbi_unsegmentable_is_none(word, seed):
     missing = rng.choice(chars)
     logp = {c: math.log(0.1) for c in chars if c != missing}
     if not logp:
-        logp = {"\0": math.log(0.5)}
+        # single-distinct-char word: the vocab must be non-empty but must
+        # not contain the word's char (word='\x00' would make a literal
+        # '\0' fallback segmentable again) — pick a control char the
+        # <=20-char word provably doesn't contain
+        fb = next(c for c in map(chr, range(32)) if c not in chars)
+        logp = {fb: math.log(0.5)}
     pieces = _viterbi(word, logp, max(len(p) for p in logp))
     assert pieces is None

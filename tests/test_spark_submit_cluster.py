@@ -22,12 +22,10 @@ import json
 import os
 import subprocess
 import sys
-import zipfile
 
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PKG = os.path.join(REPO, "metadata_crawler_spark")
 
 
 def _spark_submit() -> str:
@@ -40,12 +38,11 @@ def _spark_submit() -> str:
 
 
 def _build_zip(path: str) -> None:
-    with zipfile.ZipFile(path, "w") as zf:
-        for root, _dirs, files in os.walk(PKG):
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    zf.write(full, os.path.relpath(full, REPO))
+    # the SAME builder ship_package uses, so this test ships the
+    # identical artifact shape the production addPyFile path does
+    from metadata_crawler_spark.session import build_pyfiles_zip
+
+    build_pyfiles_zip(path)
 
 
 _SHIM = """\
