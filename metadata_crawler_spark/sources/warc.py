@@ -177,9 +177,13 @@ def parse_warc_stream(
         headers: dict[str, str] = {}
         for line in bytes(buf[:hdr_end]).split(_CRLF)[1:]:
             k, _, v = line.partition(b":")
-            headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
-                "latin-1"
-            )
+            # WARC/1.0 (ISO 28500 §4) header fields are UTF-8 — the
+            # writers here encode UTF-8, so decoding latin-1 would mangle
+            # non-ASCII target URIs on the round-trip ('\x80' -> 'Â\x80');
+            # errors='replace' keeps corrupt bytes from killing the task
+            headers[
+                k.strip().lower().decode("utf-8", "replace")
+            ] = v.strip().decode("utf-8", "replace")
         try:
             length = int(headers.get("content-length", "0"))
         except ValueError:
