@@ -153,10 +153,16 @@ def main() -> None:
             best = min(best, time.time() - t0)
         queries[name] = round(best, 3)
 
-    # north-rule crawl rounds at full parallelism, best-of-QREPEAT
-    # (fresh checkpoint dir per run — each is a from-scratch crawl)
+    # north-rule crawl rounds at full parallelism, best-of-max(QREPEAT,3)
+    # (fresh checkpoint dir per run — each is a from-scratch crawl). The
+    # ~16 s crawl phase samples this host's CPU-delivery swings (and the
+    # session-first trial is always cold: codegen + Arrow warmup measured
+    # ~2x slower than warm) that the 150 s scaling walls average out —
+    # the run-3-vs-HEAD interleaved bisect in BASELINE.md showed
+    # identical code measuring 4.0k-13.1k urls/s back to back, so a
+    # 2-trial best under-samples true capability.
     crawl_full = None
-    for _ in range(qrepeat):
+    for _ in range(max(qrepeat, 3)):
         t0 = time.time()
         c = _crawl_throughput(spark, fx_paths)
         c["wall_incl_setup_s"] = round(time.time() - t0, 3)
