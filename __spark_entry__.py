@@ -2675,13 +2675,22 @@ FROM documents WHERE doc_id < 500
 #     occurring verbatim elsewhere is excised from all but its first
 #     (id, pos) occurrence (operators/dedup.span_dedup) — the suffix-array
 #     pass re-expressed as a rolling-hash window join.
+# (c) per-host template removal (r5 merge): a 3-token chunk appearing in
+#     >= 2 distinct docs and >= 5% of the SAME source's docs is that
+#     source's boilerplate and is removed from every doc of that source
+#     (operators/dedup.host_boilerplate_dedup) — the site-template stage
+#     between RefinedWeb line correction and CCNet corpus-wide dedup.
 # ---------------------------------------------------------------------------
 
 def q52_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line/paragraph-level + span-level corpus dedup — the training-
     pipeline steps between exact (q03) and near-dup (q21-q24) dedup."""
     _prep(spark)
-    from metadata_crawler_spark.operators.dedup import paragraph_dedup, span_dedup
+    from metadata_crawler_spark.operators.dedup import (
+        host_boilerplate_dedup,
+        paragraph_dedup,
+        span_dedup,
+    )
 
     d = _t(spark, sf_dir, "documents")
     para = paragraph_dedup(d, "text", "doc_id", chunk_words=10)
@@ -2692,7 +2701,16 @@ def q52_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("removed_frac").alias("span_removed_frac"),
         F.col("dedup_text").alias("span_text"),
     )
-    return para.join(span, "id").select(
+    hb = host_boilerplate_dedup(
+        d, "text", "doc_id", "source", chunk_words=3, min_docs=2, min_pct=5
+    ).select(
+        "id",
+        F.col("n_chunks").alias("hb_n_chunks"),
+        F.col("n_boiler").alias("hb_n_boiler"),
+        F.col("boiler_frac").alias("hb_boiler_frac"),
+        F.col("clean_text").alias("hb_clean_text"),
+    )
+    return para.join(span, "id").join(hb, "id").select(
         F.col("id").alias("doc_id"),
         "n_chunks",
         "n_kept",
@@ -2702,6 +2720,10 @@ def q52_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span_removed",
         "span_removed_frac",
         "span_text",
+        "hb_n_chunks",
+        "hb_n_boiler",
+        "hb_boiler_frac",
+        "hb_clean_text",
     )
 
 
@@ -2758,18 +2780,53 @@ rec AS (
   SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS span_text
   FROM surv GROUP BY doc_id
 ),
-rem AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id)
+rem AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id),
+hb_ch AS (
+  SELECT t.doc_id, d.source AS host, r.i AS pos,
+         array_to_string(ts[(r.i * 3 + 1):(r.i * 3 + 3)], ' ') AS chunk
+  FROM t JOIN documents d ON t.doc_id = d.doc_id,
+       unnest(range((len(ts) + 2) // 3)) AS r(i)
+),
+hb_hostdocs AS (
+  SELECT source AS host, COUNT(DISTINCT doc_id) AS n_docs
+  FROM documents GROUP BY 1
+),
+hb_boiler AS (
+  SELECT host, chunk FROM (
+    SELECT host, chunk, COUNT(DISTINCT doc_id) AS n_with
+    FROM hb_ch GROUP BY 1, 2
+  ) cd JOIN hb_hostdocs USING (host)
+  WHERE n_with >= 2 AND n_with * 100 >= n_docs * 5
+),
+hb_mark AS (
+  SELECT c.doc_id, c.pos, c.chunk, (b.chunk IS NOT NULL) AS is_boiler
+  FROM hb_ch c
+  LEFT JOIN hb_boiler b ON c.host = b.host AND c.chunk = b.chunk
+),
+hb AS (
+  SELECT doc_id,
+         COUNT(*) AS hb_n_chunks,
+         CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+           AS hb_n_boiler,
+         ROUND(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) / COUNT(*), 6)
+           AS hb_boiler_frac,
+         COALESCE(string_agg(CASE WHEN NOT is_boiler THEN chunk END, ' '
+                             ORDER BY pos), '') AS hb_clean_text
+  FROM hb_mark GROUP BY doc_id
+)
 SELECT para.doc_id, n_chunks, n_kept, kept_frac, dedup_text,
        CAST(len(t.ts) AS BIGINT) AS span_n_tokens,
        CAST(COALESCE(rem.n_removed, 0) AS BIGINT) AS span_removed,
        ROUND(CASE WHEN len(t.ts) = 0 THEN 0.0
                   ELSE COALESCE(rem.n_removed, 0) / len(t.ts) END, 6)
          AS span_removed_frac,
-       COALESCE(rec.span_text, '') AS span_text
+       COALESCE(rec.span_text, '') AS span_text,
+       hb.hb_n_chunks, hb.hb_n_boiler, hb.hb_boiler_frac, hb.hb_clean_text
 FROM para
 JOIN t ON para.doc_id = t.doc_id
 LEFT JOIN rem ON para.doc_id = rem.doc_id
 LEFT JOIN rec ON para.doc_id = rec.doc_id
+JOIN hb ON para.doc_id = hb.doc_id
 """
 
 

@@ -532,6 +532,106 @@ def paragraph_dedup(
     )
 
 
+def host_boilerplate_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    host_col: str,
+    chunk_words: int = 10,
+    min_docs: int = 2,
+    min_pct: int = 50,
+    boiler_broadcast: bool | None = None,
+) -> DataFrame:
+    """Per-host template removal — the site-boilerplate stage between
+    per-doc line correction (RefinedWeb §3.3) and corpus-wide paragraph
+    dedup (CCNet): a pseudo-paragraph that appears in >= ``min_docs``
+    distinct documents of the SAME host and in >= ``min_pct`` percent of
+    that host's documents is the host's template (nav bars, footers,
+    cookie banners rendered into text) and is removed from EVERY document
+    of that host — all occurrences, unlike :func:`paragraph_dedup` which
+    keeps the first. Reference analog: the per-source batch grouping of
+    the catalogue writer (api/stores/base.py:176-197) is the closest
+    per-host pass; the reference has no content stage like this, it is
+    part of the beyond-reference training-data surface.
+
+    Returns (id, host, n_chunks, n_boiler, boiler_frac, clean_text).
+
+    The threshold is integer arithmetic (``n_with * 100 >= n_docs *
+    min_pct``) so the decision can never flip against a SQL oracle on a
+    float representation boundary (same rule as the Misra-Gries n/k
+    threshold in operators/sketches.py).
+
+    Scale shape: the frequency pass shuffles (host, hash) ~24-byte keys
+    only (text never rides it); host doc-counts are one partial-agg
+    shuffle of (host) keys; the template set is bounded by construction
+    (a chunk must cover >= min_pct% of its host's docs, so per host at
+    most ``100/min_pct * max_chunks_per_doc`` survive) and is size-probed
+    for broadcast — the broadcast path marks chunks map-side so the only
+    exchange carrying text is the final id-keyed recompose, identical to
+    paragraph_dedup's. The fallback joins hash-keys only and re-joins on
+    (id, pos), the hash_only shape.
+    """
+    from .frontier import small_enough_to_broadcast
+
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.col(host_col).alias("host"),
+        F.posexplode(paragraph_chunks_expr(F.col(text_col), chunk_words)).alias(
+            "pos", "chunk"
+        ),
+    )
+    keys = ex.select("id", "host", "pos", F.xxhash64("chunk").alias("h"))
+    host_docs = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    chunk_docs = keys.groupBy("host", "h").agg(
+        F.countDistinct("id").alias("n_with")
+    )
+    boiler = (
+        chunk_docs.join(host_docs, "host")
+        .where(
+            (F.col("n_with") >= F.lit(min_docs))
+            & (F.col("n_with") * 100 >= F.col("n_docs") * F.lit(min_pct))
+        )
+        .select("host", "h", F.lit(True).alias("is_boiler"))
+    )
+    use_bc = (
+        boiler_broadcast
+        if boiler_broadcast is not None
+        else small_enough_to_broadcast(boiler)
+    )
+    if use_bc:
+        marked = ex.withColumn("h", F.xxhash64("chunk")).join(
+            F.broadcast(boiler), ["host", "h"], "left"
+        )
+    else:
+        flags = keys.join(boiler, ["host", "h"], "left").select(
+            "id", "pos", "is_boiler"
+        )
+        marked = ex.join(flags, ["id", "pos"])
+    marked = marked.withColumn(
+        "is_boiler", F.coalesce(F.col("is_boiler"), F.lit(False))
+    )
+    return marked.groupBy("id", "host").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("is_boiler").cast("long")).alias("n_boiler"),
+        F.round(
+            F.sum(F.col("is_boiler").cast("long")) / F.count("*"), 6
+        ).alias("boiler_frac"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("is_boiler"), F.struct("pos", "chunk"))
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+        ).alias("clean_text"),
+    )
+
+
 # shared observed-checkpoint helper (promoted to operators/common.py in
 # r5 once frontier.pagerank and clean_corpus started using it too)
 from .common import checkpoint_observed as _checkpoint_observed  # noqa: E402

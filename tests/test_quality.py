@@ -251,6 +251,78 @@ def test_paragraph_dedup_hash_only_identical(spark, pdocs):
     assert c == d
 
 
+def test_host_boilerplate_dedup_per_host_thresholds(spark):
+    """Site-template removal: a chunk in >= min_pct% (and >= min_docs) of
+    ONE host's docs is removed from every doc of THAT host only — the
+    same chunk on another host below threshold survives there; removal is
+    all-occurrences (not keep-first)."""
+    from metadata_crawler_spark.operators.dedup import host_boilerplate_dedup
+
+    T = " ".join(f"t{i}" for i in range(10))  # h1 template (3/4 docs)
+    U = " ".join(f"u{i}" for i in range(10))  # h1 edge case (2/4 = 50%)
+    V = " ".join(f"v{i}" for i in range(10))  # singleton (1/4 docs)
+    rows = [
+        (0, "h1", f"{T} {U} {V}"),
+        (1, "h1", f"{T} {U}"),
+        (2, "h1", T),
+        (3, "h1", A),
+        (4, "h2", f"{T} {B}"),  # T on h2: 1/2 docs < min_docs=2 -> kept
+        (5, "h2", C),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out = {
+        r["id"]: r
+        for r in host_boilerplate_dedup(
+            df, "text", "doc_id", "host", min_docs=2, min_pct=50
+        ).collect()
+    }
+    # h1: T (3/4 = 75%) and U (2/4 = exactly 50%, >= threshold) are
+    # templates; V and A are not.
+    assert out[0]["n_chunks"] == 3 and out[0]["n_boiler"] == 2
+    assert out[0]["clean_text"] == V
+    assert out[1]["clean_text"] == ""
+    assert out[2]["clean_text"] == "" and out[2]["boiler_frac"] == 1.0
+    assert out[3]["clean_text"] == A
+    # h2: T survives there (per-host independence), docs untouched
+    assert out[4]["clean_text"] == f"{T} {B}"
+    assert out[5]["clean_text"] == C
+    assert out[4]["host"] == "h2" and out[4]["n_boiler"] == 0
+
+
+def test_host_boilerplate_dedup_paths_and_partitioning(spark):
+    """Broadcast-marked and hash-key-join paths must agree, and the
+    result must be invariant to input partitioning."""
+    from metadata_crawler_spark.operators.dedup import host_boilerplate_dedup
+
+    docs = spark.range(120).selectExpr(
+        "id AS doc_id",
+        "concat('h', id % 7) AS host",
+        # every host shares a 10-word template block; the rest is unique
+        "concat_ws(' ', transform(sequence(0, 9), "
+        "  i -> concat('tpl', id % 7, '_', i)), "
+        "  transform(sequence(0, 9), i -> concat('u', id, '_', i))) AS text",
+    )
+    bc = sorted(
+        host_boilerplate_dedup(
+            docs, "text", "doc_id", "host", boiler_broadcast=True
+        ).collect()
+    )
+    sj = sorted(
+        host_boilerplate_dedup(
+            docs, "text", "doc_id", "host", boiler_broadcast=False
+        ).collect()
+    )
+    assert bc == sj
+    # every doc lost exactly its host template chunk, kept its unique one
+    assert all(r["n_chunks"] == 2 and r["n_boiler"] == 1 for r in bc)
+    re_part = sorted(
+        host_boilerplate_dedup(
+            docs.repartition(13), "text", "doc_id", "host"
+        ).collect()
+    )
+    assert bc == re_part
+
+
 def test_paragraph_dedup_hash_only_plan_sheds_text(spark, pdocs):
     """Plan assert: in the hash-only path the window-stage exchange
     (hashpartitioning on the chunk hash) must NOT carry the paragraph
