@@ -119,3 +119,105 @@ def decode_pages(
     """Append ``out_col`` = struct(charset, text) — sniffed + decoded in
     one map-side Arrow pass; page bytes never shuffle."""
     return df.withColumn(out_col, decode_html_udf(F.col(html_col)))
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (the ftfy problem, stdlib-only): text that was UTF-8
+# bytes mis-decoded as windows-1252/latin-1 somewhere upstream — by the
+# origin server's templating, a proxy, or a feed aggregator — reaches
+# the crawler as 'Ã©'/'â€™'/'Â\xa0' digraphs INSIDE otherwise-valid
+# UTF-8 pages, so charset sniffing cannot catch it. The repair inverts
+# the bad decode (chars -> the cp1252/latin-1 bytes they came from) and
+# re-decodes strict UTF-8; acceptance is self-proving: genuine cp1252
+# text re-encoded this way is almost never valid UTF-8, and chars above
+# U+00FF (CJK, Cyrillic, ...) cannot be inverted at all, so such docs
+# are provably untouched.
+# ---------------------------------------------------------------------------
+
+# chars that UTF-8 continuation/lead bytes 0x80-0x9F turn into under a
+# cp1252 decode (the C1 range where cp1252 differs from latin-1)
+_CP1252_INV = {
+    bytes([b]).decode("cp1252"): b
+    for b in range(0x80, 0xA0)
+    if bytes([b]) not in (b"\x81", b"\x8d", b"\x8f", b"\x90", b"\x9d")
+}
+_MAX_MOJIBAKE_PASSES = 3
+
+
+def _inverse_bad_decode(text: str) -> bytes | None:
+    """The byte string whose cp1252-or-latin-1 decode produced ``text``,
+    or None if some char can come from neither (genuinely non-Western
+    text — never touched)."""
+    out = bytearray()
+    for ch in text:
+        cp = ord(ch)
+        if cp <= 0xFF:
+            # latin-1 passthrough also covers cp1252's 5 unmapped holes
+            # (0x81 0x8D 0x8F 0x90 0x9D), i.e. both bad-decode variants
+            out.append(cp)
+        else:
+            b = _CP1252_INV.get(ch)
+            if b is None:
+                return None
+            out.append(b)
+    return bytes(out)
+
+
+def fix_mojibake_py(text: str | None) -> tuple[str, int]:
+    """(repaired_text, n_passes). n_passes=0 means the text was already
+    clean (or not provably mojibake — repairs are only accepted when the
+    inverted bytes strict-decode as UTF-8 *and* change the text, so the
+    worst case is a no-op, never new corruption). Multiple passes undo
+    double/triple mis-decodes; ASCII-only text short-circuits."""
+    if not text:
+        return text or "", 0
+    passes = 0
+    cur = text
+    for _ in range(_MAX_MOJIBAKE_PASSES):
+        if cur.isascii():
+            break
+        raw = _inverse_bad_decode(cur)
+        if raw is None:
+            break
+        try:
+            fixed = raw.decode("utf-8", "strict")
+        except UnicodeDecodeError:
+            break
+        if fixed == cur:
+            break
+        cur = fixed
+        passes += 1
+    return cur, passes
+
+
+_MOJIBAKE_SCHEMA = T.StructType(
+    [
+        T.StructField("text", T.StringType()),
+        T.StructField("mojibake_passes", T.IntegerType()),
+    ]
+)
+
+
+@F.pandas_udf(_MOJIBAKE_SCHEMA)
+def fix_mojibake_udf(text: pd.Series) -> pd.DataFrame:
+    rows = [fix_mojibake_py(t) for t in text]
+    return pd.DataFrame(rows, columns=["text", "mojibake_passes"])
+
+
+def repair_mojibake(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Replace ``text_col`` (or append ``out_col``) with mojibake-repaired
+    text plus a ``mojibake_passes`` audit column. One map-side Arrow pass,
+    zero shuffles; the cheap ``isascii`` short-circuit means clean English
+    corpora pay one vectorized scan and no per-char work."""
+    target = out_col or text_col
+    # one struct column, THEN projections: referencing the UDF expr twice
+    # after the first withColumn replaced text_col would re-run the UDF
+    # on the already-repaired text (passes always 0)
+    return (
+        df.withColumn("_mj", fix_mojibake_udf(F.col(text_col)))
+        .withColumn(target, F.col("_mj.text"))
+        .withColumn("mojibake_passes", F.col("_mj.mojibake_passes"))
+        .drop("_mj")
+    )

@@ -81,6 +81,9 @@ def clean_corpus(
     lang_top_n: int = 100,
     repetition_ladder: bool = False,
     ccnet_keep: tuple[str, ...] | None = None,
+    host_col: str | None = None,
+    boiler_min_docs: int = 2,
+    boiler_min_pct: int = 50,
     stage_counts: dict | None = None,
 ) -> DataFrame:
     """Returns the surviving documents as (id, text) where ``text`` is
@@ -115,8 +118,14 @@ def clean_corpus(
     count() pass, and no double-count hazard from branched consumers
     (the checkpoint is the single materialization; downstream reuse
     reads the materialized blocks). Keys land in pipeline order:
-    input, lang_gate, quality_gate, clf_gate, ccnet_gate, exact_dedup,
-    fuzzy_dedup, semdedup, paragraph_dedup, decontamination.
+    input, lang_gate, quality_gate, clf_gate, ccnet_gate,
+    host_boilerplate, exact_dedup, fuzzy_dedup, semdedup,
+    paragraph_dedup, decontamination.
+
+    Per-host template removal (``host_col``, r5): strip each host's
+    boilerplate chunks before any dedup stage (shared site templates
+    inflate MinHash similarity between unrelated pages of one host) —
+    see ``dedup.host_boilerplate_dedup`` for thresholds and shape.
 
     CCNet bucket gate (``ccnet_keep``, e.g. ``("head", "middle")``):
     per-language perplexity tertiles of the self-corpus unigram
@@ -255,6 +264,30 @@ def clean_corpus(
         )
         survivors = _stage(
             "ccnet_gate", survivors.join(keep_ids, "id", "left_semi")
+        )
+
+    # 1d. optional per-host template removal (``host_col``, r5): strip
+    # each host's boilerplate chunks (nav/footer/cookie text) from every
+    # surviving doc BEFORE the dedup stages — shared templates otherwise
+    # inflate MinHash similarity between unrelated pages of one site.
+    # Stage key: host_boilerplate. Off by default so q56's oracle keeps
+    # checking the unchanged base plan.
+    if host_col is not None:
+        from ..operators.dedup import host_boilerplate_dedup
+
+        hosted = survivors.join(
+            df.select(F.col(id_col).alias("id"), F.col(host_col).alias("host")),
+            "id",
+        )
+        hb = host_boilerplate_dedup(
+            hosted, "text", "id", "host",
+            chunk_words=chunk_words,
+            min_docs=boiler_min_docs,
+            min_pct=boiler_min_pct,
+        )
+        survivors = _stage(
+            "host_boilerplate",
+            hb.select("id", F.col("clean_text").alias("text")),
         )
 
     # 2. PII scrub

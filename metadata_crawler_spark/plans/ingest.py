@@ -51,6 +51,7 @@ def ingest_pages(
     respect_noindex: bool = True,
     boilerplate: bool = True,
     drop_soft404: bool = False,
+    fix_mojibake: bool = False,
 ) -> DataFrame:
     """(url, host, charset, title, canonical, published_ts, noindex,
     nofollow, text, n_blocks, boilerplate_frac, lang, ws_tokens,
@@ -60,8 +61,21 @@ def ingest_pages(
     where chrome is wanted, e.g. link-graph mining). ``drop_soft404``
     filters error pages served as 200 (quality.soft404_flags over the
     in-pass title + extracted text) — the flag column is always
-    appended so callers can audit what a drop WOULD remove."""
+    appended so callers can audit what a drop WOULD remove.
+    ``fix_mojibake`` repairs server-side UTF-8-as-cp1252 double encoding
+    in the decoded text before any extraction (charset.repair_mojibake's
+    kernel) — still map-side, still zero exchanges."""
     d = pages.withColumn("_dec", decode_html_udf(F.col(html_col)))
+    if fix_mojibake:
+        from ..functions.charset import fix_mojibake_udf
+
+        d = d.withColumn(
+            "_dec",
+            F.struct(
+                F.col("_dec.charset").alias("charset"),
+                fix_mojibake_udf(F.col("_dec.text"))["text"].alias("text"),
+            ),
+        )
     d = d.withColumn("_meta", extract_meta_udf(F.col("_dec.text")))
     d = d.withColumn("_rb", page_robots_flags(F.col("_dec.text")))
     if boilerplate:

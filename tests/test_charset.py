@@ -77,3 +77,72 @@ def test_utf8_multibyte_straddling_prescan_window():
     assert sniff_charset_py(page) == "windows-1252"
     # all-continuation tail (invalid utf-8) must not loop past the walk cap
     assert sniff_charset_py(b"a" * 2040 + b"\x80" * 600) == "windows-1252"
+
+
+def test_mojibake_single_pass_repair():
+    """UTF-8 text mis-decoded as cp1252 (or latin-1) is inverted back,
+    including chars whose UTF-8 bytes land in cp1252's C1 range."""
+    from metadata_crawler_spark.functions.charset import fix_mojibake_py
+
+    for original in (
+        "café élégant — naïve",
+        "curly ’quote’ and em—dash",
+        "nbsp glued",
+        "mixed ascii with one é only",
+    ):
+        broken = original.encode("utf-8").decode("cp1252")
+        fixed, n = fix_mojibake_py(broken)
+        assert fixed == original and n == 1, original
+    # latin-1 variant of the bad decode (C1 holes pass through)
+    broken_l1 = "déjà vu".encode("utf-8").decode("latin-1")
+    fixed, n = fix_mojibake_py(broken_l1)
+    assert fixed == "déjà vu" and n == 1
+
+
+def test_mojibake_multi_pass_and_idempotence():
+    from metadata_crawler_spark.functions.charset import fix_mojibake_py
+
+    original = "séance à Zürich"
+    twice = (
+        original.encode("utf-8").decode("cp1252").encode("utf-8").decode("cp1252")
+    )
+    fixed, n = fix_mojibake_py(twice)
+    assert fixed == original and n == 2
+    again, n2 = fix_mojibake_py(fixed)
+    assert again == original and n2 == 0  # repair is a fixed point
+
+
+def test_mojibake_clean_text_untouched():
+    """Genuine non-mojibake text must never be altered: ASCII, real
+    accented Western text, and scripts above U+00FF (not invertible)."""
+    from metadata_crawler_spark.functions.charset import fix_mojibake_py
+
+    for clean in (
+        "plain ascii only",
+        "genuine café crème — déjà vu",   # cp1252-able but invalid UTF-8
+        "中文文本不可触碰",
+        "русский текст",
+        "mixed 中文 and café",
+        "",
+    ):
+        fixed, n = fix_mojibake_py(clean)
+        assert fixed == clean and n == 0, clean
+    assert fix_mojibake_py(None) == ("", 0)
+
+
+def test_mojibake_spark_surface(spark):
+    from metadata_crawler_spark.functions.charset import repair_mojibake
+
+    original = "café élégant"
+    rows = [
+        (0, original.encode("utf-8").decode("cp1252")),
+        (1, "clean ascii"),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in repair_mojibake(df).collect()}
+    assert out[0]["text"] == original and out[0]["mojibake_passes"] == 1
+    assert out[1]["text"] == "clean ascii" and out[1]["mojibake_passes"] == 0
+    assert out[2]["text"] == "" and out[2]["mojibake_passes"] == 0
+    plan = repair_mojibake(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -136,3 +136,31 @@ def test_ingest_drop_soft404(spark):
     assert audit == {"https://a.com/ok": False, "https://a.com/gone": True}
     kept = [r.url for r in ingest_pages(pages, drop_soft404=True).collect()]
     assert kept == ["https://a.com/ok"]
+
+
+def test_ingest_fix_mojibake(spark):
+    """A page the ORIGIN double-encoded (UTF-8 text re-encoded as UTF-8
+    after a cp1252 mis-decode) is valid UTF-8 on the wire, so charset
+    sniffing can't catch it; fix_mojibake=True repairs the decoded text
+    in-pass, default leaves it as served. Plan stays zero-exchange."""
+    from metadata_crawler_spark.plans.ingest import ingest_pages
+
+    body = "café élégant — prix €9 " + " ".join(f"w{i}" for i in range(30))
+    broken = body.encode("utf-8").decode("cp1252")  # the server's bug
+    page = f"<html><body><p>{broken}</p></body></html>".encode("utf-8")
+    df = spark.createDataFrame(
+        [("https://m.example.com/x", page)], "url string, html binary"
+    )
+    served = ingest_pages(df, min_words=5, boilerplate=False).collect()[0]
+    assert "cafÃ©" in served["text"]  # mojibake preserved by default
+    fixed = ingest_pages(
+        df, min_words=5, boilerplate=False, fix_mojibake=True
+    ).collect()[0]
+    assert "café élégant — prix €9" in fixed["text"]
+    plan = (
+        ingest_pages(df, fix_mojibake=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

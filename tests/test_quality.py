@@ -207,6 +207,47 @@ def test_clean_corpus_stage_attribution(spark):
     assert out2 == {0, 4}
 
 
+def test_clean_corpus_host_boilerplate_stage(spark):
+    """With host_col set, each host's template chunk is stripped before
+    the dedup stages (so two docs of one host sharing ONLY the template
+    are not fuzzy-dup victims), stage_counts records the boundary, and
+    the default path (host_col=None) is unchanged."""
+    from metadata_crawler_spark.plans.corpus_pipeline import clean_corpus
+
+    tpl = " ".join(f"nav{i}bar" for i in range(10))  # one 10-word chunk
+    rows = [
+        (0, "h1", f"{tpl} " + " ".join(f"a{i}w" for i in range(30))),
+        (1, "h1", f"{tpl} " + " ".join(f"b{i}w" for i in range(30))),
+        (2, "h1", f"{tpl} " + " ".join(f"c{i}w" for i in range(30))),
+        (3, "h2", f"{tpl} " + " ".join(f"d{i}w" for i in range(30))),
+        (4, "h2", " ".join(f"e{i}w" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    counts: dict = {}
+    out = {
+        r["id"]: r["text"]
+        for r in clean_corpus(
+            df, "text", "doc_id", host_col="host", stage_counts=counts
+        ).collect()
+    }
+    # all five docs survive; h1 docs lost the template, h2's single-doc
+    # template occurrence (1/2 docs < min_docs=2) survives there
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert all("nav0bar" not in out[i] for i in (0, 1, 2))
+    assert "nav0bar" in out[3]
+    stages = list(counts)
+    assert "host_boilerplate" in stages
+    assert stages.index("quality_gate") < stages.index("host_boilerplate")
+    assert stages.index("host_boilerplate") < stages.index("exact_dedup")
+    assert counts["host_boilerplate"] == 5
+    # default path ignores the host column entirely
+    base = {
+        r["id"]: r["text"]
+        for r in clean_corpus(df, "text", "doc_id").collect()
+    }
+    assert all("nav0bar" in base[i] for i in (0, 1, 2, 3))
+
+
 def test_clean_corpus_plan_no_cartesian(spark):
     """The composed pipeline must stay equi-join only — candidate
     generation is banded buckets, never an all-pairs product (both
