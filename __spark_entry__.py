@@ -2919,9 +2919,40 @@ def q53_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     ladder = repetition_ngram_fractions(planted_rep, "text", "doc_id")
+    # r5 merge: Unicode script fractions (the cheap pre-langid gate —
+    # functions/text.script_fractions). The ASCII fixture is planted
+    # with Cyrillic/CJK/Arabic prefixes by doc_id arithmetic in BOTH
+    # engines; the explicit-codepoint-range patterns are inlined in the
+    # SQL and pinned to the operator's constants here.
+    from metadata_crawler_spark.functions.text import (
+        SCRIPT_RANGES,
+        script_fractions,
+    )
+
+    assert SCRIPT_RANGES == _SC_RANGES  # SQL literals must track the op
+    planted_sc = d.select(
+        "doc_id",
+        F.when(did % 31 == 0, F.concat(F.lit(_SC_CYR + " "), F.col("text")))
+        .when(did % 41 == 0, F.concat(F.lit(_SC_CJK + " "), F.col("text")))
+        .when(did % 53 == 0, F.concat(F.lit(_SC_AR + " "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("sttext"),
+    )
+    sc = planted_sc.select(
+        F.col("doc_id").alias("id"),
+        script_fractions(F.col("sttext")).alias("_sc"),
+    ).select(
+        "id",
+        F.col("_sc.latin_frac").alias("latin_frac"),
+        F.col("_sc.cyrillic_frac").alias("cyrillic_frac"),
+        F.col("_sc.cjk_frac").alias("cjk_frac"),
+        F.col("_sc.arabic_frac").alias("arabic_frac"),
+        F.col("_sc.digit_frac").alias("digit_frac"),
+        F.col("_sc.dominant_script").alias("dominant_script"),
+    )
     return rep.join(lm, "id").join(ct, "id", "left").join(s4, "id").join(
         ladder, "id"
-    ).select(
+    ).join(sc, "id").select(
         F.col("id").alias("doc_id"),
         F.col("n_words").cast("long").alias("n_words"),
         "mean_word_len",
@@ -2942,6 +2973,8 @@ def q53_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup5gram_char_frac", "dup6gram_char_frac", "dup7gram_char_frac",
         "dup8gram_char_frac", "dup9gram_char_frac", "dup10gram_char_frac",
         "rep_flagged",
+        "latin_frac", "cyrillic_frac", "cjk_frac", "arabic_frac",
+        "digit_frac", "dominant_script",
     )
 
 
@@ -3271,6 +3304,100 @@ _Q53_SQL = _Q53_SQL.replace(
 _Q53_SQL = _Q53_SQL.replace(
     "         AS soft404",
     "         AS soft404,\n" + _RL_SELECT + ",\n       " + _RL_FLAG,
+    1,
+)
+
+# Unicode script fractions (functions/text.script_fractions twin):
+# explicit codepoint intervals — \x{...} escapes parse identically in
+# Java regex and RE2, and interval membership cannot drift with Unicode
+# table versions the way \p{Script=} classes can. Inlined (package
+# imports are banned at module level here); q53 pins them at runtime.
+_SC_RANGES = {
+    "latin": r"[A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{024F}]",
+    "cyrillic": r"[\x{0400}-\x{04FF}]",
+    "greek": r"[\x{0370}-\x{03FF}]",
+    "arabic": r"[\x{0600}-\x{06FF}]",
+    "cjk": r"[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]",
+    "hangul": r"[\x{AC00}-\x{D7AF}]",
+    "digit": "[0-9]",
+}
+_SC_CYR = "Привет мир это тест"
+_SC_CJK = "中文文本测试"
+_SC_AR = "مرحبا بالعالم"
+_SC_ORDER = ("latin", "cyrillic", "greek", "arabic", "cjk", "hangul")
+
+
+def _sc_cnt(key: str) -> str:
+    return ("len(regexp_extract_all(sttext, '"
+            + _SC_RANGES[key] + "')) AS c_" + key)
+
+
+def _sc_frac(key: str) -> str:
+    return ("CASE WHEN nonws > 0 THEN ROUND(c_" + key
+            + " / nonws, 6) ELSE 0.0 END AS " + key + "_frac")
+
+
+_SC_DOMINANT = (
+    "CASE WHEN GREATEST(" + ", ".join("c_" + k for k in _SC_ORDER)
+    + ") = 0 THEN 'none'\n"
+    + "\n".join(
+        "              WHEN c_" + k + " = GREATEST("
+        + ", ".join("c_" + j for j in _SC_ORDER) + ") THEN '" + k + "'"
+        for k in _SC_ORDER
+    )
+    + "\n              END AS dominant_script"
+)
+_Q53_SC_CTES = (
+    """,
+scp AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 31 = 0 THEN '"""
+    + _SC_CYR
+    + """ ' || text
+              WHEN doc_id % 41 = 0 THEN '"""
+    + _SC_CJK
+    + """ ' || text
+              WHEN doc_id % 53 = 0 THEN '"""
+    + _SC_AR
+    + """ ' || text
+              ELSE text END AS sttext
+  FROM documents
+),
+scn AS (
+  SELECT doc_id,
+         length(regexp_replace(sttext, '\\s+', '', 'g')) AS nonws,
+         """
+    + ",\n         ".join(_sc_cnt(k) for k in list(_SC_ORDER) + ["digit"])
+    + """
+  FROM scp
+),
+sc AS (
+  SELECT doc_id,
+         """
+    + ",\n         ".join(
+        _sc_frac(k) for k in ("latin", "cyrillic", "cjk", "arabic", "digit")
+    )
+    + """,
+         """
+    + _SC_DOMINANT
+    + """
+  FROM scn
+)"""
+)
+_Q53_SQL = _Q53_SQL.replace(
+    "\nSELECT b.doc_id", _Q53_SC_CTES + "\nSELECT b.doc_id", 1
+)
+_Q53_SQL = _Q53_SQL.replace(
+    "JOIN rnc ON b.doc_id = rnc.doc_id",
+    "JOIN rnc ON b.doc_id = rnc.doc_id\n"
+    "JOIN sc ON b.doc_id = sc.doc_id",
+    1,
+)
+_Q53_SQL = _Q53_SQL.replace(
+    ") AS rep_flagged",
+    ") AS rep_flagged,\n"
+    "       sc.latin_frac, sc.cyrillic_frac, sc.cjk_frac, sc.arabic_frac,\n"
+    "       sc.digit_frac, sc.dominant_script",
     1,
 )
 

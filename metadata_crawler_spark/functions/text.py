@@ -212,3 +212,54 @@ def fingerprint_expr(text: Column) -> Column:
     whitespace tokens (set-hash; near-dup blocking key)."""
     toks = F.array_sort(F.array_distinct(F.split(F.trim(text), r"\s+")))
     return F.md5(F.array_join(toks, " "))
+
+
+# Unicode script detection (the cheap pre-langid gate every production
+# pipeline runs first: script mismatch kills a doc before the n-gram
+# classifier spends anything). Ranges are EXPLICIT codepoint intervals,
+# not \p{Script=} property classes, so Java regex (Spark) and RE2
+# (DuckDB oracle) agree byte-for-byte regardless of their Unicode table
+# versions; \x{...} escapes parse identically in both engines.
+SCRIPT_RANGES: dict[str, str] = {
+    # Latin letters: ASCII + Latin-1 letters (x00D7/x00F7 are the
+    # multiply/divide signs, excluded) + Extended-A/B
+    "latin": r"[A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{024F}]",
+    "cyrillic": r"[\x{0400}-\x{04FF}]",
+    "greek": r"[\x{0370}-\x{03FF}]",
+    "arabic": r"[\x{0600}-\x{06FF}]",
+    # kana + CJK Extension A + CJK Unified Ideographs
+    "cjk": r"[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]",
+    "hangul": r"[\x{AC00}-\x{D7AF}]",
+    "digit": "[0-9]",
+}
+_SCRIPT_ORDER = ("latin", "cyrillic", "greek", "arabic", "cjk", "hangul")
+
+
+def script_fractions(text: Column) -> Column:
+    """struct(<script>_frac ..., digit_frac, dominant_script): per-script
+    character fractions over the non-whitespace characters, plus the
+    argmax script ('none' for empty/NULL/no-script text; ties break in
+    _SCRIPT_ORDER). Pure JVM regexp_count expressions — zero shuffle,
+    whole-stage codegen; concrete values for every row (NULL text scores
+    0.0 everywhere, the NULL-flag bug class from ADVICE r4)."""
+    nonws = F.length(F.regexp_replace(F.coalesce(text, F.lit("")), r"\s+", ""))
+    counts = {
+        k: F.coalesce(F.regexp_count(text, F.lit(p)), F.lit(0))
+        for k, p in SCRIPT_RANGES.items()
+    }
+    denom = F.when(nonws > 0, nonws.cast("double"))  # NULL when empty
+    fracs = {
+        k: F.coalesce(F.round(c / denom, 6), F.lit(0.0))
+        for k, c in counts.items()
+    }
+    top = F.greatest(*[counts[k] for k in _SCRIPT_ORDER])
+    dominant = F.lit("none")
+    for k in reversed(_SCRIPT_ORDER):  # earlier order wins ties
+        dominant = F.when((top > 0) & (counts[k] == top), F.lit(k)).otherwise(
+            dominant
+        )
+    return F.struct(
+        *[fracs[k].alias(f"{k}_frac") for k in _SCRIPT_ORDER],
+        fracs["digit"].alias("digit_frac"),
+        dominant.alias("dominant_script"),
+    )

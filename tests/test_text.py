@@ -114,3 +114,77 @@ def test_ccnet_normalize(spark):
     assert out[4] == "angstrom units: 00"
     plan = with_normalized(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_script_fractions_hand_computed(spark):
+    """Per-script char fractions over non-whitespace chars, explicit
+    codepoint ranges; dominant = argmax with _SCRIPT_ORDER tie-break;
+    NULL/empty/scriptless text gets concrete zeros + 'none'."""
+    import pyspark.sql.functions as F
+
+    from metadata_crawler_spark.functions.text import script_fractions
+
+    rows = [
+        (0, "abc Привет 42"),        # 3 latin, 6 cyr, 2 digit / 11 nonws
+        (1, "中文 한글"),              # 2 cjk, 2 hangul / 4
+        (2, "مرحبا"),                # 5 arabic / 5
+        (3, None),
+        (4, "   "),
+        (5, "!!! ???"),              # nonws>0 but no script chars
+        (6, "ab вг"),                # 2 vs 2 tie -> latin (order wins)
+        (7, "γειά σου"),             # greek dominant
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: r["sf"].asDict()
+        for r in df.select(
+            "id", script_fractions(F.col("text")).alias("sf")
+        ).collect()
+    }
+    assert out[0]["latin_frac"] == round(3 / 11, 6)
+    assert out[0]["cyrillic_frac"] == round(6 / 11, 6)
+    assert out[0]["digit_frac"] == round(2 / 11, 6)
+    assert out[0]["dominant_script"] == "cyrillic"
+    assert out[1]["cjk_frac"] == 0.5 and out[1]["hangul_frac"] == 0.5
+    assert out[1]["dominant_script"] == "cjk"  # tie: cjk before hangul
+    assert out[2] == {
+        "latin_frac": 0.0, "cyrillic_frac": 0.0, "greek_frac": 0.0,
+        "arabic_frac": 1.0, "cjk_frac": 0.0, "hangul_frac": 0.0,
+        "digit_frac": 0.0, "dominant_script": "arabic",
+    }
+    for i in (3, 4, 5):
+        assert out[i]["dominant_script"] == "none", i
+        assert all(v == 0.0 for k, v in out[i].items()
+                   if k.endswith("_frac")), i
+    assert out[6]["dominant_script"] == "latin"
+    assert out[7]["dominant_script"] == "greek"
+    # pure JVM exprs: zero exchanges, no Python
+    plan = (
+        df.select(script_fractions(F.col("text")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_script_fractions_range_boundaries(spark):
+    """The multiply/divide signs sit INSIDE Latin-1's letter block and
+    must be excluded; range endpoints are inclusive."""
+    import pyspark.sql.functions as F
+
+    from metadata_crawler_spark.functions.text import script_fractions
+
+    rows = [
+        (0, "×÷"),   # x, division sign: NOT latin
+        (1, "ÀÖØöøɏ"),  # block endpoints
+        (2, "Ѐӿ"),   # cyrillic endpoints
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: r["sf"].asDict()
+        for r in df.select(
+            "id", script_fractions(F.col("text")).alias("sf")
+        ).collect()
+    }
+    assert out[0]["latin_frac"] == 0.0 and out[0]["dominant_script"] == "none"
+    assert out[1]["latin_frac"] == 1.0
+    assert out[2]["cyrillic_frac"] == 1.0
