@@ -163,16 +163,16 @@ def _inverse_bad_decode(text: str) -> bytes | None:
     return bytes(out)
 
 
-def fix_mojibake_py(text: str | None) -> tuple[str, int]:
-    """(repaired_text, n_passes). n_passes=0 means the text was already
-    clean (or not provably mojibake — repairs are only accepted when the
-    inverted bytes strict-decode as UTF-8 *and* change the text, so the
-    worst case is a no-op, never new corruption). Multiple passes undo
-    double/triple mis-decodes; ASCII-only text short-circuits."""
-    if not text:
-        return text or "", 0
+# plain-space/tab/newline runs: UTF-8 lead/continuation bytes are all
+# >= 0x80, so a mojibake digraph can never contain one of these — token
+# granularity loses no repairable case, and it is what lets a genuine
+# em-dash or (c) elsewhere in the page coexist with repairable tokens
+_WS_RUN = re.compile(r"([ \t\r\n]+)")
+
+
+def _fix_token(tok: str) -> tuple[str, int]:
     passes = 0
-    cur = text
+    cur = tok
     for _ in range(_MAX_MOJIBAKE_PASSES):
         if cur.isascii():
             break
@@ -188,6 +188,34 @@ def fix_mojibake_py(text: str | None) -> tuple[str, int]:
         cur = fixed
         passes += 1
     return cur, passes
+
+
+def fix_mojibake_py(text: str | None) -> tuple[str | None, int]:
+    """(repaired_text, n_passes). n_passes=0 means the text was already
+    clean (or not provably mojibake — repairs are only accepted when the
+    inverted bytes strict-decode as UTF-8 *and* change the text, so the
+    worst case is a no-op, never new corruption). NULL stays NULL.
+
+    Repair is PER WHITESPACE-DELIMITED TOKEN, not whole-string: one
+    genuine non-ASCII char (an em-dash in the site template, a (c) in
+    the footer) must not veto repair of a CMS-mangled body elsewhere in
+    the page. Tokens mixing genuine and mojibake chars inside the same
+    token stay unrepaired (conservative). n_passes reports the max pass
+    count over tokens; ASCII-only tokens short-circuit."""
+    if text is None:
+        return None, 0
+    if not text or text.isascii():
+        return text, 0
+    parts = _WS_RUN.split(text)
+    max_passes = 0
+    for i in range(0, len(parts), 2):  # even slots = tokens, odd = seps
+        fixed, n = _fix_token(parts[i])
+        if n:
+            parts[i] = fixed
+            max_passes = max(max_passes, n)
+    if not max_passes:
+        return text, 0
+    return "".join(parts), max_passes
 
 
 _MOJIBAKE_SCHEMA = T.StructType(
@@ -208,9 +236,10 @@ def repair_mojibake(
     df: DataFrame, text_col: str = "text", out_col: str | None = None
 ) -> DataFrame:
     """Replace ``text_col`` (or append ``out_col``) with mojibake-repaired
-    text plus a ``mojibake_passes`` audit column. One map-side Arrow pass,
-    zero shuffles; the cheap ``isascii`` short-circuit means clean English
-    corpora pay one vectorized scan and no per-char work."""
+    text plus a ``mojibake_passes`` audit column. NULL text stays NULL.
+    One map-side Arrow pass, zero shuffles; the cheap ``isascii``
+    short-circuit means clean English corpora pay one vectorized scan
+    and no per-char work."""
     target = out_col or text_col
     # one struct column, THEN projections: referencing the UDF expr twice
     # after the first withColumn replaced text_col would re-run the UDF

@@ -512,24 +512,34 @@ def paragraph_dedup(
         kept = ex.withColumn("rn", F.row_number().over(w)).withColumn(
             "kept", F.col("rn") == 1
         )
+    n, s, frac, text = _recompose_exprs(F.col("kept"), F.col("kept"))
     return kept.groupBy("id").agg(
-        F.count("*").alias("n_chunks"),
-        F.sum(F.col("kept").cast("long")).alias("n_kept"),
-        F.round(
-            F.sum(F.col("kept").cast("long")) / F.count("*"), 6
-        ).alias("kept_frac"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("kept"), F.struct("pos", "chunk"))
-                    )
-                ),
-                lambda s: s["chunk"],
-            ),
-        ).alias("dedup_text"),
+        n.alias("n_chunks"),
+        s.alias("n_kept"),
+        frac.alias("kept_frac"),
+        text.alias("dedup_text"),
     )
+
+
+def _recompose_exprs(flag, keep) -> tuple:
+    """The shared chunk-recompose aggregation (paragraph_dedup and
+    host_boilerplate_dedup): (n_chunks, n_flagged, flagged_frac,
+    recomposed-text-of-``keep``-chunks-in-pos-order) over grouped
+    (pos, chunk) rows. One place so the three recompose semantics
+    cannot drift."""
+    n = F.count("*")
+    s = F.sum(flag.cast("long"))
+    frac = F.round(F.sum(flag.cast("long")) / F.count("*"), 6)
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.when(keep, F.struct("pos", "chunk")))
+            ),
+            lambda st: st["chunk"],
+        ),
+    )
+    return n, s, frac, text
 
 
 def host_boilerplate_dedup(
@@ -595,11 +605,16 @@ def host_boilerplate_dedup(
         )
         .select("host", "h", F.lit(True).alias("is_boiler"))
     )
-    use_bc = (
-        boiler_broadcast
-        if boiler_broadcast is not None
-        else small_enough_to_broadcast(boiler)
-    )
+    if boiler_broadcast is None:
+        # the probe below is a Spark job over a DERIVED aggregation (the
+        # whole explode + two countDistincts), unlike gate_frontier's
+        # probes of caller-supplied base tables — localCheckpoint first
+        # so probe and real job share one execution instead of running
+        # the frequency pass over the corpus twice
+        boiler = boiler.localCheckpoint(eager=False)
+        use_bc = small_enough_to_broadcast(boiler)
+    else:
+        use_bc = boiler_broadcast
     if use_bc:
         marked = ex.withColumn("h", F.xxhash64("chunk")).join(
             F.broadcast(boiler), ["host", "h"], "left"
@@ -612,23 +627,14 @@ def host_boilerplate_dedup(
     marked = marked.withColumn(
         "is_boiler", F.coalesce(F.col("is_boiler"), F.lit(False))
     )
+    n, s, frac, text = _recompose_exprs(
+        F.col("is_boiler"), ~F.col("is_boiler")
+    )
     return marked.groupBy("id", "host").agg(
-        F.count("*").alias("n_chunks"),
-        F.sum(F.col("is_boiler").cast("long")).alias("n_boiler"),
-        F.round(
-            F.sum(F.col("is_boiler").cast("long")) / F.count("*"), 6
-        ).alias("boiler_frac"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(~F.col("is_boiler"), F.struct("pos", "chunk"))
-                    )
-                ),
-                lambda s: s["chunk"],
-            ),
-        ).alias("clean_text"),
+        n.alias("n_chunks"),
+        s.alias("n_boiler"),
+        frac.alias("boiler_frac"),
+        text.alias("clean_text"),
     )
 
 

@@ -125,7 +125,10 @@ def clean_corpus(
     Per-host template removal (``host_col``, r5): strip each host's
     boilerplate chunks before any dedup stage (shared site templates
     inflate MinHash similarity between unrelated pages of one host) —
-    see ``dedup.host_boilerplate_dedup`` for thresholds and shape.
+    see ``dedup.host_boilerplate_dedup`` for thresholds and shape. Docs
+    that actually lost a template carry single-space-recomposed text;
+    template-free docs keep their original bytes, so downstream dedup
+    semantics match the ``host_col=None`` path for untouched docs.
 
     CCNet bucket gate (``ccnet_keep``, e.g. ``("head", "middle")``):
     per-language perplexity tertiles of the self-corpus unigram
@@ -285,9 +288,20 @@ def clean_corpus(
             min_docs=boiler_min_docs,
             min_pct=boiler_min_pct,
         )
+        # only docs that actually lost a template get the recomposed
+        # (single-space re-joined) text — untouched docs keep their
+        # original bytes so exact/fuzzy dedup semantics match the
+        # host_col=None path for template-free hosts
         survivors = _stage(
             "host_boilerplate",
-            hb.select("id", F.col("clean_text").alias("text")),
+            survivors.join(
+                hb.select("id", "n_boiler", "clean_text"), "id"
+            ).select(
+                "id",
+                F.when(F.col("n_boiler") > 0, F.col("clean_text"))
+                .otherwise(F.col("text"))
+                .alias("text"),
+            ),
         )
 
     # 2. PII scrub

@@ -92,3 +92,99 @@ def corpus_report(
     out = grouped.agg(F.grouping_id().alias("grouping_id"), *aggs)
     order = ["grouping_id", "lang"] + (["domain"] if domain_col else [])
     return out.orderBy(*[F.asc_nulls_first(c) for c in order])
+
+
+def crawl_report(
+    fetched: DataFrame,
+    round_col: str | None = None,
+    percentiles: tuple[float, ...] = REPORT_PERCENTILES,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The crawl run's release table — the crawl-side twin of
+    :func:`corpus_report`, computed from the committed ``fetched``
+    per-round deltas (``sources.tables.read_rounds(..., "fetched")``),
+    not from run counters (the reference's status display aggregates
+    in-memory counters, utils/__init__.py:430-470 — numbers that die
+    with the process; this recomputes them from the data, so a resumed
+    or audited crawl reports identically).
+
+    Slices: (overall), (round), (depth), readable from NULL group
+    columns + ``grouping_id``. ``round_col=None`` derives the round from
+    the committed file path (``round=NNNNN`` directories) — zero cost,
+    no schema change. Same plan contract as corpus_report: ONE scan, ONE
+    grouping-sets Expand + partial-agg exchange; politeness-wall
+    percentiles ride mergeable ``percentile_approx`` sketches; host
+    cardinality is ``approx_count_distinct`` (a per-slice exact distinct
+    would multiply the Expand by |hosts|).
+
+    Columns per slice: n_scheduled, n_fetched, fetch_rate, n_hosts_approx,
+    mean_depth, max_depth, p_planned_ms, mean_outlinks, empty_text_frac.
+    """
+    rnd = (
+        F.col(round_col)
+        if round_col
+        else F.regexp_extract(F.input_file_name(), r"round=(\d+)", 1)
+        .cast("int")
+    )
+    fetched_i = F.col("fetched").cast("int")
+    proj = fetched.select(
+        rnd.alias("round"),
+        F.col("depth"),
+        F.col("host"),
+        fetched_i.alias("ok"),
+        F.col("planned_ms"),
+        F.coalesce(F.size("links"), F.lit(0)).alias("n_links"),
+        F.when(
+            F.col("fetched") & (F.length(F.trim(F.coalesce("text", F.lit("")))) == 0),
+            1,
+        ).otherwise(0).alias("fetched_empty"),
+    )
+    pct = F.array(*[F.lit(p) for p in percentiles])
+    aggs = [
+        F.count(F.lit(1)).alias("n_scheduled"),
+        F.sum("ok").alias("n_fetched"),
+        F.round(F.avg("ok"), 6).alias("fetch_rate"),
+        F.approx_count_distinct("host").alias("n_hosts_approx"),
+        F.round(F.avg("depth"), 3).alias("mean_depth"),
+        F.max("depth").alias("max_depth"),
+        F.percentile_approx("planned_ms", pct, F.lit(accuracy)).alias(
+            "p_planned_ms"
+        ),
+        F.round(F.avg("n_links"), 3).alias("mean_outlinks"),
+        F.round(
+            F.sum("fetched_empty")
+            / F.greatest(F.sum("ok"), F.lit(1)),
+            6,
+        ).alias("empty_text_frac"),
+    ]
+    grouped = proj.groupingSets(
+        [[], [F.col("round")], [F.col("depth")]], "round", "depth"
+    )
+    out = grouped.agg(F.grouping_id().alias("grouping_id"), *aggs)
+    return out.orderBy(
+        F.asc("grouping_id"),
+        F.asc_nulls_first("round"),
+        F.asc_nulls_first("depth"),
+    )
+
+
+def host_report(fetched: DataFrame, k: int = 50) -> DataFrame:
+    """Top-``k`` hosts by scheduled volume with per-host crawl health —
+    the table a crawl operator reads to spot broken or hostile hosts
+    (paired with ``operators/frontier.update_host_budgets``, which
+    consumes the same per-host success signal to adapt budgets).
+
+    One host-keyed partial-agg shuffle of small rows, then a global
+    top-k via TakeOrderedAndProject (never a full sort). Deterministic:
+    ties on volume break by host name.
+    """
+    per_host = fetched.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_scheduled"),
+        F.sum(F.col("fetched").cast("int")).alias("n_fetched"),
+        F.round(F.avg(F.col("fetched").cast("int")), 6).alias("fetch_rate"),
+        F.round(F.avg("depth"), 3).alias("mean_depth"),
+        F.max("planned_ms").alias("max_planned_ms"),
+    )
+    return per_host.orderBy(
+        F.desc("n_scheduled"), F.asc("host")
+    ).limit(int(k))

@@ -142,6 +142,7 @@ def ingest_mixed(
     min_words: int = 1,
     respect_noindex: bool = True,
     boilerplate: bool = True,
+    fix_mojibake: bool = False,
 ) -> DataFrame:
     """Content-dispatched ingest: HTML blobs take :func:`ingest_pages`,
     ``%PDF-`` blobs take ``operators/pdf_text`` — both land in the SAME
@@ -170,6 +171,7 @@ def ingest_mixed(
         min_words=min_words,
         respect_noindex=respect_noindex,
         boilerplate=boilerplate,
+        fix_mojibake=fix_mojibake,
     ).withColumn("content_kind", F.lit("html"))
 
     # PDF branch: url rides THROUGH the mapInPandas (no id mint, no

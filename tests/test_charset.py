@@ -127,7 +127,26 @@ def test_mojibake_clean_text_untouched():
     ):
         fixed, n = fix_mojibake_py(clean)
         assert fixed == clean and n == 0, clean
-    assert fix_mojibake_py(None) == ("", 0)
+    assert fix_mojibake_py(None) == (None, 0)  # NULL stays NULL
+
+
+def test_mojibake_token_granularity():
+    """One genuine non-ASCII char elsewhere in the page must not veto
+    repair of mojibake tokens: repair is per whitespace-delimited token."""
+    from metadata_crawler_spark.functions.charset import fix_mojibake_py
+
+    broken_cafe = "café".encode("utf-8").decode("cp1252")
+    # genuine em-dash + genuine CJK coexist with a repairable token
+    mixed = f"{broken_cafe} menu — updated 中文 daily"
+    fixed, n = fix_mojibake_py(mixed)
+    assert fixed == "café menu — updated 中文 daily" and n == 1
+    # newline/tab separators preserved byte-exactly
+    mixed2 = f"a\t{broken_cafe}\n\nb"
+    fixed2, n2 = fix_mojibake_py(mixed2)
+    assert fixed2 == "a\tcafé\n\nb" and n2 == 1
+    # a token mixing genuine and mojibake chars stays conservative
+    tok = broken_cafe + "—"
+    assert fix_mojibake_py(tok) == (tok, 0)
 
 
 def test_mojibake_spark_surface(spark):
@@ -143,6 +162,6 @@ def test_mojibake_spark_surface(spark):
     out = {r["id"]: r for r in repair_mojibake(df).collect()}
     assert out[0]["text"] == original and out[0]["mojibake_passes"] == 1
     assert out[1]["text"] == "clean ascii" and out[1]["mojibake_passes"] == 0
-    assert out[2]["text"] == "" and out[2]["mojibake_passes"] == 0
+    assert out[2]["text"] is None and out[2]["mojibake_passes"] == 0
     plan = repair_mojibake(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
