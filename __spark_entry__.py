@@ -2169,11 +2169,17 @@ def q45_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     revisit history per URL runs through the Cho & Garcia-Molina change-
     rate estimator and the clamp-to-band revisit scheduler
     (operators/changes.estimate_change_rate / revisit_schedule), reported
-    as per-status averages."""
+    as per-status averages; PLUS — r5 revalidation merge — the
+    conditional-refetch decision (operators/changes.classify_refetch,
+    the HTTP If-None-Match/304 analog): the new crawl re-fetches against
+    the old store, per-status counts and the body bytes a 304 would have
+    saved appended as ``reval:*`` rows."""
     _prep(spark)
     from metadata_crawler_spark.operators.changes import (
+        classify_refetch,
         detect_changes,
         estimate_change_rate,
+        revalidation_stats,
         revisit_schedule,
     )
 
@@ -2205,7 +2211,7 @@ def q45_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         estimate_change_rate(visits),
         min_interval_s=3600.0, max_interval_s=30 * 24 * 3600.0,
     )
-    return (
+    base = (
         statuses.join(sched, "url")
         .groupBy("status")
         .agg(
@@ -2215,13 +2221,25 @@ def q45_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.col("revisit_interval_s") / 3600.0), 6)
             .alias("avg_revisit_h"),
         )
+        .withColumn("bytes_saved", F.lit(None).cast("long"))
     )
+    reval = revalidation_stats(
+        classify_refetch(new, old, fetched_broadcast=True)
+    ).select(
+        F.concat(F.lit("reval:"), F.col("status")).alias("status"),
+        F.col("n_urls"),
+        F.lit(None).cast("double").alias("avg_lambda_per_day"),
+        F.lit(None).cast("double").alias("avg_revisit_h"),
+        F.col("bytes_saved"),
+    )
+    return base.unionByName(reval)
 
 
 _Q45_SQL = """
 WITH o AS (
   SELECT 'https://c' || (doc_id % 41) || '.example.org/' || doc_id AS url,
-         md5(text) AS old_hash, TRUE AS old_present
+         md5(text) AS old_hash, TRUE AS old_present,
+         COALESCE(strlen(text), 0)::BIGINT AS old_bytes
   FROM documents WHERE doc_id % 5 <> 0
 ),
 n AS (
@@ -2267,9 +2285,23 @@ sched AS (
 SELECT j.status,
        COUNT(*) AS n_urls,
        ROUND(AVG(sched.lam * 86400.0), 6) AS avg_lambda_per_day,
-       ROUND(AVG(sched.interval_s / 3600.0), 6) AS avg_revisit_h
+       ROUND(AVG(sched.interval_s / 3600.0), 6) AS avg_revisit_h,
+       NULL::BIGINT AS bytes_saved
 FROM j JOIN sched USING (url)
 GROUP BY j.status
+UNION ALL
+SELECT 'reval:' || CASE
+         WHEN o.url IS NULL THEN 'new'
+         WHEN o.old_hash IS NOT DISTINCT FROM n.new_hash THEN 'not_modified'
+         ELSE 'modified' END AS status,
+       COUNT(*) AS n_urls,
+       NULL::DOUBLE AS avg_lambda_per_day,
+       NULL::DOUBLE AS avg_revisit_h,
+       SUM(CASE WHEN o.url IS NOT NULL
+                 AND o.old_hash IS NOT DISTINCT FROM n.new_hash
+                THEN o.old_bytes ELSE 0 END)::BIGINT AS bytes_saved
+FROM n LEFT JOIN o ON n.url = o.url
+GROUP BY 1
 """
 
 

@@ -131,3 +131,96 @@ def revisit_schedule(
             F.col("last_check_ts").cast("double") + interval
         ),
     )
+
+
+def classify_refetch(
+    fetched: DataFrame,
+    prior: DataFrame,
+    url_col: str = "url",
+    content_col: str = "text",
+    prior_content_col: str | None = None,
+    etag_col: str | None = None,
+    fetched_broadcast: bool | None = None,
+) -> DataFrame:
+    """HTTP-revalidation classification for a recrawl batch — the
+    bandwidth decision a conditional fetch (If-None-Match /
+    If-Modified-Since -> 304) makes, recomputed over the data so the
+    simulation and a live crawler agree on semantics.
+
+    ``fetched`` is this batch's fetch results (url + content);
+    ``prior`` is the crawler's standing page store (url + last stored
+    content, optionally an explicit ``etag_col`` validator — when absent
+    the validator is the stored content's md5, the strong-ETag analog).
+    Per fetched url:
+
+    - ``not_modified`` — validator matches the new content hash (the 304
+      case: a live crawler never re-transfers the body; ``bytes_saved``
+      = stored body size),
+    - ``modified`` — prior exists, content differs (200, re-store),
+    - ``new`` — no prior row (first fetch).
+
+    Returns (url, status, changed, store_row, bytes_saved): ``changed``
+    feeds :func:`estimate_change_rate` check histories (NULL for ``new``
+    — a first fetch is not a change observation), ``store_row`` marks
+    rows the store must (re)write.
+
+    Scale shape: the 10^10-row ``prior`` store is NEVER the hash-build
+    side — both joins broadcast the bounded recrawl batch (inner for
+    validator hits, then the 'new' slice by anti-joining the batch
+    against the small hit set, the round_loop fetch-join pattern); only
+    (url, hash, nbytes) columns of ``prior`` are read, so column pruning
+    keeps stored bodies on disk. Above the broadcast bound the probe
+    flips both joins to shuffle joins (AQE plans them).
+    """
+    from .frontier import small_enough_to_broadcast
+
+    pcc = prior_content_col or content_col
+    p = prior.select(
+        F.col(url_col).alias("url"),
+        (F.col(etag_col) if etag_col else F.md5(F.col(pcc))).alias("_etag"),
+        F.coalesce(F.octet_length(F.col(pcc)).cast("long"), F.lit(0).cast("long")).alias("_pbytes"),
+    )
+    f = fetched.select(
+        F.col(url_col).alias("url"),
+        F.md5(F.col(content_col)).alias("_new_hash"),
+    )
+    if fetched_broadcast is None:
+        f = f.localCheckpoint(eager=False)
+        fetched_broadcast = small_enough_to_broadcast(f)
+    f_side = F.broadcast(f) if fetched_broadcast else f
+    hits = p.join(f_side, "url", "inner")
+    not_mod = F.col("_etag").eqNullSafe(F.col("_new_hash"))
+    classified_hits = hits.select(
+        "url",
+        F.when(not_mod, F.lit("not_modified"))
+        .otherwise(F.lit("modified"))
+        .alias("status"),
+        (~not_mod).alias("changed"),
+        (~not_mod).alias("store_row"),
+        F.when(not_mod, F.col("_pbytes"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("bytes_saved"),
+    )
+    hit_urls = classified_hits.select("url")
+    new_rows = f.join(
+        F.broadcast(hit_urls) if fetched_broadcast else hit_urls,
+        "url",
+        "left_anti",
+    ).select(
+        "url",
+        F.lit("new").alias("status"),
+        F.lit(None).cast("boolean").alias("changed"),
+        F.lit(True).alias("store_row"),
+        F.lit(0).cast("long").alias("bytes_saved"),
+    )
+    cols = ["url", "status", "changed", "store_row", "bytes_saved"]
+    return classified_hits.select(*cols).unionByName(new_rows.select(*cols))
+
+
+def revalidation_stats(classified: DataFrame) -> DataFrame:
+    """Per-status counts + transfer bytes a conditional recrawl avoided
+    (one partial-agg shuffle of tiny rows)."""
+    return classified.groupBy("status").agg(
+        F.count("*").alias("n_urls"),
+        F.sum("bytes_saved").alias("bytes_saved"),
+    )
