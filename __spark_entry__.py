@@ -441,7 +441,13 @@ def q03_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     an '-amp' path alias, %5 docs a '?print=1' alias, all sharing the
     doc's content key; the two planted rules must come back with exact
     support/applications/valid/precision (the DuckDB twin recomputes
-    lcp/lcs diffs via correlated generate_series subqueries).
+    lcp/lcs diffs via correlated generate_series subqueries). r5
+    continuation adds 'trap' rows — crawler-trap detection
+    (operators/traps.detect_trap_hosts) over a synthesized corpus with
+    a calendar trap (one shape, one content), a session-id maze (one
+    shape, all-distinct content) and 11 healthy hosts; the oracle
+    derives the expected url shapes/novelty from doc_id arithmetic and
+    replicates the support + novelty/concentration thresholds.
     Tagged union (kind, k1, k2, n1, n2, n3, v)."""
     _prep(spark)
     from metadata_crawler_spark.operators.dust import mine_dust_rules
@@ -515,7 +521,52 @@ def q03_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid").alias("n3"),
         F.col("precision").alias("v"),
     )
-    return exact.unionByName(mirrors).unionByName(dust)
+    from metadata_crawler_spark.operators.traps import detect_trap_hosts
+
+    did = F.col("doc_id")
+    seg = F.element_at(
+        F.array(*[F.lit(c) for c in "abcde"]), (did % 5 + 1).cast("int")
+    )
+    trap_corpus = d.select(
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit("https://trap.ex/cal?y="),
+                F.floor(did / 12).cast("string"),
+                F.lit("&m="), (did % 12).cast("string"),
+            ),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(F.lit("https://maze.ex/p?sid="), did.cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://h"), (did % 11).cast("string"),
+                F.lit(".ex/"), seg, F.lit("/"), did.cast("string"),
+            )
+        )
+        .alias("url"),
+        F.when(did % 4 == 0, F.lit("same page"))
+        .otherwise(F.concat(F.lit("c"), did.cast("string")))
+        .alias("content"),
+    )
+    traps = (
+        detect_trap_hosts(trap_corpus, content_col="content", min_urls=20)
+        .filter("trap")
+        .select(
+            F.lit("trap").alias("kind"),
+            F.col("domain").alias("k1"),
+            F.col("top_template").alias("k2"),
+            F.col("n_urls").alias("n1"),
+            F.col("n_content").alias("n2"),
+            F.col("top_template_n").alias("n3"),
+            F.col("novelty_frac").alias("v"),
+        )
+    )
+    return (
+        exact.unionByName(mirrors).unionByName(dust).unionByName(traps)
+    )
 
 
 _Q03_SQL = """
@@ -608,6 +659,42 @@ FROM (
   GROUP BY a.alpha, a.beta
 )
 WHERE ROUND(valid / applications, 6) >= 0.8
+UNION ALL
+SELECT 'trap', domain, top_shape, n_urls, n_content, top_n,
+       ROUND(n_content * 1.0 / n_urls, 6)
+FROM (
+  WITH tu AS (
+    SELECT CASE WHEN doc_id % 4 = 0 THEN 'trap.ex'
+                WHEN doc_id % 4 = 2 THEN 'maze.ex'
+                ELSE 'h' || (doc_id % 11) || '.ex' END AS domain,
+           CASE WHEN doc_id % 4 = 0 THEN 'trap.ex/cal?m,y'
+                WHEN doc_id % 4 = 2 THEN 'maze.ex/p?sid'
+                ELSE 'h' || (doc_id % 11) || '.ex/' || CASE (doc_id % 5)
+                       WHEN 0 THEN 'a' WHEN 1 THEN 'b' WHEN 2 THEN 'c'
+                       WHEN 3 THEN 'd' ELSE 'e' END || '/D?' END AS shape,
+           CASE WHEN doc_id % 4 = 0 THEN 'same page'
+                ELSE 'c' || doc_id END AS content
+    FROM documents
+  ), sc AS (
+    SELECT domain, shape, COUNT(*) AS n FROM tu GROUP BY 1, 2
+  ), top AS (
+    SELECT domain, shape AS top_shape, n AS top_n
+    FROM (SELECT domain, shape, n,
+                 ROW_NUMBER() OVER (PARTITION BY domain
+                                    ORDER BY n DESC, shape DESC) AS rn
+          FROM sc) WHERE rn = 1
+  ), agg AS (
+    SELECT domain, SUM(n)::BIGINT AS n_urls FROM sc GROUP BY domain
+  ), nov AS (
+    SELECT domain, COUNT(DISTINCT content)::BIGINT AS n_content
+    FROM tu GROUP BY domain
+  )
+  SELECT a.domain, t.top_shape, a.n_urls, nv.n_content, t.top_n
+  FROM agg a JOIN top t USING (domain) JOIN nov nv ON nv.domain = a.domain
+  WHERE a.n_urls >= 20 AND (
+        ROUND(nv.n_content * 1.0 / a.n_urls, 6) <= 0.2
+     OR ROUND(t.top_n * 1.0 / a.n_urls, 6) >= 0.8)
+)
 """
 
 

@@ -240,12 +240,17 @@ def test_clean_corpus_host_boilerplate_stage(spark):
     assert stages.index("quality_gate") < stages.index("host_boilerplate")
     assert stages.index("host_boilerplate") < stages.index("exact_dedup")
     assert counts["host_boilerplate"] == 5
-    # default path ignores the host column entirely
+    # default path ignores the host column entirely — the template is
+    # then handled by CORPUS-WIDE paragraph dedup instead: keep-first
+    # (doc 0 retains its occurrence, later docs lose it) rather than the
+    # host stage's all-occurrence removal (docs 0-2 all lost it above)
     base = {
         r["id"]: r["text"]
         for r in clean_corpus(df, "text", "doc_id").collect()
     }
-    assert all("nav0bar" in base[i] for i in (0, 1, 2, 3))
+    assert set(base) == {0, 1, 2, 3, 4}
+    assert "nav0bar" in base[0]
+    assert all("nav0bar" not in base[i] for i in (1, 2, 3))
 
 
 def test_clean_corpus_plan_no_cartesian(spark):
