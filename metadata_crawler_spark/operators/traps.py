@@ -58,17 +58,9 @@ def detect_trap_hosts(
     ``approx_count_distinct`` — one fewer exchange; detection
     thresholds are fraction-scale, well above HLL error.
     """
-    host = (
-        F.col(host_col) if host_col is not None else host_expr(F.col(url_col))
-    )
-    base = df.select(
-        host.alias("domain"),
-        url_template_expr(F.col(url_col)).alias("_tpl"),
-        F.xxhash64(F.col(content_col)).alias("_h"),
-    ).where(F.col("domain").isNotNull() & (F.col("domain") != ""))
-
+    base = _trap_base(df, url_col, content_col, host_col)
     tpl_counts = base.groupBy("domain", "_tpl").agg(
-        F.count("*").alias("_n")
+        F.count("*").alias("n")
     )
     if approx:
         # HLL partials merge map-side in ONE domain-keyed exchange
@@ -82,11 +74,43 @@ def detect_trap_hosts(
             .groupBy("domain")
             .agg(F.count("*").alias("n_content"))
         )
+    return _assemble_report(
+        tpl_counts, novelty, min_urls, max_novelty, min_template_frac
+    )
+
+
+def _trap_base(
+    df: DataFrame, url_col: str, content_col: str, host_col: str | None
+) -> DataFrame:
+    """Map-side projection shared by the one-shot detector and the
+    crawl-loop partial builders: (domain, _tpl, _h)."""
+    host = (
+        F.col(host_col) if host_col is not None else host_expr(F.col(url_col))
+    )
+    return df.select(
+        host.alias("domain"),
+        url_template_expr(F.col(url_col)).alias("_tpl"),
+        F.xxhash64(F.col(content_col)).alias("_h"),
+    ).where(F.col("domain").isNotNull() & (F.col("domain") != ""))
+
+
+def _assemble_report(
+    tpl_counts: DataFrame,
+    novelty: DataFrame,
+    min_urls: int,
+    max_novelty: float,
+    min_template_frac: float,
+) -> DataFrame:
+    """(domain, _tpl, n) counts + (domain, n_content) -> the trap report.
+    One rule for the one-shot and partial-fed paths so thresholds and
+    the argmax tie-break cannot drift."""
     per_host = tpl_counts.groupBy("domain").agg(
-        F.sum("_n").alias("n_urls"),
+        F.sum("n").alias("n_urls"),
         # deterministic argmax: struct max = highest count, ties broken
         # by lexicographically-last template (oracle-replicable rule)
-        F.max(F.struct(F.col("_n"), F.col("_tpl").alias("t"))).alias("_top"),
+        F.max(
+            F.struct(F.col("n").alias("_n"), F.col("_tpl").alias("t"))
+        ).alias("_top"),
     )
     out = per_host.join(novelty, "domain").select(
         "domain",
@@ -108,4 +132,70 @@ def detect_trap_hosts(
             (F.col("novelty_frac") <= float(max_novelty))
             | (F.col("top_template_frac") >= float(min_template_frac))
         ),
+    )
+
+
+def trap_template_partial(
+    df: DataFrame,
+    url_col: str = "url",
+    content_col: str = "text",
+    host_col: str | None = None,
+) -> DataFrame:
+    """Per-span ADDITIVE partial for the crawl loop: (domain, template,
+    n). Counts sum across spans (the host_quality contract from the
+    blocklist sweep: each sweep covers exactly its own rounds, a
+    replayed sweep rewrites the identical partial), so the standing
+    table grows O(hosts x live templates) and a sweep never rescans
+    crawl history."""
+    return (
+        _trap_base(df, url_col, content_col, host_col)
+        .groupBy("domain", F.col("_tpl").alias("template"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def trap_content_sketch(
+    df: DataFrame,
+    url_col: str = "url",
+    content_col: str = "text",
+    host_col: str | None = None,
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-span MERGEABLE novelty partial: (domain, hll) — one HLL
+    sketch of content hashes per host per span. Distinct counts are not
+    additive, but sketches union exactly (operators/sketches), so the
+    sweep-time novelty over all spans is one O(hosts)-row merge instead
+    of a re-distinct over every fetched body ever."""
+    from .sketches import hll_sketches
+
+    return hll_sketches(
+        _trap_base(df, url_col, content_col, host_col),
+        ["domain"],
+        "_h",
+        lgk,
+    )
+
+
+def trap_hosts_from_partials(
+    tpl_partials: DataFrame,
+    content_sketches: DataFrame,
+    min_urls: int = 50,
+    max_novelty: float = 0.2,
+    min_template_frac: float = 0.8,
+) -> DataFrame:
+    """The sweep-time report over accumulated partials: sum the additive
+    (domain, template, n) rows, union the novelty sketches, apply the
+    SAME thresholds as :func:`detect_trap_hosts` (shared assembly).
+    Novelty here is sketch-estimated — the ``approx=True`` contract;
+    thresholds are fraction-scale, far above HLL error."""
+    from .sketches import hll_estimates, hll_merge
+
+    tpl_counts = tpl_partials.groupBy(
+        "domain", F.col("template").alias("_tpl")
+    ).agg(F.sum("n").alias("n"))
+    novelty = hll_estimates(
+        hll_merge(content_sketches, ["domain"]), ["domain"]
+    ).select("domain", F.col("n_distinct").alias("n_content"))
+    return _assemble_report(
+        tpl_counts, novelty, min_urls, max_novelty, min_template_frac
     )

@@ -144,6 +144,19 @@ class CrawlConfig:
     blocklist_every: int | None = None
     blocklist_min_docs: int = 20
     blocklist_max_flag_frac: float = 0.5
+    #: periodic content-aware crawler-trap sweep (operators/traps): every
+    #: N rounds, mine hosts whose fetched slice shows novelty collapse
+    #: (many urls, few distinct bodies) or url-template dominance, commit
+    #: the report as this round's `trap_hosts` table, and drop their urls
+    #: from the next frontier. Incremental like the blocklist sweep:
+    #: additive (domain, template, n) partials + mergeable per-host HLL
+    #: novelty sketches, each sweep covering exactly its own span — never
+    #: a rescan of crawl history. Off by default.
+    trap_every: int | None = None
+    trap_min_urls: int = 50
+    trap_max_novelty: float = 0.2
+    trap_min_template_frac: float = 0.8
+    trap_lgk: int = 12
     #: approximate seen-set tier: "bloom" (append-only, OR-union
     #: evolution, smallest bytes/key) or "cuckoo" (Fan et al. 2014 —
     #: deletable, so facet purges / stale sweeps can evict keys; evolves
@@ -686,6 +699,10 @@ class Crawler:
         # frontier before their next fetch is even scheduled
         if cfg.blocklist_every and round_no % cfg.blocklist_every == 0:
             nxt = self._blocklist_sweep(nxt, round_no)
+        # periodic crawler-trap cut: hosts whose URL space explodes
+        # without new content leave the frontier
+        if cfg.trap_every and round_no % cfg.trap_every == 0:
+            nxt = self._trap_sweep(nxt, round_no)
         obs_next = Observation(f"next_{round_no}")
         nxt = nxt.observe(obs_next, F.count(F.lit(1)).alias("n"))
         write_round_table(nxt, self.checkpoint_dir, round_no, "frontier_next")
@@ -804,6 +821,63 @@ class Crawler:
             totals, cfg.blocklist_min_docs, cfg.blocklist_max_flag_frac
         )
         path = write_round_table(mined, self.checkpoint_dir, upto, "blocklist")
+        committed = self.spark.read.parquet(path)
+        if not committed.take(1):
+            return frontier
+        return filter_blocked_hosts(frontier, committed.select("domain"))
+
+    def _trap_sweep(self, frontier: DataFrame, upto: int) -> DataFrame:
+        """Mine crawler-trap hosts (operators/traps: novelty collapse or
+        url-template dominance over fetched bodies), commit the report as
+        this round's `trap_hosts` table, and anti-join trap domains out
+        of the next frontier.
+
+        INCREMENTAL (the host_quality contract): each sweep writes its
+        own span's additive (domain, template, n) counts as
+        `host_templates` and its mergeable per-host content-HLL as
+        `trap_content_hll` — both pure functions of the round number, so
+        a replayed sweep rewrites identical partials. The verdict then
+        sums/unions ALL committed partials: per-sweep work is O(span
+        fetched text + hosts x templates), never a crawl-history rescan.
+        """
+        from ..functions.urls import filter_blocked_hosts
+        from ..operators.traps import (
+            trap_content_sketch,
+            trap_hosts_from_partials,
+            trap_template_partial,
+        )
+
+        cfg = self.config
+        span_from = max(upto - (cfg.trap_every or 1) + 1, 0)
+        span = read_rounds(
+            self.spark, self.checkpoint_dir, "fetched", upto,
+            from_round=span_from,
+        )
+        if span is not None:
+            ok = span.filter(F.col("fetched") & F.col("text").isNotNull())
+            write_round_table(
+                trap_template_partial(ok), self.checkpoint_dir, upto,
+                "host_templates",
+            )
+            write_round_table(
+                trap_content_sketch(ok, lgk=cfg.trap_lgk),
+                self.checkpoint_dir, upto, "trap_content_hll",
+            )
+        tpl = read_rounds(
+            self.spark, self.checkpoint_dir, "host_templates", upto
+        )
+        hll = read_rounds(
+            self.spark, self.checkpoint_dir, "trap_content_hll", upto
+        )
+        if tpl is None or hll is None:
+            return frontier
+        report = trap_hosts_from_partials(
+            tpl, hll, cfg.trap_min_urls, cfg.trap_max_novelty,
+            cfg.trap_min_template_frac,
+        )
+        path = write_round_table(
+            report.filter("trap"), self.checkpoint_dir, upto, "trap_hosts"
+        )
         committed = self.spark.read.parquet(path)
         if not committed.take(1):
             return frontier

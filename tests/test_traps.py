@@ -102,3 +102,91 @@ def test_no_text_past_first_exchange(spark, corpus):
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1)
     assert "xxhash64" in plan  # content hashed, not compared raw
+
+
+def test_partials_merge_equals_one_shot(spark, corpus):
+    """Crawl-loop contract: additive template partials + mergeable HLL
+    sketches from two disjoint spans reproduce the one-shot approx
+    verdicts (same thresholds via the shared assembly)."""
+    from metadata_crawler_spark.operators.traps import (
+        trap_content_sketch,
+        trap_hosts_from_partials,
+        trap_template_partial,
+    )
+
+    h = F.crc32(F.col("url")) % 2
+    spans = [corpus.filter(h == i) for i in (0, 1)]
+    tpl = trap_template_partial(spans[0]).unionByName(
+        trap_template_partial(spans[1])
+    )
+    hll = trap_content_sketch(spans[0]).unionByName(
+        trap_content_sketch(spans[1])
+    )
+    merged = {
+        r["domain"]: r for r in trap_hosts_from_partials(tpl, hll).collect()
+    }
+    one_shot = {
+        r["domain"]: r for r in detect_trap_hosts(corpus).collect()
+    }
+    assert set(merged) == set(one_shot)
+    for d in one_shot:
+        m, o = merged[d], one_shot[d]
+        assert m["trap"] == o["trap"], d
+        assert m["n_urls"] == o["n_urls"], d
+        assert m["top_template"] == o["top_template"], d
+        assert m["top_template_n"] == o["top_template_n"], d
+        # merged novelty is a DataSketches-HLL estimate of the exact
+        # count (a DIFFERENT estimator than approx_count_distinct's
+        # HLL++, so compare against exact, not estimator-vs-estimator)
+        assert abs(m["n_content"] - o["n_content"]) <= max(
+            2, 0.10 * o["n_content"]
+        ), d
+
+
+def test_trap_sweep_in_crawl_loop(spark, fixture_dir, tables, tmp_path_factory):
+    """trap_every wiring: the sweep commits host_templates +
+    trap_content_hll partials and a trap_hosts verdict table; with an
+    impossible support bar the frontier is untouched, with an
+    everything-is-a-trap bar every fetched host leaves frontier_next."""
+    import os
+
+    from metadata_crawler_spark.functions.urls import host_expr
+    from metadata_crawler_spark.plans.round_loop import CrawlConfig, Crawler
+
+    common = dict(n_shards=8, bloom_expected_per_shard=4096, salt_parts=4)
+    ckpt = str(tmp_path_factory.mktemp("ckpt_trap_off"))
+    c = Crawler(
+        spark=spark, pages_path=os.path.join(fixture_dir, "pages.parquet"),
+        robots=tables["robots"], hosts=tables["hosts"],
+        checkpoint_dir=ckpt,
+        config=CrawlConfig(**common, trap_every=1, trap_min_urls=10**9),
+    )
+    res = c.run(tables["seeds"], rounds=2)
+    assert sum(r["scheduled"] for r in res) > 0
+    for t in ("host_templates", "trap_content_hll", "trap_hosts"):
+        p = os.path.join(ckpt, "round=00000", t)
+        assert os.path.isdir(p), t
+    assert spark.read.parquet(
+        os.path.join(ckpt, "round=00000", "trap_hosts")
+    ).count() == 0  # impossible support bar -> no verdicts
+
+    ckpt2 = str(tmp_path_factory.mktemp("ckpt_trap_on"))
+    c2 = Crawler(
+        spark=spark, pages_path=os.path.join(fixture_dir, "pages.parquet"),
+        robots=tables["robots"], hosts=tables["hosts"],
+        checkpoint_dir=ckpt2,
+        config=CrawlConfig(
+            **common, trap_every=1, trap_min_urls=1, trap_max_novelty=1.0
+        ),
+    )
+    c2.run(tables["seeds"], rounds=1)
+    trapped = {
+        r["domain"] for r in spark.read.parquet(
+            os.path.join(ckpt2, "round=00000", "trap_hosts")
+        ).collect()
+    }
+    assert trapped  # max_novelty=1.0 flags every supported host
+    nxt = spark.read.parquet(
+        os.path.join(ckpt2, "round=00000", "frontier_next")
+    ).select(host_expr(F.col("url")).alias("h")).distinct()
+    assert not (trapped & {r["h"] for r in nxt.collect()})
