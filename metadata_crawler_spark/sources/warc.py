@@ -81,6 +81,39 @@ def render_warc(records: Iterable[tuple[str, datetime, bytes]]) -> bytes:
     return bytes(out)
 
 
+#: WARC 1.0 revisit profile for "server said 304 / digest matched" —
+#: the record type real crawls (Heritrix, Common Crawl) write instead of
+#: re-storing an unchanged body
+REVISIT_PROFILE = (
+    "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+)
+
+
+def render_warc_revisit(
+    url: str, ts: datetime, digest: str, refers_ts: datetime
+) -> bytes:
+    """One WARC/1.0 ``revisit`` record: a re-fetch whose payload matched
+    a prior capture (the recrawl not_modified case —
+    operators/changes.classify_refetch) is archived as a zero-payload
+    pointer (WARC-Payload-Digest + WARC-Refers-To-Date) instead of a
+    duplicate body — the WARC-spec twin of skipping the store rewrite.
+    ``digest`` is stored verbatim (callers pass e.g. ``sha1:<b32>`` or
+    this engine's ``md5:<hex>`` validator)."""
+    hdr = (
+        "WARC/1.0\r\n"
+        "WARC-Type: revisit\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+        f"WARC-Profile: {REVISIT_PROFILE}\r\n"
+        f"WARC-Payload-Digest: {digest}\r\n"
+        f"WARC-Refers-To-Target-URI: {url}\r\n"
+        f"WARC-Refers-To-Date: {refers_ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+        "Content-Length: 0\r\n"
+        "\r\n"
+    ).encode()
+    return hdr + _HDR_END
+
+
 def render_warc_gz_members(
     records: Iterable[tuple[str, datetime, bytes]]
 ) -> tuple[bytes, list[tuple[int, int]]]:
@@ -362,6 +395,7 @@ def _open_uri_raw(uri: str) -> IO[bytes]:
 def read_warc_segments(
     spark: SparkSession, path: str, chunk_rows: int = CHUNK_ROWS,
     glob: str = "*.warc*",
+    accept_types: tuple[str, ...] = ("response",),
 ) -> DataFrame:
     """Directory/glob of ``*.warc`` / ``*.warc.gz`` files -> pages-shaped
     DataFrame (gzip segments stream-decompress per task).
@@ -370,7 +404,12 @@ def read_warc_segments(
     pruned and never enters Arrow); each task opens and incrementally
     parses its segments, yielding ``chunk_rows``-row batches. binaryFile
     weighs partitions by file size, so ~1 GB segments get one task each —
-    the natural Common-Crawl parallel unit."""
+    the natural Common-Crawl parallel unit.
+
+    ``accept_types`` selects record types (``("revisit",)`` reads the
+    zero-payload recrawl pointers the sink writes with
+    ``revisit_flag_col`` — html comes back empty, body resolution goes
+    through the kind-aware CDX index + a prior capture)."""
 
     def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows: list[tuple] = []
@@ -386,7 +425,9 @@ def read_warc_segments(
             for seg_path in pdf["path"]:
                 fh = _open_uri(seg_path)
                 try:
-                    for rec in parse_warc_stream(fh, seg_path):
+                    for rec in parse_warc_stream(
+                        fh, seg_path, accept_types=accept_types
+                    ):
                         rows.append(rec)
                         if len(rows) >= chunk_rows:
                             yield flush()
@@ -416,6 +457,10 @@ TARGET_SEGMENT_BYTES = 1024 * 1024 * 1024
 WARC_INDEX_SCHEMA = (
     "url string, warc_ts timestamp, segment string, offset long, length long"
 )
+
+#: index schema when revisit records are enabled: ``kind`` says which
+#: record type landed at the coordinates (response | revisit)
+WARC_INDEX_KIND_SCHEMA = WARC_INDEX_SCHEMA + ", kind string"
 
 
 def _open_out(uri: str):
@@ -489,6 +534,9 @@ def write_warc_segments(
     html_col: str = "html",
     target_segment_bytes: int = TARGET_SEGMENT_BYTES,
     prefix: str = "segment",
+    revisit_flag_col: str | None = None,
+    digest_col: str = "digest",
+    refers_ts_col: str = "refers_ts",
 ) -> DataFrame:
     """Archive fetched pages as Common-Crawl-layout ``.warc.gz`` segments
     and return their CDX-style index (url, warc_ts, segment, offset,
@@ -517,10 +565,26 @@ def write_warc_segments(
     (api/stores/base.py:364-404 writer loop; jsonlines.py:64-68 gz
     append) — this sink is that persistence contract for raw fetches,
     executor-parallel and retry-idempotent, in the archival format the
-    web ecosystem range-reads."""
+    web ecosystem range-reads.
+
+    Revisit records (``revisit_flag_col``): rows flagged true archive as
+    zero-payload WARC ``revisit`` records (identical-payload-digest
+    profile) carrying ``digest_col`` + ``refers_ts_col`` instead of a
+    duplicate body — the recrawl not_modified path
+    (plans/recrawl.recrawl_batch) lands in the archive without
+    re-storing bytes, exactly as Heritrix/Common Crawl recrawls do.
+    With the flag column the returned index gains a ``kind`` column
+    (response | revisit); without it schema and bytes are unchanged."""
     import gzip
 
     from pyspark import TaskContext
+
+    def _pyts(ts) -> datetime:
+        if pd.isna(ts):  # NULL/NaT ts: epoch sentinel
+            return datetime(1970, 1, 1)
+        if hasattr(ts, "to_pydatetime"):
+            return ts.to_pydatetime()
+        return ts
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pid = TaskContext.get().partitionId()
@@ -541,23 +605,35 @@ def write_warc_segments(
 
         try:
             for pdf in batches:
-                for url, ts, html in zip(
-                    pdf[url_col], pdf[ts_col], pdf[html_col]
+                if revisit_flag_col is None:
+                    rev = [False] * len(pdf)
+                    digests = refers = [None] * len(pdf)
+                else:
+                    rev = [(not pd.isna(x)) and bool(x)
+                           for x in pdf[revisit_flag_col]]
+                    digests = pdf[digest_col]
+                    refers = pdf[refers_ts_col]
+                for url, ts, html, is_rev, dig, ref in zip(
+                    pdf[url_col], pdf[ts_col], pdf[html_col],
+                    rev, digests, refers,
                 ):
                     if fh is None or written >= target_segment_bytes:
                         roll()
-                    if pd.isna(ts):  # NULL/NaT ts: epoch sentinel
-                        pyts = datetime(1970, 1, 1)
-                    elif hasattr(ts, "to_pydatetime"):
-                        pyts = ts.to_pydatetime()
+                    pyts = _pyts(ts)
+                    if is_rev:
+                        record = render_warc_revisit(
+                            url, pyts, "" if dig is None else str(dig),
+                            _pyts(ref),
+                        )
                     else:
-                        pyts = ts
-                    blob = b"" if html is None else bytes(html)
-                    member = gzip.compress(
-                        render_warc([(url, pyts, blob)]), mtime=0
-                    )
+                        blob = b"" if html is None else bytes(html)
+                        record = render_warc([(url, pyts, blob)])
+                    member = gzip.compress(record, mtime=0)
                     fh.write(member)
-                    out.append((url, pyts, seg_name, written, len(member)))
+                    row = (url, pyts, seg_name, written, len(member))
+                    if revisit_flag_col is not None:
+                        row += ("revisit" if is_rev else "response",)
+                    out.append(row)
                     written += len(member)
         except BaseException:
             # never publish the partial segment under its final name —
@@ -569,10 +645,16 @@ def write_warc_segments(
             raise
         if fh is not None:
             finalize()
-        yield pd.DataFrame(
-            out, columns=["url", "warc_ts", "segment", "offset", "length"]
-        )
+        cols = ["url", "warc_ts", "segment", "offset", "length"]
+        if revisit_flag_col is not None:
+            cols.append("kind")
+        yield pd.DataFrame(out, columns=cols)
 
-    return df.select(url_col, ts_col, html_col).mapInPandas(
-        part, WARC_INDEX_SCHEMA
-    )
+    if revisit_flag_col is None:
+        sel = [url_col, ts_col, html_col]
+        schema = WARC_INDEX_SCHEMA
+    else:
+        sel = [url_col, ts_col, html_col, revisit_flag_col,
+               digest_col, refers_ts_col]
+        schema = WARC_INDEX_KIND_SCHEMA
+    return df.select(*sel).mapInPandas(part, schema)

@@ -123,3 +123,68 @@ def test_null_ts_and_html_sentinel(spark, tmp_path):
     assert idx.warc_ts[0] == datetime(1970, 1, 1)
     back = read_warc_segments(spark, out).collect()
     assert back[0].url == "https://x/n" and bytes(back[0].html) == b""
+
+
+def test_revisit_records(spark, tmp_path):
+    """revisit_flag_col: flagged rows archive as zero-payload WARC
+    revisit records (identical-payload-digest profile) with digest +
+    refers-to date; the index gains a kind column; response rows are
+    byte-identical to the flagless sink's."""
+    from metadata_crawler_spark.sources.warc import (
+        REVISIT_PROFILE,
+        parse_warc_stream,
+    )
+
+    t0 = datetime(2026, 5, 1, 8, 0, 0)
+    prior = datetime(2026, 4, 1, 12, 0, 0)
+    rows = [
+        ("https://a/1", t0, b"<html>one</html>", False, None, None),
+        ("https://a/2", t0, None, True, "md5:aabbcc", prior),
+        ("https://a/3", t0, b"<html>three</html>", False, None, None),
+        ("https://a/4", t0, None, True, "md5:ddeeff", prior),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, not_mod boolean,"
+        " digest string, refers_ts timestamp",
+    ).coalesce(1)
+    out = str(tmp_path / "arch_rev")
+    os.makedirs(out, exist_ok=True)
+    idx = write_warc_segments(
+        df, out, revisit_flag_col="not_mod"
+    ).toPandas().sort_values("url").reset_index(drop=True)
+    assert list(idx["kind"]) == ["response", "revisit", "response", "revisit"]
+
+    # raw record inspection: profile + digest + refers headers, no body
+    seg = idx["segment"][0]
+    raw = gzip.decompress(open(seg, "rb").read()).decode("latin-1")
+    assert raw.count("WARC-Type: revisit") == 2
+    assert raw.count(f"WARC-Profile: {REVISIT_PROFILE}") == 2
+    assert "WARC-Payload-Digest: md5:aabbcc" in raw
+    assert "WARC-Refers-To-Date: 2026-04-01T12:00:00Z" in raw
+
+    # default reader (accept_types=response) sees only the real bodies
+    back = read_warc_segments(spark, out)
+    assert {r.url for r in back.collect()} == {"https://a/1", "https://a/3"}
+    # opting into revisit records yields the pointers with empty payload
+    rev = read_warc_segments(spark, out, accept_types=("revisit",))
+    got = {r.url: bytes(r.html) for r in rev.collect()}
+    assert got == {"https://a/2": b"", "https://a/4": b""}
+
+    # index coordinates still locate exactly one member per record
+    for row in idx.itertuples():
+        with open(row.segment, "rb") as fh:
+            fh.seek(row.offset)
+            member = fh.read(row.length)
+        recs = list(
+            parse_warc_stream(
+                __import__("io").BytesIO(gzip.decompress(member)),
+                accept_types=("response", "revisit"),
+            )
+        )
+        assert len(recs) == 1 and recs[0][0] == row.url
+
+
+def test_revisit_off_schema_unchanged(spark, tmp_path):
+    out, idx = _write(spark, tmp_path, n=10, parts=1)
+    assert list(idx.columns) == ["url", "warc_ts", "segment", "offset", "length"]
