@@ -2310,8 +2310,10 @@ def q45_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("bytes_saved", F.lit(None).cast("long"))
     )
+    # fetched_broadcast=False: `new` here is ~6/7 of the corpus, not a
+    # bounded recrawl batch — the broadcast path would OOM at large SF
     reval = revalidation_stats(
-        classify_refetch(new, old, fetched_broadcast=True)
+        classify_refetch(new, old, fetched_broadcast=False)
     ).select(
         F.concat(F.lit("reval:"), F.col("status")).alias("status"),
         F.col("n_urls"),

@@ -201,6 +201,10 @@ def classify_refetch(
         .otherwise(F.lit(0).cast("long"))
         .alias("bytes_saved"),
     )
+    # bounded by the batch; checkpointed so its two consumers (the union
+    # branch and the hit_urls anti-join build) share ONE scan of the
+    # 10^10-row prior store instead of re-executing the join per branch
+    classified_hits = classified_hits.localCheckpoint(eager=False)
     hit_urls = classified_hits.select("url")
     new_rows = f.join(
         F.broadcast(hit_urls) if fetched_broadcast else hit_urls,

@@ -176,6 +176,29 @@ def trap_content_sketch(
     )
 
 
+def trap_partials(
+    df: DataFrame,
+    url_col: str = "url",
+    content_col: str = "text",
+    host_col: str | None = None,
+    lgk: int = 12,
+) -> tuple[DataFrame, DataFrame]:
+    """Both per-span partials off ONE pass: the shared (domain, _tpl,
+    _h) projection is checkpointed so the template counts and the
+    novelty sketch do not each re-scan and re-hash the span's page
+    bodies (two write actions over one materialized base)."""
+    from .sketches import hll_sketches
+
+    base = _trap_base(df, url_col, content_col, host_col).localCheckpoint(
+        eager=False
+    )
+    tpl = base.groupBy("domain", F.col("_tpl").alias("template")).agg(
+        F.count("*").alias("n")
+    )
+    hll = hll_sketches(base, ["domain"], "_h", lgk)
+    return tpl, hll
+
+
 def trap_hosts_from_partials(
     tpl_partials: DataFrame,
     content_sketches: DataFrame,

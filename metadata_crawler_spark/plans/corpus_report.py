@@ -120,12 +120,29 @@ def crawl_report(
     Columns per slice: n_scheduled, n_fetched, fetch_rate, n_hosts_approx,
     mean_depth, max_depth, p_planned_ms, mean_outlinks, empty_text_frac.
     """
-    rnd = (
-        F.col(round_col)
-        if round_col
-        else F.regexp_extract(F.input_file_name(), r"round=(\d+)", 1)
-        .cast("int")
-    )
+    if round_col:
+        rnd = F.col(round_col)
+    else:
+        # fail fast instead of silently reporting one round=NULL slice:
+        # input_file_name() is "" behind createDataFrame / a cache / any
+        # shuffle, and "round=NNNNN" only appears on direct scans of the
+        # committed round tables. Bounded 1-row probe (the
+        # small_enough_to_broadcast pattern), not a full pass.
+        import re as _re
+
+        probe = (
+            fetched.select(F.input_file_name().alias("f")).limit(1).collect()
+        )
+        if probe and not _re.search(r"round=\d+", probe[0]["f"] or ""):
+            raise ValueError(
+                "crawl_report(round_col=None) derives the round from the "
+                "file path, which needs a DIRECT scan of committed "
+                "round=NNNNN tables (sources.tables.read_rounds). This "
+                "DataFrame has no such path — pass round_col= instead."
+            )
+        rnd = F.regexp_extract(
+            F.input_file_name(), r"round=(\d+)", 1
+        ).cast("int")
     fetched_i = F.col("fetched").cast("int")
     proj = fetched.select(
         rnd.alias("round"),

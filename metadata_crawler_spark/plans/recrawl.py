@@ -68,6 +68,10 @@ def recrawl_batch(
     hits = pages.join(
         d_side, pages[page_url_col] == d["url"], "inner"
     ).select(d["url"].alias("url"), F.col(page_content_col).alias("_content"))
+    # bounded by the due batch; checkpointed so the pages snapshot is
+    # streamed ONCE — classify_refetch (two consumers) and the gone
+    # branch's hit_urls build otherwise each re-run the pages join
+    hits = hits.localCheckpoint(eager=False)
     classified = classify_refetch(
         hits,
         prior,

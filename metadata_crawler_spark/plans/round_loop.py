@@ -842,9 +842,8 @@ class Crawler:
         """
         from ..functions.urls import filter_blocked_hosts
         from ..operators.traps import (
-            trap_content_sketch,
             trap_hosts_from_partials,
-            trap_template_partial,
+            trap_partials,
         )
 
         cfg = self.config
@@ -855,13 +854,14 @@ class Crawler:
         )
         if span is not None:
             ok = span.filter(F.col("fetched") & F.col("text").isNotNull())
+            # one pass: both partials come off a shared checkpointed
+            # projection — the span's bodies are scanned + hashed once
+            tpl_p, hll_p = trap_partials(ok, lgk=cfg.trap_lgk)
             write_round_table(
-                trap_template_partial(ok), self.checkpoint_dir, upto,
-                "host_templates",
+                tpl_p, self.checkpoint_dir, upto, "host_templates"
             )
             write_round_table(
-                trap_content_sketch(ok, lgk=cfg.trap_lgk),
-                self.checkpoint_dir, upto, "trap_content_hll",
+                hll_p, self.checkpoint_dir, upto, "trap_content_hll"
             )
         tpl = read_rounds(
             self.spark, self.checkpoint_dir, "host_templates", upto

@@ -102,3 +102,20 @@ def test_host_report_topk_deterministic(fetched_rounds):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_crawl_report_rejects_pathless_input(spark):
+    """round_col=None derives the round from the committed file path;
+    a DataFrame with no round=NNNNN scan behind it must fail fast, not
+    silently report one round=NULL slice."""
+    import pytest
+
+    from metadata_crawler_spark.plans.corpus_report import crawl_report
+
+    df = spark.createDataFrame(
+        [("https://a/1", "h1", 0, True, 0, ["x"], "t")],
+        "url string, host string, depth int, fetched boolean,"
+        " planned_ms long, links array<string>, text string",
+    )
+    with pytest.raises(ValueError, match="round_col"):
+        crawl_report(df)
