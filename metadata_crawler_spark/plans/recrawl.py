@@ -49,6 +49,8 @@ def recrawl_batch(
     prior_content_col: str = "text",
     etag_col: str | None = None,
     due_broadcast: bool | None = None,
+    transform=None,
+    keep_content: bool = False,
 ) -> DataFrame:
     """Conditionally re-fetch ``due`` urls against the ``pages`` snapshot
     (the simulation's live web) and classify each against the ``prior``
@@ -58,7 +60,14 @@ def recrawl_batch(
     Returns (url, status, changed, store_row, bytes_saved); ``changed``
     is NULL for ``new``/``gone`` rows (neither is a change observation
     for the Cho & Garcia-Molina estimator).
-    """
+
+    ``transform`` (optional) maps the BOUNDED hits set (url, _content)
+    before hashing — e.g. byte-identical text extraction when ``pages``
+    carries raw html but ``prior`` stores extracted text; running it
+    post-join keeps the pandas UDF off the full snapshot scan.
+    ``keep_content=True`` appends the (post-transform) ``content``
+    column to surviving rows (NULL for gone) so callers can persist
+    ``modified`` bodies without re-fetching."""
     d = due.select("url")
     if due_broadcast is None:
         d = d.localCheckpoint(eager=False)
@@ -68,6 +77,8 @@ def recrawl_batch(
     hits = pages.join(
         d_side, pages[page_url_col] == d["url"], "inner"
     ).select(d["url"].alias("url"), F.col(page_content_col).alias("_content"))
+    if transform is not None:
+        hits = transform(hits)
     # bounded by the due batch; checkpointed so the pages snapshot is
     # streamed ONCE — classify_refetch (two consumers) and the gone
     # branch's hit_urls build otherwise each re-run the pages join
@@ -92,7 +103,16 @@ def recrawl_batch(
         F.lit(False).alias("store_row"),
         F.lit(0).cast("long").alias("bytes_saved"),
     )
-    return classified.select(*_OUT_COLS).unionByName(gone.select(*_OUT_COLS))
+    out = classified.select(*_OUT_COLS).unionByName(gone.select(*_OUT_COLS))
+    if keep_content:
+        # hits is checkpointed above — this join re-reads the bounded
+        # set, not the snapshot
+        out = out.join(
+            hits.select("url", F.col("_content").alias("content")),
+            "url",
+            "left",
+        )
+    return out
 
 
 def checks_delta(classified: DataFrame, now_s: float) -> DataFrame:

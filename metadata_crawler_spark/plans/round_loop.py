@@ -883,6 +883,111 @@ class Crawler:
             return frontier
         return filter_blocked_hosts(frontier, committed.select("domain"))
 
+    def recrawl_round(
+        self,
+        recrawl_no: int,
+        now_s: float,
+        max_urls: int | None = None,
+        min_interval_s: float = 3600.0,
+        max_interval_s: float = 30 * 24 * 3600.0,
+    ) -> dict:
+        """One freshness pass over the committed crawl (the revalidation
+        loop of plans/recrawl.py run against this crawler's own state —
+        the subsystem the BFS loop deliberately lacks: its seen-set
+        blocks re-fetches by design).
+
+        Due set: every url the crawl fetched, minus urls whose
+        Cho-GM/revisit schedule (built from PRIOR passes' committed
+        ``recrawl_checks``) says next_due > ``now_s`` — pass 0 revisits
+        everything once, then unchanged urls drift to the slow lane.
+        Each pass commits under ``round={recrawl_no}``:
+
+        - ``recrawl_checks`` — (url, ts, changed) delta feeding the next
+          pass's estimator (append-only history, the crawl-round
+          contract: replay rewrites the identical table),
+        - ``recrawl_refreshed`` — modified/new urls' re-extracted text
+          (the store delta; not_modified bodies are never re-stored),
+        - ``recrawl_report`` — per-status counts + bytes_saved.
+
+        Re-fetched html flows through the SAME byte-identical extraction
+        as the crawl (applied to the BOUNDED hits set, never the full
+        snapshot), so an unchanged page hashes equal to its stored text.
+        ``now_s`` is explicit — determinism and replay over wall clocks.
+        """
+        from ..functions.text import extract_text_udf
+        from ..operators.changes import estimate_change_rate, revisit_schedule
+        from ..plans.recrawl import checks_delta, recrawl_batch
+
+        fetched_all = read_rounds(
+            self.spark, self.checkpoint_dir, "fetched",
+            (self.log.read() or {}).get("last_round", 0),
+        )
+        if fetched_all is None:
+            raise ValueError(
+                "recrawl_round needs committed crawl rounds (run() first)"
+            )
+        prior = latest_per_key(
+            fetched_all.filter(F.col("fetched") & F.col("text").isNotNull()),
+            "url", "warc_ts", tiebreak="url",
+        ).select("url", "text")
+        due = prior.select("url")
+        checks = read_rounds(
+            self.spark, self.checkpoint_dir, "recrawl_checks",
+            recrawl_no - 1,
+        ) if recrawl_no > 0 else None
+        if checks is not None:
+            sched = revisit_schedule(
+                estimate_change_rate(checks),
+                min_interval_s=min_interval_s,
+                max_interval_s=max_interval_s,
+            )
+            not_due = sched.filter(
+                F.col("next_due_ts").cast("double") > float(now_s)
+            ).select("url")
+            due = due.join(not_due, "url", "left_anti")
+        if max_urls is not None:
+            due = due.orderBy("url").limit(int(max_urls))
+        out = recrawl_batch(
+            due,
+            self.pages_snapshot(),
+            prior,
+            page_url_col="page_url",
+            page_content_col="html",
+            transform=lambda h: h.select(
+                "url", extract_text_udf(F.col("_content")).alias("_content")
+            ),
+            keep_content=True,
+        ).localCheckpoint(eager=False)
+        write_round_table(
+            checks_delta(out, now_s), self.checkpoint_dir, recrawl_no,
+            "recrawl_checks",
+        )
+        write_round_table(
+            out.filter(F.col("store_row")).select(
+                "url", F.col("content").alias("text")
+            ),
+            self.checkpoint_dir, recrawl_no, "recrawl_refreshed",
+        )
+        report = out.groupBy("status").agg(
+            F.count("*").alias("n_urls"),
+            F.sum("bytes_saved").alias("bytes_saved"),
+        )
+        path = write_round_table(
+            report, self.checkpoint_dir, recrawl_no, "recrawl_report"
+        )
+        counts = {
+            r["status"]: (r["n_urls"], r["bytes_saved"])
+            for r in self.spark.read.parquet(path).collect()
+        }
+        state = self.log.read() or {}
+        state.pop("committed_at", None)
+        state["last_recrawl"] = recrawl_no
+        state[f"rc{recrawl_no}"] = {
+            s: n for s, (n, _) in counts.items()
+        }
+        self.log.commit(state)
+        return counts
+
     def _check_fail_under(self) -> None:
         """Whole-crawl --fail-under semantics (reference run.py:510-515):
         the committed manifest counts cover ALL rounds, so a resumed crawl

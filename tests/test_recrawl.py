@@ -190,3 +190,84 @@ def test_prior_never_hash_build_side(spark, stores):
     # a broadcast subtree would be hard to assert textually, so assert
     # the join count instead and rely on the agreement test above).
     assert "SortMergeJoin" not in plan
+
+
+def test_crawler_recrawl_round_e2e(spark, fixture_dir, tables, tmp_path_factory):
+    """The integrated freshness pass: crawl -> recrawl pass 0 revisits
+    every fetched url (all not_modified against an unchanged web, no
+    re-store), pass 1 before the schedule's next_due is an empty pass,
+    and after the web mutates a due pass re-stores exactly the changed
+    urls' re-extracted text."""
+    import os
+
+    from metadata_crawler_spark.plans.round_loop import CrawlConfig, Crawler
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt_recrawl"))
+    mk = lambda pages: Crawler(
+        spark=spark, pages_path=pages,
+        robots=tables["robots"], hosts=tables["hosts"],
+        checkpoint_dir=ckpt,
+        config=CrawlConfig(
+            n_shards=8, bloom_expected_per_shard=4096, salt_parts=4
+        ),
+    )
+    pages_path = os.path.join(fixture_dir, "pages.parquet")
+    c = mk(pages_path)
+    res = c.run(tables["seeds"], rounds=2)
+    n_fetched_urls = (
+        spark.read.parquet(
+            *[os.path.join(ckpt, f"round={r:05d}", "fetched") for r in (0, 1)]
+        )
+        .filter("fetched AND text IS NOT NULL")
+        .select("url").distinct().count()
+    )
+    assert n_fetched_urls > 0
+
+    t0 = 1_800_000_000.0
+    counts0 = c.recrawl_round(0, now_s=t0)
+    assert set(counts0) == {"not_modified"}
+    assert counts0["not_modified"][0] == n_fetched_urls
+    assert counts0["not_modified"][1] > 0  # bytes a 304 saved
+    refreshed0 = spark.read.parquet(
+        os.path.join(ckpt, "round=00000", "recrawl_refreshed")
+    )
+    assert refreshed0.count() == 0  # nothing re-stored
+    checks0 = spark.read.parquet(
+        os.path.join(ckpt, "round=00000", "recrawl_checks")
+    )
+    assert checks0.count() == n_fetched_urls
+    assert checks0.filter("changed").count() == 0
+
+    # pass 1 an hour later: every url is scheduled out to the slow lane
+    counts1 = c.recrawl_round(1, now_s=t0 + 3600.0)
+    assert counts1 == {}
+
+    # the web mutates: ~1/5 of pages gain a paragraph; a due pass must
+    # re-store exactly those urls' re-extracted text
+    mutated_dir = str(tmp_path_factory.mktemp("pages_mut")) + "/pages.parquet"
+    spark.read.parquet(pages_path).withColumn(
+        "html",
+        F.when(
+            F.crc32("url") % 5 == 0,
+            F.concat("html", F.lit(b"<p>breaking update</p>")),
+        ).otherwise(F.col("html")),
+    ).write.parquet(mutated_dir)
+    c2 = mk(mutated_dir)
+    counts2 = c2.recrawl_round(2, now_s=t0 + 40 * 24 * 3600.0)
+    assert set(counts2) <= {"not_modified", "modified"}
+    assert counts2["modified"][0] > 0
+    assert (
+        counts2["modified"][0] + counts2["not_modified"][0] == n_fetched_urls
+    )
+    refreshed2 = spark.read.parquet(
+        os.path.join(ckpt, "round=00002", "recrawl_refreshed")
+    )
+    assert refreshed2.count() == counts2["modified"][0]
+    assert refreshed2.filter(
+        F.col("text").contains("breaking update")
+    ).count() == refreshed2.count()
+    # and the change observations landed for the NEXT estimator pass
+    checks2 = spark.read.parquet(
+        os.path.join(ckpt, "round=00002", "recrawl_checks")
+    )
+    assert checks2.filter("changed").count() == counts2["modified"][0]
