@@ -448,8 +448,15 @@ def q03_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, all-distinct content) and 11 healthy hosts; the oracle
     derives the expected url shapes/novelty from doc_id arithmetic and
     replicates the support + novelty/concentration thresholds.
+    r5 continuation adds 'best' rows — the keep-best representative
+    policy (operators/dedup.best_per_group, one min(struct(-score, id))
+    shuffle): per content hash the HIGHEST-quality member survives
+    (quality = doc_id % 7, deterministic; ties -> min id), the policy
+    clean_corpus(keep_best_col=...) applies at every content-identity
+    stage; the oracle recomputes the argmax via a ROW_NUMBER window.
     Tagged union (kind, k1, k2, n1, n2, n3, v)."""
     _prep(spark)
+    from metadata_crawler_spark.operators.dedup import best_per_group
     from metadata_crawler_spark.operators.dust import mine_dust_rules
     from metadata_crawler_spark.operators.mirrors import detect_mirrors
 
@@ -458,6 +465,20 @@ def q03_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
     corpus = d.unionByName(dups)
+    best = best_per_group(
+        corpus.withColumn("h", F.md5("text")).withColumn(
+            "q", (F.col("doc_id") % 7).cast("double")
+        ),
+        "h", "doc_id", "q",
+    ).select(
+        F.lit("best").alias("kind"),
+        F.col("h").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("doc_id").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        F.lit(None).cast("long").alias("n3"),
+        F.col("q").alias("v"),
+    )
     exact = (
         corpus.groupBy(F.md5("text").alias("content_hash"))
         .agg(F.min("doc_id").alias("rep_id"), F.count("*").alias("n_copies"))
@@ -565,7 +586,8 @@ def q03_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        exact.unionByName(mirrors).unionByName(dust).unionByName(traps)
+        exact.unionByName(best).unionByName(mirrors)
+        .unionByName(dust).unionByName(traps)
     )
 
 
@@ -591,6 +613,15 @@ SELECT 'exact' AS kind, md5(text) AS k1, CAST(NULL AS VARCHAR) AS k2,
        MIN(doc_id) AS n1, COUNT(*) AS n2, CAST(NULL AS BIGINT) AS n3,
        CAST(NULL AS DOUBLE) AS v
 FROM corpus GROUP BY md5(text)
+UNION ALL
+SELECT 'best', h, CAST(NULL AS VARCHAR), doc_id, CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(doc_id % 7 AS DOUBLE)
+FROM (
+  SELECT md5(text) AS h, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY md5(text)
+                            ORDER BY (doc_id % 7) DESC, doc_id ASC) AS rn
+  FROM corpus
+) WHERE rn = 1
 UNION ALL
 SELECT 'mirror', host_a, host_b, shared, sa.n, sb.n,
        ROUND(shared / LEAST(sa.n, sb.n), 6)

@@ -34,6 +34,39 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
+def best_per_group(
+    df: DataFrame, group_col: str, id_col: str, score_col: str
+) -> DataFrame:
+    """One representative per group by QUALITY instead of min id: the
+    highest-``score_col`` member survives (ties break to min id; NULL
+    scores always lose). The keep-best policy production dedup pipelines
+    apply — among near-identical docs, keep the best one, not the one
+    with the smallest id (reference analog: the latest-version pick of
+    the version walk, api/crawlers/intake.py versions sort — "best"
+    there is newest; here it is an arbitrary numeric quality).
+
+    Scale shape: ONE groupBy shuffle — the (max score, min id) argmax is
+    a single ``min(struct(-score, id))`` partial-aggregable fold, no
+    window sort, no join-back. Returns (group_col, id_col, score_col)
+    of each winner.
+    """
+    ordv = F.coalesce(
+        -F.col(score_col).cast("double"), F.lit(float("inf"))
+    )
+    best = F.min(F.struct(ordv.alias("o"), F.col(id_col).alias("i")))
+    return (
+        df.groupBy(group_col)
+        .agg(best.alias("_b"))
+        .select(
+            group_col,
+            F.col("_b.i").alias(id_col),
+            F.when(
+                F.col("_b.o") != float("inf"), -F.col("_b.o")
+            ).alias(score_col),
+        )
+    )
+
+
 def shingles_expr(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles as an array column (builtin, no UDF)."""
     toks = F.split(F.trim(text), r"\s+")

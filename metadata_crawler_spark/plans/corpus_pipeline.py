@@ -85,6 +85,7 @@ def clean_corpus(
     boiler_min_docs: int = 2,
     boiler_min_pct: int = 50,
     stage_counts: dict | None = None,
+    keep_best_col: str | None = None,
 ) -> DataFrame:
     """Returns the surviving documents as (id, text) where ``text`` is
     redacted + paragraph-deduplicated.
@@ -134,6 +135,17 @@ def clean_corpus(
     per-language perplexity tertiles of the self-corpus unigram
     cross-entropy (``quality.perplexity_buckets``); languages come from
     ``lang_profiles`` when given, else one global distribution.
+
+    Keep-best representative policy (``keep_best_col``, r5): name a
+    numeric quality column of ``df`` (e.g. a classifier score, a length
+    metric) and every content-identity stage keeps the HIGHEST-quality
+    member instead of the min id — exact dedup picks the best doc per
+    content hash, transitive fuzzy dedup the best doc per connected
+    component (``dedup.best_per_group``, one min(struct) shuffle each),
+    and the greedy pairwise drop kills each verified pair's lower-
+    quality side. Ties break to min id; NULL quality always loses, so
+    unscored docs never displace scored ones. Default ``None`` keeps the
+    min-id semantics q56's oracle checks.
 
     SemDeDup stage (``embeddings`` + ``semdedup_centroids``, r5):
     embedding-space dedup after the text-level dedups — see
@@ -307,8 +319,27 @@ def clean_corpus(
     # 2. PII scrub
     red = survivors.select("id", redact_pii(F.col("text")).alias("text"))
 
-    # 3. exact dedup: keep the min id of each identical text
-    keep = red.groupBy(F.md5("text").alias("h")).agg(F.min("id").alias("id"))
+    # keep-best policy: the (id, quality) projection joined per stage —
+    # tiny relative to the corpus (two narrow columns), id-keyed
+    scores: DataFrame | None = None
+    if keep_best_col is not None:
+        scores = df.select(
+            F.col(id_col).alias("id"), F.col(keep_best_col).alias("_score")
+        )
+
+    # 3. exact dedup: keep one representative per identical text —
+    # min id, or the best-quality member under keep_best_col
+    if scores is None:
+        keep = red.groupBy(F.md5("text").alias("h")).agg(
+            F.min("id").alias("id")
+        )
+    else:
+        from ..operators.dedup import best_per_group
+
+        keep = best_per_group(
+            red.join(scores, "id", "left").withColumn("h", F.md5("text")),
+            "h", "id", "_score",
+        )
     red = _stage("exact_dedup", red.join(keep.select("id"), "id", "left_semi"))
 
     # 4. fuzzy dedup — ONE hasher-parameterized banded-LSH builder for
@@ -325,13 +356,52 @@ def clean_corpus(
     if transitive:
         from ..operators.dedup import neardup_clusters
 
-        dup_b = (
-            neardup_clusters(verified)
-            .filter(F.col("id") != F.col("cluster_id"))
-            .select("id")
-        )
-    else:
+        clusters = neardup_clusters(verified)
+        if scores is None:
+            dup_b = (
+                clusters
+                .filter(F.col("id") != F.col("cluster_id"))
+                .select("id")
+            )
+        else:
+            from ..operators.dedup import best_per_group
+
+            winners = best_per_group(
+                clusters.join(scores, "id", "left"),
+                "cluster_id", "id", "_score",
+            ).select(F.col("id").alias("_keep"))
+            dup_b = clusters.join(
+                winners, clusters["id"] == winners["_keep"], "left_anti"
+            ).select("id")
+    elif scores is None:
         dup_b = verified.select(F.col("id_b").alias("id")).distinct()
+    else:
+        # greedy keep-best: each verified pair's LOWER-quality side dies
+        # (tie: the greater id — same convention as best_per_group)
+        v = verified.join(
+            scores.select(
+                F.col("id").alias("id_a"), F.col("_score").alias("_sa")
+            ),
+            "id_a", "left",
+        ).join(
+            scores.select(
+                F.col("id").alias("id_b"), F.col("_score").alias("_sb")
+            ),
+            "id_b", "left",
+        )
+        inf = F.lit(float("inf"))
+        oa = F.struct(
+            F.coalesce(-F.col("_sa").cast("double"), inf).alias("o"),
+            F.col("id_a").alias("i"),
+        )
+        ob = F.struct(
+            F.coalesce(-F.col("_sb").cast("double"), inf).alias("o"),
+            F.col("id_b").alias("i"),
+        )
+        dup_b = v.select(
+            F.when(oa > ob, F.col("id_a")).otherwise(F.col("id_b"))
+            .alias("id")
+        ).distinct()
     red = _stage("fuzzy_dedup", red.join(dup_b, "id", "left_anti"))
 
     # 4b. optional SemDeDup (Abbas et al. 2023): embedding-space

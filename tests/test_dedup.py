@@ -281,6 +281,74 @@ def test_clean_corpus_transitive_vs_greedy_victims(spark):
     assert greedy != trans
 
 
+def test_best_per_group_argmax_ties_and_nulls(spark):
+    """best_per_group: highest score wins, ties break to min id, NULL
+    scores always lose, all-NULL groups fall back to min id with NULL
+    score reported."""
+    from metadata_crawler_spark.operators.dedup import best_per_group
+
+    df = spark.createDataFrame(
+        [
+            ("g1", 10, 1.0), ("g1", 11, 5.0), ("g1", 12, 3.0),
+            ("g2", 20, 2.0), ("g2", 21, 2.0),          # tie -> min id
+            ("g3", 30, None), ("g3", 31, 4.0),          # NULL loses
+            ("g4", 40, None), ("g4", 41, None),         # all NULL
+        ],
+        "h string, id long, score double",
+    )
+    got = {
+        r["h"]: (r["id"], r["score"])
+        for r in best_per_group(df, "h", "id", "score").collect()
+    }
+    assert got == {
+        "g1": (11, 5.0),
+        "g2": (20, 2.0),
+        "g3": (31, 4.0),
+        "g4": (40, None),
+    }
+
+
+def test_clean_corpus_keep_best_policy(spark):
+    """keep_best_col: every content-identity stage keeps the HIGHEST-
+    quality member instead of the min id — the planted star's bridge Z
+    (best quality, max id) survives transitive clustering, the exact-dup
+    pair keeps its higher-quality copy, greedy kills each pair's
+    lower-quality side, NULL quality loses, ties break to min id."""
+    from metadata_crawler_spark.plans.corpus_pipeline import clean_corpus
+
+    words = [f"w{i}tok" for i in range(48)]
+    X = " ".join(words[0:40])
+    Y = " ".join(words[8:48])
+    Z = " ".join(words[4:44])
+    other = " ".join(f"solo{i}doc" for i in range(40))
+    E = " ".join(f"ex{i}extra" for i in range(40))
+    G = " ".join(f"gg{i}gram" for i in range(40))
+    T = " ".join(f"tt{i}tok" for i in range(40))
+    df = spark.createDataFrame(
+        [
+            (1, X, 1.0), (2, Y, 5.0), (3, Z, 9.0),   # near-dup star
+            (9, other, 0.0),
+            (20, E, 2.0), (21, E, 7.0),              # exact pair: 21 best
+            (30, G, None), (31, G, 4.0),             # NULL loses
+            (40, T, 3.0), (41, T, 3.0),              # tie -> min id
+        ],
+        "doc_id long, text string, q double",
+    )
+    kw = dict(jaccard_threshold=0.75, max_bucket=1000, keep_best_col="q")
+    greedy = {r["id"] for r in
+              clean_corpus(df, "text", "doc_id", **kw).collect()}
+    trans = {r["id"] for r in
+             clean_corpus(df, "text", "doc_id", transitive=True,
+                          **kw).collect()}
+    assert greedy == {3, 9, 21, 31, 40}
+    assert trans == {3, 9, 21, 31, 40}
+    # and the default policy on the same corpus keeps the min ids
+    base = {r["id"] for r in
+            clean_corpus(df, "text", "doc_id", transitive=True,
+                         jaccard_threshold=0.75, max_bucket=1000).collect()}
+    assert base == {1, 9, 20, 30, 40}
+
+
 def _span_dedup_ref(docs, n):
     """Brute-force reference for span_dedup: dict-based first-occurrence
     scan, then position excision — O(corpus) memory, test-only."""
