@@ -909,6 +909,12 @@ class Crawler:
           (the store delta; not_modified bodies are never re-stored),
         - ``recrawl_report`` — per-status counts + bytes_saved.
 
+        The comparison prior is the LATEST text per url across the crawl
+        AND all committed ``recrawl_refreshed`` deltas — a url refreshed
+        in pass k compares against its refreshed body from pass k+1 on,
+        so an unrechanged-since-refresh page is ``not_modified`` (never
+        re-stored) instead of mismatching its stale crawl text forever.
+
         Re-fetched html flows through the SAME byte-identical extraction
         as the crawl (applied to the BOUNDED hits set, never the full
         snapshot), so an unchanged page hashes equal to its stored text.
@@ -930,6 +936,23 @@ class Crawler:
             fetched_all.filter(F.col("fetched") & F.col("text").isNotNull()),
             "url", "warc_ts", tiebreak="url",
         ).select("url", "text")
+        refreshed = read_rounds(
+            self.spark, self.checkpoint_dir, "recrawl_refreshed",
+            recrawl_no - 1,
+        ) if recrawl_no > 0 else None
+        if refreshed is not None:
+            # overlay: text refreshed in pass k supersedes the crawl text
+            # (and earlier passes') for every later comparison — without
+            # this a once-modified url re-classifies modified (and
+            # re-stores its body) on EVERY subsequent pass
+            prior = latest_per_key(
+                prior.withColumn(
+                    "recrawl_pass", F.lit(-1).cast("int")
+                ).unionByName(
+                    refreshed.select("url", "text", "recrawl_pass")
+                ),
+                "url", "recrawl_pass", tiebreak="url",
+            ).select("url", "text")
         due = prior.select("url")
         checks = read_rounds(
             self.spark, self.checkpoint_dir, "recrawl_checks",
@@ -964,7 +987,9 @@ class Crawler:
         )
         write_round_table(
             out.filter(F.col("store_row")).select(
-                "url", F.col("content").alias("text")
+                "url",
+                F.col("content").alias("text"),
+                F.lit(int(recrawl_no)).cast("int").alias("recrawl_pass"),
             ),
             self.checkpoint_dir, recrawl_no, "recrawl_refreshed",
         )

@@ -271,3 +271,15 @@ def test_crawler_recrawl_round_e2e(spark, fixture_dir, tables, tmp_path_factory)
         os.path.join(ckpt, "round=00002", "recrawl_checks")
     )
     assert checks2.filter("changed").count() == counts2["modified"][0]
+
+    # pass 3, web unchanged since pass 2: the refreshed text must be the
+    # comparison prior — every due url is not_modified and nothing is
+    # re-stored (the regression: comparing against the stale CRAWL text
+    # would re-classify pass-2's modified urls modified forever)
+    counts3 = c2.recrawl_round(3, now_s=t0 + 80 * 24 * 3600.0)
+    assert set(counts3) == {"not_modified"}
+    assert counts3["not_modified"][0] == n_fetched_urls
+    refreshed3 = spark.read.parquet(
+        os.path.join(ckpt, "round=00003", "recrawl_refreshed")
+    )
+    assert refreshed3.count() == 0
