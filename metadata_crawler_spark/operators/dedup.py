@@ -34,35 +34,50 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
+def keep_best_ord(score: Column, id_col: Column) -> Column:
+    """The (unscored, -score, id) ordering struct shared by every
+    keep-best site (``best_per_group``, ``clean_corpus``'s greedy
+    pairwise drop): ``min()`` over it picks the highest-score member,
+    ties break to min id. NULL **and NaN** scores always lose — Spark
+    orders NaN above +inf, so a coalesce-to-inf sentinel would let a
+    NULL-scored row beat a NaN-scored one; a dedicated leading field
+    sidesteps that, and a legitimate ``-inf`` score still beats every
+    unscored row instead of colliding with the sentinel."""
+    s = score.cast("double")
+    scored = s.isNotNull() & ~F.isnan(s)
+    return F.struct(
+        F.when(scored, F.lit(0)).otherwise(F.lit(1)).alias("u"),
+        F.when(scored, -s).otherwise(F.lit(0.0)).alias("o"),
+        id_col.alias("i"),
+    )
+
+
 def best_per_group(
     df: DataFrame, group_col: str, id_col: str, score_col: str
 ) -> DataFrame:
     """One representative per group by QUALITY instead of min id: the
     highest-``score_col`` member survives (ties break to min id; NULL
-    scores always lose). The keep-best policy production dedup pipelines
+    and NaN scores always lose, so unscored members never displace
+    scored ones). The keep-best policy production dedup pipelines
     apply — among near-identical docs, keep the best one, not the one
     with the smallest id (reference analog: the latest-version pick of
     the version walk, api/crawlers/intake.py versions sort — "best"
     there is newest; here it is an arbitrary numeric quality).
 
     Scale shape: ONE groupBy shuffle — the (max score, min id) argmax is
-    a single ``min(struct(-score, id))`` partial-aggregable fold, no
-    window sort, no join-back. Returns (group_col, id_col, score_col)
-    of each winner.
+    a single ``min(struct)`` partial-aggregable fold over
+    :func:`keep_best_ord`, no window sort, no join-back. Returns
+    (group_col, id_col, score_col) of each winner; the score is NULL
+    when the winner was unscored (all-NULL/NaN group).
     """
-    ordv = F.coalesce(
-        -F.col(score_col).cast("double"), F.lit(float("inf"))
-    )
-    best = F.min(F.struct(ordv.alias("o"), F.col(id_col).alias("i")))
+    best = F.min(keep_best_ord(F.col(score_col), F.col(id_col)))
     return (
         df.groupBy(group_col)
         .agg(best.alias("_b"))
         .select(
             group_col,
             F.col("_b.i").alias(id_col),
-            F.when(
-                F.col("_b.o") != float("inf"), -F.col("_b.o")
-            ).alias(score_col),
+            F.when(F.col("_b.u") == 0, -F.col("_b.o")).alias(score_col),
         )
     )
 
@@ -1093,6 +1108,7 @@ def semantic_dedup(
     vec_col: str,
     centroids,
     eps: float = 0.30,
+    priority_col: str | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): embedding-level semantic dedup.
     Assign every vector to its nearest centroid by cosine, then within
@@ -1109,6 +1125,14 @@ def semantic_dedup(
     production, or any deterministic seed rows for testing. All compared
     cosines are rounded to 6 places so the rule is reproducible across
     engines (the driver's DuckDB oracle replicates it exactly).
+
+    ``priority_col`` (optional, the clean_corpus keep-best hook): a
+    numeric quality column of ``df``; when given, within-cluster
+    priority becomes quality DESCENDING — the highest-quality member of
+    a duplicate pair survives instead of the farthest-from-centroid one
+    (NULL/NaN quality sorts last, the :func:`keep_best_ord` convention;
+    ties fall back to the default (cent_sim, id) order). Default None
+    keeps the paper's rule byte-identical.
 
     Plan shape (the 100 TB path): centroid assignment is one Arrow
     batch matmul against the broadcast (k, dim) matrix — zero shuffle;
@@ -1140,11 +1164,17 @@ def semantic_dedup(
              "cent_sim": sims[np.arange(len(cl)), cl]}
         )
 
-    assigned = df.select(
+    sel = [
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).alias("v"),
         _assign(F.col(vec_col)).alias("a"),
-    ).select("id", "v", "a.cluster", "a.cent_sim")
+    ]
+    if priority_col is not None:
+        sel.append(F.col(priority_col).cast("double").alias("_p"))
+    assigned = df.select(*sel).select(
+        "id", "v", "a.cluster", "a.cent_sim",
+        *(["_p"] if priority_col is not None else []),
+    )
 
     schema = T.StructType(
         [
@@ -1156,7 +1186,15 @@ def semantic_dedup(
     )
 
     def _dedup(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["cent_sim", "id"]).reset_index(drop=True)
+        if "_p" in pdf.columns:
+            # keep-best priority: scored quality DESC first (NULL/NaN
+            # last — pandas isna covers both), then the default order
+            pdf = pdf.assign(
+                _u=pdf["_p"].isna(), _o=-pdf["_p"].fillna(0.0)
+            ).sort_values(["_u", "_o", "cent_sim", "id"])
+            pdf = pdf.reset_index(drop=True)
+        else:
+            pdf = pdf.sort_values(["cent_sim", "id"]).reset_index(drop=True)
         V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
         n = np.linalg.norm(V, axis=1)
         S = np.round((V @ V.T) / (n[:, None] * n[None, :]), 6)

@@ -142,10 +142,12 @@ def clean_corpus(
     member instead of the min id — exact dedup picks the best doc per
     content hash, transitive fuzzy dedup the best doc per connected
     component (``dedup.best_per_group``, one min(struct) shuffle each),
-    and the greedy pairwise drop kills each verified pair's lower-
-    quality side. Ties break to min id; NULL quality always loses, so
-    unscored docs never displace scored ones. Default ``None`` keeps the
-    min-id semantics q56's oracle checks.
+    the greedy pairwise drop kills each verified pair's lower-quality
+    side, and the SemDeDup stage's within-cluster priority flips from
+    farthest-from-centroid to quality-descending. Ties break to min id;
+    NULL/NaN quality always loses, so unscored docs never displace
+    scored ones. Default ``None`` keeps the min-id semantics q56's
+    oracle checks.
 
     SemDeDup stage (``embeddings`` + ``semdedup_centroids``, r5):
     embedding-space dedup after the text-level dedups — see
@@ -377,7 +379,11 @@ def clean_corpus(
         dup_b = verified.select(F.col("id_b").alias("id")).distinct()
     else:
         # greedy keep-best: each verified pair's LOWER-quality side dies
-        # (tie: the greater id — same convention as best_per_group)
+        # (tie: the greater id) — the ordering convention is SHARED with
+        # best_per_group via keep_best_ord so the exact/transitive and
+        # greedy stages can never silently diverge on NULL/NaN handling
+        from ..operators.dedup import keep_best_ord
+
         v = verified.join(
             scores.select(
                 F.col("id").alias("id_a"), F.col("_score").alias("_sa")
@@ -389,15 +395,8 @@ def clean_corpus(
             ),
             "id_b", "left",
         )
-        inf = F.lit(float("inf"))
-        oa = F.struct(
-            F.coalesce(-F.col("_sa").cast("double"), inf).alias("o"),
-            F.col("id_a").alias("i"),
-        )
-        ob = F.struct(
-            F.coalesce(-F.col("_sb").cast("double"), inf).alias("o"),
-            F.col("id_b").alias("i"),
-        )
+        oa = keep_best_ord(F.col("_sa"), F.col("id_a"))
+        ob = keep_best_ord(F.col("_sb"), F.col("id_b"))
         dup_b = v.select(
             F.when(oa > ob, F.col("id_a")).otherwise(F.col("id_b"))
             .alias("id")
@@ -417,9 +416,15 @@ def clean_corpus(
             F.col(emb_id_col).alias("id"),
             F.col(emb_vec_col).alias("vec"),
         ).join(red.select("id"), "id", "left_semi")
+        if scores is not None:
+            # keep-best reaches this stage too: within-cluster priority
+            # becomes quality DESC instead of farthest-from-centroid
+            alive = alive.join(scores, "id", "left")
         sem_dups = (
             semantic_dedup(alive, "id", "vec", semdedup_centroids,
-                           eps=semdedup_eps)
+                           eps=semdedup_eps,
+                           priority_col=None if scores is None
+                           else "_score")
             .filter(F.col("is_dup"))
             .select("id")
         )

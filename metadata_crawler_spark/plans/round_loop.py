@@ -912,7 +912,7 @@ class Crawler:
         The comparison prior is the LATEST text per url across the crawl
         AND all committed ``recrawl_refreshed`` deltas — a url refreshed
         in pass k compares against its refreshed body from pass k+1 on,
-        so an unrechanged-since-refresh page is ``not_modified`` (never
+        so an unchanged-since-refresh page is ``not_modified`` (never
         re-stored) instead of mismatching its stale crawl text forever.
 
         Re-fetched html flows through the SAME byte-identical extraction
@@ -924,9 +924,10 @@ class Crawler:
         from ..operators.changes import estimate_change_rate, revisit_schedule
         from ..plans.recrawl import checks_delta, recrawl_batch
 
+        state0 = self.log.read() or {}
         fetched_all = read_rounds(
             self.spark, self.checkpoint_dir, "fetched",
-            (self.log.read() or {}).get("last_round", 0),
+            state0.get("last_round", 0),
         )
         if fetched_all is None:
             raise ValueError(
@@ -936,28 +937,60 @@ class Crawler:
             fetched_all.filter(F.col("fetched") & F.col("text").isNotNull()),
             "url", "warc_ts", tiebreak="url",
         ).select("url", "text")
+        # COMMITTED passes only: bound every recrawl read by the
+        # manifest's last_recrawl, not by path existence — a pass that
+        # crashed after write_round_table but before log.commit left
+        # round dirs on disk that must stay invisible (tables.py
+        # contract) until its replay rewrites and commits them
+        last_rc = state0.get("last_recrawl", -1)
+        if recrawl_no > last_rc + 1:
+            # passes are sequential: committing pass k implies rounds
+            # <= k are authoritative, so skipping would silently bless
+            # any crashed pass's orphan round dirs in between
+            raise ValueError(
+                f"recrawl pass {recrawl_no} skips committed history "
+                f"(last committed pass: {last_rc}; next allowed: "
+                f"{last_rc + 1})"
+            )
+        upto = min(recrawl_no - 1, last_rc)
         refreshed = read_rounds(
-            self.spark, self.checkpoint_dir, "recrawl_refreshed",
-            recrawl_no - 1,
-        ) if recrawl_no > 0 else None
+            self.spark, self.checkpoint_dir, "recrawl_refreshed", upto,
+        ) if upto >= 0 else None
         if refreshed is not None:
             # overlay: text refreshed in pass k supersedes the crawl text
             # (and earlier passes') for every later comparison — without
             # this a once-modified url re-classifies modified (and
-            # re-stores its body) on EVERY subsequent pass
-            prior = latest_per_key(
-                prior.withColumn(
-                    "recrawl_pass", F.lit(-1).cast("int")
-                ).unionByName(
-                    refreshed.select("url", "text", "recrawl_pass")
-                ),
+            # re-stores its body) on EVERY subsequent pass. Pre-r5
+            # checkpoints wrote (url, text) without recrawl_pass: treat
+            # those deltas as pass 0 (above the crawl, below any pass
+            # that recorded its number).
+            if "recrawl_pass" in refreshed.columns:
+                refreshed = refreshed.withColumn(
+                    "recrawl_pass",
+                    F.coalesce(
+                        F.col("recrawl_pass").cast("int"), F.lit(0)
+                    ),
+                )
+            else:
+                refreshed = refreshed.withColumn(
+                    "recrawl_pass", F.lit(0).cast("int")
+                )
+            # window ONLY the bounded deltas (modified rows per pass),
+            # never the full store: the newest delta per url wins, then
+            # overlays the crawl prior via anti-join + union — the
+            # 10^10-row prior is streamed once with the small delta set
+            # as the build side, not re-sorted under a second window
+            delta = latest_per_key(
+                refreshed.select("url", "text", "recrawl_pass"),
                 "url", "recrawl_pass", tiebreak="url",
-            ).select("url", "text")
+            ).select("url", "text").localCheckpoint(eager=False)
+            prior = prior.join(
+                delta.select("url"), "url", "left_anti"
+            ).unionByName(delta)
         due = prior.select("url")
         checks = read_rounds(
-            self.spark, self.checkpoint_dir, "recrawl_checks",
-            recrawl_no - 1,
-        ) if recrawl_no > 0 else None
+            self.spark, self.checkpoint_dir, "recrawl_checks", upto,
+        ) if upto >= 0 else None
         if checks is not None:
             sched = revisit_schedule(
                 estimate_change_rate(checks),

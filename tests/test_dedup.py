@@ -287,12 +287,16 @@ def test_best_per_group_argmax_ties_and_nulls(spark):
     score reported."""
     from metadata_crawler_spark.operators.dedup import best_per_group
 
+    nan, ninf = float("nan"), float("-inf")
     df = spark.createDataFrame(
         [
             ("g1", 10, 1.0), ("g1", 11, 5.0), ("g1", 12, 3.0),
             ("g2", 20, 2.0), ("g2", 21, 2.0),          # tie -> min id
             ("g3", 30, None), ("g3", 31, 4.0),          # NULL loses
             ("g4", 40, None), ("g4", 41, None),         # all NULL
+            ("g5", 50, nan), ("g5", 51, 0.5),           # NaN loses too
+            ("g6", 60, nan), ("g6", 61, None),          # all unscored
+            ("g7", 70, ninf), ("g7", 71, None),         # -inf is SCORED
         ],
         "h string, id long, score double",
     )
@@ -305,6 +309,9 @@ def test_best_per_group_argmax_ties_and_nulls(spark):
         "g2": (20, 2.0),
         "g3": (31, 4.0),
         "g4": (40, None),
+        "g5": (51, 0.5),   # a NaN score must not beat a real one
+        "g6": (60, None),  # NaN and NULL rank equal -> min id
+        "g7": (70, ninf),  # -inf beats unscored, round-trips as -inf
     }
 
 
@@ -603,6 +610,49 @@ def test_semantic_dedup_priority_tiebreak_and_singletons(spark):
     assert out[10]["is_dup"] is False    # identical pair: smaller id kept
     assert out[11]["is_dup"] is True
     assert out[12]["is_dup"] is False    # singleton cluster
+
+
+def test_semantic_dedup_priority_col_keeps_best(spark):
+    """keep-best hook: with priority_col the HIGHEST-quality member of a
+    duplicate pair survives even when it is the centroid-nearest one the
+    default rule would drop; NULL quality sorts last."""
+    import numpy as np
+
+    from metadata_crawler_spark.operators.dedup import semantic_dedup
+
+    dim = 4
+    C = np.stack([np.eye(dim)[0], np.eye(dim)[1]])
+
+    def v(x):
+        x = np.asarray(x, dtype=float)
+        return (x / np.linalg.norm(x)).tolist()
+
+    rows = [
+        # cluster 0: 0 is prototypical (cent_sim 1.0) but HIGH quality;
+        # 1 is farther out but low quality — default drops 0, keep-best
+        # must drop 1
+        (0, v([1.0, 0.0, 0.0, 0.0]), 9.0),
+        (1, v([0.98, 0.0, 0.2, 0.0]), 1.0),
+        # cluster 1: NULL-quality doc vs scored doc — scored one wins
+        # regardless of centroid distance
+        (2, v([0.0, 1.0, 0.0, 0.0]), 0.5),
+        (3, v([0.0, 0.97, 0.0, 0.24]), None),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, q double"
+    )
+    base = {
+        r["id"]: r["is_dup"]
+        for r in semantic_dedup(df, "vec_id", "embedding", C, eps=0.9).collect()
+    }
+    assert base == {0: True, 1: False, 2: True, 3: False}
+    best = {
+        r["id"]: r["is_dup"]
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", C, eps=0.9, priority_col="q"
+        ).collect()
+    }
+    assert best == {0: False, 1: True, 2: False, 3: True}
 
 
 def test_bloom_contamination_matches_exact(spark):

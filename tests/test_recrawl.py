@@ -283,3 +283,54 @@ def test_crawler_recrawl_round_e2e(spark, fixture_dir, tables, tmp_path_factory)
         os.path.join(ckpt, "round=00003", "recrawl_refreshed")
     )
     assert refreshed3.count() == 0
+
+    # an UNCOMMITTED pass stays invisible (tables.py contract): simulate
+    # pass 4 crashing after write_round_table but before the manifest
+    # commit — a poisoned refreshed row claiming a due url's text
+    # changed to junk must NOT become the comparison prior when pass 4
+    # is REPLAYED (the recovery path: replay overwrites the orphans)
+    from metadata_crawler_spark.sources.tables import write_round_table
+
+    pass2_rows = [
+        (r["url"], r["text"])
+        for r in refreshed2.select("url", "text").collect()
+    ]
+    victim = min(u for u, _ in pass2_rows)
+    write_round_table(
+        spark.createDataFrame(
+            [(victim, "orphan junk body", 4)],
+            "url string, text string, recrawl_pass int",
+        ),
+        ckpt, 4, "recrawl_refreshed",
+    )
+    write_round_table(
+        spark.createDataFrame([], "url string, ts double, changed boolean"),
+        ckpt, 4, "recrawl_checks",
+    )
+    counts4 = c2.recrawl_round(4, now_s=t0 + 160 * 24 * 3600.0)
+    # a visible poisoned overlay would classify `victim` modified;
+    # committed-only reads keep every url not_modified, and the replay
+    # overwrote the orphan delta with the true (empty) one
+    assert set(counts4) == {"not_modified"}
+    assert counts4["not_modified"][0] == n_fetched_urls
+    assert spark.read.parquet(
+        os.path.join(ckpt, "round=00004", "recrawl_refreshed")
+    ).count() == 0
+
+    # skipping ahead of committed history is rejected (it would bless
+    # any orphan round dirs between last_recrawl and the skipped-to pass)
+    with pytest.raises(ValueError, match="skips committed history"):
+        c2.recrawl_round(6, now_s=t0 + 161 * 24 * 3600.0)
+
+    # pre-r5 checkpoints wrote recrawl_refreshed WITHOUT recrawl_pass:
+    # rewrite the committed pass-2 delta in the old (url, text) schema
+    # and confirm the overlay still holds (treated as pass 0, which
+    # still supersedes the crawl text here)
+    spark.createDataFrame(
+        pass2_rows, "url string, text string"
+    ).write.mode("overwrite").parquet(
+        os.path.join(ckpt, "round=00002", "recrawl_refreshed")
+    )
+    counts5 = c2.recrawl_round(5, now_s=t0 + 320 * 24 * 3600.0)
+    assert set(counts5) == {"not_modified"}
+    assert counts5["not_modified"][0] == n_fetched_urls
