@@ -334,3 +334,168 @@ def test_crawler_recrawl_round_e2e(spark, fixture_dir, tables, tmp_path_factory)
     counts5 = c2.recrawl_round(5, now_s=t0 + 320 * 24 * 3600.0)
     assert set(counts5) == {"not_modified"}
     assert counts5["not_modified"][0] == n_fetched_urls
+
+
+def _model_recrawl_pass(
+    history: dict,
+    stored: dict,
+    live: dict,
+    now: float,
+    min_i: float = 3600.0,
+    max_i: float = 30 * 24 * 3600.0,
+    target: float = 1.0,
+):
+    """Independent pure-Python model of one Crawler.recrawl_round pass:
+    Cho-GM estimator + clamp schedule decide the due set from the check
+    history; due urls classify modified/not_modified against the live
+    web; modified urls update the stored overlay and every due url
+    appends a check observation. Returns {url: status} for the pass."""
+    import math
+
+    due = []
+    for u in sorted(stored):
+        h = history.get(u, [])
+        if h:
+            n = len(h)
+            x = sum(1 for _, c in h if c)
+            first, last = h[0][0], h[-1][0]
+            avg = (last - first) / (n - 1) if n > 1 else None
+            lam = None
+            if n > 1 and avg is not None and avg > 0:
+                lam = -math.log((n - x + 0.5) / (n + 0.5)) / avg
+            raw = (target / lam) if (lam is not None and lam > 0) else None
+            interval = min(max(raw if raw is not None else max_i, min_i), max_i)
+            if last + interval > now:
+                continue
+        due.append(u)
+    statuses = {}
+    for u in due:
+        if live[u] != stored[u]:
+            statuses[u] = "modified"
+            stored[u] = live[u]
+        else:
+            statuses[u] = "not_modified"
+        history.setdefault(u, []).append((now, statuses[u] == "modified"))
+    return statuses
+
+
+@pytest.mark.parametrize("seed", [7, 23, 101])
+def test_recrawl_rounds_match_independent_model(
+    spark, fixture_dir, tables, tmp_path_factory, seed
+):
+    """Model-based check of the whole freshness state machine: random
+    per-pass page mutations + random pass spacings, engine passes vs the
+    pure-Python simulator above — per-pass due sets, per-url statuses,
+    the re-store set, and the appended check observations must all
+    agree. Exercises the estimator/schedule/overlay interplay the
+    deterministic e2e test can't (multi-mutation urls, urls drifting in
+    and out of the due set, refreshed-overlay supersession chains)."""
+    import os
+    import random
+
+    from metadata_crawler_spark.plans.round_loop import CrawlConfig, Crawler
+
+    rng = random.Random(seed)
+    ckpt = str(tmp_path_factory.mktemp(f"ckpt_model_{seed}"))
+    pages_path = os.path.join(fixture_dir, "pages.parquet")
+
+    def mk(pages):
+        return Crawler(
+            spark=spark, pages_path=pages,
+            robots=tables["robots"], hosts=tables["hosts"],
+            checkpoint_dir=ckpt,
+            config=CrawlConfig(
+                n_shards=8, bloom_expected_per_shard=4096, salt_parts=4
+            ),
+        )
+
+    mk(pages_path).run(tables["seeds"], rounds=1)
+    fetched_urls = sorted(
+        r["url"]
+        for r in spark.read.parquet(
+            os.path.join(ckpt, "round=00000", "fetched")
+        ).filter("fetched AND text IS NOT NULL").select("url").collect()
+    )
+    assert fetched_urls
+    # model state: content versions (0 = crawl text); the live web
+    # version bumps on mutation, the stored version on a modified pass
+    stored = {u: 0 for u in fetched_urls}
+    live = {u: 0 for u in fetched_urls}
+    history: dict = {}
+
+    base_pages = spark.read.parquet(pages_path)
+    t = 1_800_000_000.0
+    mut_dir = str(tmp_path_factory.mktemp(f"pages_model_{seed}"))
+    for k in range(4):
+        t += rng.uniform(0.2, 45.0) * 24 * 3600.0
+        # mutate ~30% of fetched urls: cumulative distinct markers so
+        # every bump changes the extracted text vs ALL prior versions
+        muts = [u for u in fetched_urls if rng.random() < 0.3]
+        for u in muts:
+            live[u] += 1
+        mut_map = spark.createDataFrame(
+            [(u, v) for u, v in live.items() if v > 0],
+            "m_url string, m_ver int",
+        ) if any(live.values()) else None
+        pages_k = os.path.join(mut_dir, f"pages_{k}.parquet")
+        pages_df = base_pages
+        if mut_map is not None:
+            # the crawler keys its snapshot by CANONICAL url
+            # (pages_snapshot latest_per_key on url_canon), so the
+            # mutation must land on every raw row of the canonical
+            # group the fetched url names
+            from metadata_crawler_spark.functions.urls import (
+                canonicalize_udf,
+            )
+
+            pages_df = base_pages.withColumn(
+                "_canon", canonicalize_udf("url")
+            ).join(
+                mut_map, F.col("_canon") == mut_map["m_url"], "left"
+            ).withColumn(
+                "html",
+                F.when(
+                    F.col("m_ver").isNotNull(),
+                    F.concat(
+                        "html",
+                        F.encode(
+                            F.concat(
+                                F.lit("<p>mutation v"),
+                                F.col("m_ver").cast("string"),
+                                F.lit(" of "), F.col("url"),
+                                F.lit("</p>"),
+                            ),
+                            "UTF-8",
+                        ),
+                    ),
+                ).otherwise(F.col("html")),
+            ).drop("m_url", "m_ver", "_canon")
+        pages_df.write.parquet(pages_k)
+
+        want = _model_recrawl_pass(history, stored, live, t)
+        got_counts = mk(pages_k).recrawl_round(k, now_s=t)
+
+        want_counts = {}
+        for s in want.values():
+            want_counts[s] = want_counts.get(s, 0) + 1
+        assert {s: n for s, (n, _) in got_counts.items()} == want_counts, (
+            f"seed={seed} pass={k}"
+        )
+        checks_k = {
+            (r["url"], bool(r["changed"]))
+            for r in spark.read.parquet(
+                os.path.join(ckpt, f"round={k:05d}", "recrawl_checks")
+            ).collect()
+        }
+        assert checks_k == {
+            (u, s == "modified") for u, s in want.items()
+        }, f"seed={seed} pass={k}"
+        refreshed_k = {
+            r["url"]
+            for r in spark.read.parquet(
+                os.path.join(ckpt, f"round={k:05d}", "recrawl_refreshed")
+            ).collect()
+        }
+        assert refreshed_k == {
+            u for u, s in want.items() if s == "modified"
+        }, f"seed={seed} pass={k}"
