@@ -3497,7 +3497,7 @@ _SC_DOMINANT = (
         + ", ".join("c_" + j for j in _SC_ORDER) + ") THEN '" + k + "'"
         for k in _SC_ORDER
     )
-    + "\n              END AS dominant_script"
+    + "\n              ELSE 'none' END AS dominant_script"
 )
 _Q53_SC_CTES = (
     """,

@@ -150,7 +150,12 @@ def crawl_report(
         F.col("host"),
         fetched_i.alias("ok"),
         F.col("planned_ms"),
-        F.coalesce(F.size("links"), F.lit(0)).alias("n_links"),
+        # NOT coalesce(size(...)): with legacy sizeOfNull semantics
+        # (ANSI off — the Spark 3.x default) size(NULL) is -1, not NULL,
+        # so the coalesce never fires and every unfetched row would
+        # subtract 1 from the outlink sum on such a cluster
+        F.when(F.col("links").isNull(), F.lit(0))
+        .otherwise(F.size("links")).alias("n_links"),
         F.when(
             F.col("fetched") & (F.length(F.trim(F.coalesce("text", F.lit("")))) == 0),
             1,

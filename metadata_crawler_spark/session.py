@@ -97,7 +97,8 @@ def get_spark(
     100 TB ones; on a real cluster this would be set per-round from the
     frontier size (see plans/round_loop.py).
     """
-    caller_set_width = cores is not None or shuffle_partitions is not None
+    caller_set_cores = cores is not None
+    caller_set_shuffle = shuffle_partitions is not None
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or cores
     # Local-mode workers are fresh interpreters: make the package importable
@@ -127,13 +128,19 @@ def get_spark(
     # are the operator's cluster tuning — overriding them with the
     # local-mode default (32) is the same clobber class as the fixed
     # hardcoded-master bug, one knob over (a 100 TB shuffle forced to 32
-    # partitions). Only set them when we own the session (local mode /
-    # explicit SPARK_GRAFT_MASTER) or the caller passed them explicitly.
-    if caller_set_width or master or not under_gateway:
-        b = (
-            b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-            .config("spark.default.parallelism", str(cores))
+    # partitions). Only set a knob when we own the session (local mode /
+    # explicit SPARK_GRAFT_MASTER) or the caller passed THAT knob
+    # explicitly — passing only one must not clobber the submitted
+    # --conf for the other (get_spark(shuffle_partitions=256) under a
+    # gateway used to force spark.default.parallelism down to the
+    # local default, the same clobber class one knob over).
+    own_session = bool(master) or not under_gateway
+    if own_session or caller_set_shuffle:
+        b = b.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
         )
+    if own_session or caller_set_cores:
+        b = b.config("spark.default.parallelism", str(cores))
     b = (
         b
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))

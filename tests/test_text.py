@@ -188,3 +188,36 @@ def test_script_fractions_range_boundaries(spark):
     assert out[0]["latin_frac"] == 0.0 and out[0]["dominant_script"] == "none"
     assert out[1]["latin_frac"] == 1.0
     assert out[2]["cyrillic_frac"] == 1.0
+
+
+def test_script_dominant_null_text_oracle_parity(spark):
+    """The latent q53 twin edge: a NULL-text doc must yield
+    dominant_script='none' in BOTH engines. The DuckDB CASE propagates
+    NULL counts through every WHEN, so without an ELSE rung it returned
+    NULL while Spark's coalesced counts return 'none' — pinned here so
+    a fixture regeneration with NULL texts can't break the q53 row."""
+    import duckdb
+    import importlib.util
+
+    from metadata_crawler_spark.functions.text import script_fractions
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    nulls = ", ".join(
+        f"CAST(NULL AS BIGINT) AS c_{k}" for k in entry._SC_ORDER
+    )
+    got = duckdb.sql(
+        f"SELECT {entry._SC_DOMINANT} FROM (SELECT {nulls})"
+    ).fetchone()[0]
+    assert got == "none"
+
+    row = (
+        spark.createDataFrame([(None,)], "text string")
+        .select(script_fractions(F.col("text")).alias("s"))
+        .select("s.dominant_script")
+        .first()
+    )
+    assert row["dominant_script"] == "none"
