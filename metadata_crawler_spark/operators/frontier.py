@@ -582,8 +582,13 @@ def hits(
             "url", F.lit(0.0).alias("authority"), F.lit(0.0).alias("hub")
         )
     e = e.localCheckpoint()
-    hub = verts.select("url", F.lit(1.0).alias("h"))
-    auth = None
+    # uniform L1-normalized init (scale-invariant: iteration 1's
+    # normalization erases any constant init), so iterations=0 returns
+    # the uniform prior like pagerank() instead of an AttributeError on
+    # a never-assigned auth
+    uniform = F.lit(1.0 / float(n))
+    hub = verts.select("url", uniform.alias("h"))
+    auth = verts.select("url", uniform.alias("a"))
     for _ in range(iterations):
         a_raw = (
             e.join(hub, e["src"] == hub["url"])
@@ -675,7 +680,14 @@ def update_host_budgets(
         F.count("*").alias("_n"),
         F.avg(F.col(ok_col).cast("double")).alias("_ok_rate"),
     )
-    j = hosts.join(F.broadcast(rates), "host", "left")
+    # size-gated like every other join in this module: a round can
+    # cover millions of distinct hosts at the 10^8-host scale, and a
+    # forced broadcast would collect the whole aggregate on the driver
+    rates = rates.localCheckpoint(eager=False)
+    j = hosts.join(
+        F.broadcast(rates) if small_enough_to_broadcast(rates) else rates,
+        "host", "left",
+    )
     measured = F.col("_n") >= min_attempts
     healthy = F.col("_ok_rate") >= healthy_rate
     new_budget = (

@@ -200,6 +200,17 @@ def _probe_cogrouped(
         )
         return res
 
+    # geometry comes from the TABLE (the broadcast path's "carried in
+    # the table; NEVER inferred" contract): sharding candidates by a
+    # caller n_shards that drifted from the filter's build geometry
+    # (config change across a resume) would cogroup candidates with the
+    # wrong — usually absent — shard rows and report maybe_seen=False
+    # for seen urls: silent duplicate crawls. One bounded 1-row read of
+    # the column-pruned n_shards field; the caller value is only the
+    # empty-filter fallback (where every probe is False anyway).
+    geo = filt.select("n_shards").limit(1).collect()
+    if geo:
+        n_shards = int(geo[0]["n_shards"])
     cand = candidates.withColumn("__shard", shard_expr(F.col("url_hash_hi"), n_shards))
     return (
         cand.groupBy("__shard")

@@ -192,7 +192,8 @@ FETCH_SCHEMA = (
     "url string, host string, depth int, score double, rank int, "
     "crawl_delay_ms long, fetch_offset_ms long, url_hash_hi long, "
     "url_hash_lo long, fetched boolean, warc_ts timestamp_ntz, "
-    "text string, lang string, links array<string>, planned_ms long"
+    "text string, lang string, links array<string>, planned_ms long, "
+    "batch_id long"
 )
 
 #: hoisted once (VERDICT r2): fromDDL parses per call — not per round
@@ -208,6 +209,15 @@ def _fetch_batches(it):
     per-batch planned wall (max offset) are emitted as metrics. Extraction
     is the same vectorized pandas pipeline the UDF tier uses, so ``text``
     stays byte-identical per url."""
+    from pyspark import TaskContext
+
+    # the FETCH-time batch identity, stamped into the rows: the metrics
+    # rollup groups on this, not on spark_partition_id() over the
+    # re-read parquet (file packing merges written files into read
+    # partitions, which would average the politeness wall across
+    # unrelated batches)
+    ctx = TaskContext.get()
+    batch_id = int(ctx.partitionId()) if ctx is not None else -1
     for pdf in it:
         if pdf.empty:
             continue
@@ -229,6 +239,7 @@ def _fetch_batches(it):
             lang=lang.where(has_html, None),
             links=links.where(has_html, None),
             planned_ms=planned,
+            batch_id=batch_id,
         )
         yield out
 
@@ -247,13 +258,20 @@ def ingest_bucketed_pages(
     pages table."""
     from ..sources.tables import write_bucketed
 
-    raw = spark.read.parquet(pages_path)
+    snap = derive_pages_snapshot(spark.read.parquet(pages_path))
+    write_bucketed(snap, table_name, "page_url", n_buckets=n_buckets)
+
+
+def derive_pages_snapshot(raw: DataFrame) -> DataFrame:
+    """THE canonical-url latest-per-url snapshot derivation, shared by
+    the bucketed ingest and the per-run parquet path (one definition so
+    a tiebreak/canonicalization change can never make the two fetch-join
+    sources disagree)."""
     canon = raw.withColumn("url_canon", canonicalize_udf("url"))
     latest = latest_per_key(canon, "url_canon", "warc_ts", tiebreak="url")
-    snap = latest.select(
+    return latest.select(
         F.col("url_canon").alias("page_url"), "warc_ts", "html"
     )
-    write_bucketed(snap, table_name, "page_url", n_buckets=n_buckets)
 
 
 def _combine_frontier(df: DataFrame, decimals: int) -> DataFrame:
@@ -332,19 +350,16 @@ class Crawler:
                 "page_url", "warc_ts", "html"
             )
         if self._pages_snapshot is None:
-            raw = self.spark.read.parquet(self.pages_path)
-            # NOT with_canonical here: the split-union scans its input
-            # twice, and THIS input is the 100 TB pages table (html bytes
-            # included) — one scan + url-only Arrow transfer is strictly
-            # cheaper. At cluster scale the canonical url is computed once
-            # at ingest and stored (see sources/warc.py), not per run.
-            canon = raw.withColumn("url_canon", canonicalize_udf("url"))
-            latest = latest_per_key(canon, "url_canon", "warc_ts", tiebreak="url")
-            # persisted: every round joins against this snapshot; at cluster
-            # scale this is the Iceberg table itself (bucketed by url hash),
-            # not a recomputation
-            self._pages_snapshot = latest.select(
-                F.col("url_canon").alias("page_url"), "warc_ts", "html"
+            # derive_pages_snapshot, NOT with_canonical: the split-union
+            # scans its input twice, and THIS input is the 100 TB pages
+            # table (html bytes included) — one scan + url-only Arrow
+            # transfer is strictly cheaper. At cluster scale the
+            # canonical url is computed once at ingest and stored (see
+            # sources/warc.py), not per run. Persisted: every round
+            # joins against this snapshot; on a cluster this is the
+            # bucketed Iceberg table itself, not a recomputation.
+            self._pages_snapshot = derive_pages_snapshot(
+                self.spark.read.parquet(self.pages_path)
             ).persist()
         return self._pages_snapshot
 
@@ -381,26 +396,25 @@ class Crawler:
         return paths
 
     def _read_seen(self, upto: int) -> DataFrame | None:
-        """Seen snapshot as (url_hash_hi, url_hash_lo). The consolidated
-        table and the scheduled deltas have different schemas, so they are
-        read separately and unioned on the two hash columns (parquet
-        column pruning keeps the delta read 2-column either way)."""
-        state = self.log.read() or {}
-        c = state.get("seen_compacted_upto", -1)
+        """Seen snapshot as (url_hash_hi, url_hash_lo), reading EXACTLY
+        the paths :meth:`seen_input_paths` resolves — one source of
+        truth for the compact/lo logic, so the tested
+        O(seen_compact_every) path bound and the real read can't drift.
+        The consolidated table and the scheduled deltas have different
+        schemas, so each group is read separately and unioned on the
+        two hash columns (parquet column pruning keeps the delta read
+        2-column either way)."""
+        paths = self.seen_input_paths(upto)
+        compact = [p for p in paths if p.endswith("seen_compact")]
+        deltas = [p for p in paths if not p.endswith("seen_compact")]
         parts: list[DataFrame] = []
-        lo = 0
-        if 0 <= c <= upto:
-            cp = os.path.join(
-                self.checkpoint_dir, f"round={c:05d}", "seen_compact"
+        if compact:
+            parts.append(self.spark.read.parquet(*compact))
+        if deltas:
+            parts.append(
+                self.spark.read.parquet(*deltas)
+                .select("url_hash_hi", "url_hash_lo")
             )
-            if os.path.exists(cp):
-                parts.append(self.spark.read.parquet(cp))
-                lo = c + 1
-        tail = read_rounds(
-            self.spark, self.checkpoint_dir, "scheduled", upto, from_round=lo
-        )
-        if tail is not None:
-            parts.append(tail.select("url_hash_hi", "url_hash_lo"))
         if not parts:
             return None
         seen = parts[0]
@@ -610,9 +624,14 @@ class Crawler:
             .withColumn("lang", F.lit(None).cast("string"))
             .withColumn("links", F.lit(None).cast("array<string>"))
             .withColumn(
+                # the offset the scheduler actually assigned — NOT
+                # re-derived as (rank-1)*delay, which is the per-host
+                # formula only and understates site-politeness offsets
+                # (by_site runs a registrable-domain-keyed running sum)
                 "planned_ms",
-                ((F.col("rank") - 1).cast("long") * F.col("crawl_delay_ms")).cast("long"),
+                F.col("fetch_offset_ms").cast("long"),
             )
+            .withColumn("batch_id", F.lit(-1).cast("long"))
         )
         out_cols = list(_FETCH_COLS)
         fetched = fetched_hits.select(*out_cols).unionByName(misses.select(*out_cols))
@@ -695,22 +714,33 @@ class Crawler:
         # (including this round's, written above)
         if cfg.pagerank_every and round_no % cfg.pagerank_every == 0:
             nxt = self._pagerank_rescore(nxt, round_no)
-        # periodic host-level quality cut: junk-dominated hosts leave the
-        # frontier before their next fetch is even scheduled
+        # host-level quality cut: sweep rounds MINE (incremental
+        # partials) + commit + filter; every other round applies the
+        # latest committed list as a STANDING gate — without it, a
+        # blocked host's outlinked children re-enter via this round's
+        # `children` and keep being fetched until the next sweep
         if cfg.blocklist_every and round_no % cfg.blocklist_every == 0:
             nxt = self._blocklist_sweep(nxt, round_no)
-        # periodic crawler-trap cut: hosts whose URL space explodes
-        # without new content leave the frontier
+        elif cfg.blocklist_every:
+            nxt = self._apply_committed_host_cut(nxt, "blocklist", round_no)
+        # crawler-trap cut: same sweep/standing-gate split for hosts
+        # whose URL space explodes without new content
         if cfg.trap_every and round_no % cfg.trap_every == 0:
             nxt = self._trap_sweep(nxt, round_no)
+        elif cfg.trap_every:
+            nxt = self._apply_committed_host_cut(nxt, "trap_hosts", round_no)
         obs_next = Observation(f"next_{round_no}")
         nxt = nxt.observe(obs_next, F.count(F.lit(1)).alias("n"))
         write_round_table(nxt, self.checkpoint_dir, round_no, "frontier_next")
         frontier_next_n = int(obs_next.get["n"])
 
-        # per-partition lineage metrics (north rule), committed with the round
+        # per-batch lineage metrics (north rule), committed with the
+        # round: grouped on the fetch-time batch_id stamped by
+        # _fetch_batches (misses roll up under -1), NOT on
+        # spark_partition_id() over the re-read parquet, whose file
+        # packing merges unrelated fetch batches into one read partition
         metrics = (
-            fetched.groupBy(F.spark_partition_id().alias("partition_id"))
+            fetched.groupBy(F.col("batch_id").alias("partition_id"))
             .agg(
                 F.count("*").alias("scheduled_n"),
                 F.sum(F.col("fetched").cast("int")).alias("fetched_n"),
@@ -767,6 +797,28 @@ class Crawler:
         return out.withColumn(
             "score", F.round("score", cfg.score_decimals)
         )
+
+    def _apply_committed_host_cut(
+        self, frontier: DataFrame, name: str, round_no: int
+    ) -> DataFrame:
+        """Standing between-sweeps gate: anti-join the NEWEST committed
+        host-cut table (`blocklist` / `trap_hosts` — each sweep rewrites
+        the full thresholded list from summed partials, so latest wins,
+        no union) out of the next frontier. One small-table read + the
+        suffix-aware single anti join of filter_blocked_hosts per
+        round; no mining happens here."""
+        from ..functions.urls import filter_blocked_hosts
+        from ..sources.tables import round_table_paths
+
+        paths = round_table_paths(
+            self.checkpoint_dir, name, round_no - 1
+        )
+        if not paths:
+            return frontier
+        cut = self.spark.read.parquet(paths[-1])
+        if not cut.take(1):
+            return frontier
+        return filter_blocked_hosts(frontier, cut.select("domain"))
 
     def _blocklist_sweep(self, frontier: DataFrame, upto: int) -> DataFrame:
         """Mine junk-dominated hosts (Gopher rule flags -> per-host flag
@@ -943,18 +995,24 @@ class Crawler:
         # round dirs on disk that must stay invisible (tables.py
         # contract) until its replay rewrites and commits them
         last_rc = state0.get("last_recrawl", -1)
-        if recrawl_no > last_rc + 1:
-            # passes are sequential: committing pass k implies rounds
-            # <= k are authoritative, so skipping would silently bless
-            # any crashed pass's orphan round dirs in between
+        if recrawl_no != last_rc + 1:
+            # passes are STRICTLY sequential: skipping ahead would
+            # silently bless any crashed pass's orphan round dirs in
+            # between, and re-running a pass <= last_recrawl would
+            # rewrite committed history with a different now_s AND
+            # regress last_recrawl, demoting later committed passes to
+            # invisible orphans. The one legitimate replay — a pass
+            # that crashed before its manifest commit — is exactly
+            # last_recrawl + 1.
             raise ValueError(
-                f"recrawl pass {recrawl_no} skips committed history "
-                f"(last committed pass: {last_rc}; next allowed: "
-                f"{last_rc + 1})"
+                f"recrawl pass {recrawl_no} out of sequence / skips "
+                f"committed history (last committed pass: {last_rc}; "
+                f"next allowed: {last_rc + 1})"
             )
-        upto = min(recrawl_no - 1, last_rc)
+        upto = last_rc
         refreshed = read_rounds(
             self.spark, self.checkpoint_dir, "recrawl_refreshed", upto,
+            merge_schema=True,
         ) if upto >= 0 else None
         if refreshed is not None:
             # overlay: text refreshed in pass k supersedes the crawl text

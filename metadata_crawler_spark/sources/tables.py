@@ -73,14 +73,23 @@ def round_table_paths(
 def read_rounds(
     spark: SparkSession, root: str, name: str, upto_round: int,
     from_round: int = 0,
+    merge_schema: bool = False,
 ) -> DataFrame | None:
     """Union of a table's committed per-round deltas (snapshot read).
     ``from_round`` lets a compacted reader skip already-consolidated
-    rounds (snapshot-expiry analog, VERDICT r3 item 4)."""
+    rounds (snapshot-expiry analog, VERDICT r3 item 4).
+    ``merge_schema`` is for tables whose schema gained columns across
+    engine versions (e.g. recrawl_refreshed's recrawl_pass): without it
+    Spark infers the union's schema from ONE footer, so a mixed old/new
+    checkpoint would silently drop the new column (or read old rounds'
+    values as garbage) depending on which file it sampled."""
     paths = round_table_paths(root, name, upto_round, from_round)
     if not paths:
         return None
-    return spark.read.parquet(*paths)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*paths)
 
 
 def write_bucketed(

@@ -163,3 +163,19 @@ def test_spam_mass_flags_link_farm(spark):
         assert sm[u]["spam_mass"] < 0.5, u
     # and plain pagerank is reproduced unchanged on the trusted side
     assert sm["seed"]["tr"] > sm["target"]["tr"]
+
+
+def test_hits_zero_iterations_uniform_prior(spark):
+    """iterations=0 returns the uniform L1-normalized prior (the
+    pagerank() contract) instead of crashing on a never-assigned
+    authority vector."""
+    from metadata_crawler_spark.operators.frontier import hits
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    out = {r["url"]: r for r in hits(e, iterations=0).collect()}
+    assert set(out) == {"a", "b", "c"}
+    for r in out.values():
+        assert abs(r["authority"] - 1 / 3) < 1e-12
+        assert abs(r["hub"] - 1 / 3) < 1e-12

@@ -335,6 +335,12 @@ def test_crawler_recrawl_round_e2e(spark, fixture_dir, tables, tmp_path_factory)
     assert set(counts5) == {"not_modified"}
     assert counts5["not_modified"][0] == n_fetched_urls
 
+    # re-running a pass <= last_recrawl is rejected too: it would
+    # rewrite committed history with a different now_s and regress
+    # last_recrawl, demoting passes 4-5 to invisible orphans
+    with pytest.raises(ValueError, match="out of sequence"):
+        c2.recrawl_round(3, now_s=t0 + 321 * 24 * 3600.0)
+
 
 def _model_recrawl_pass(
     history: dict,

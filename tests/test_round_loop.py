@@ -790,3 +790,43 @@ def test_blocklist_partials_resume_equals_straight_run(
             tb = spark.read.parquet(pb)
             assert ta.exceptAll(tb).count() == 0, (r, name)
             assert tb.exceptAll(ta).count() == 0, (r, name)
+
+
+def test_blocklist_standing_gate_between_sweeps(
+    spark, fixture_dir, tables, tmp_path_factory
+):
+    """Non-sweep rounds apply the LATEST committed blocklist as a
+    standing gate: with blocklist_every=2, round 0 mines+commits and
+    round 1 is not a sweep — but round 1's frontier_next must still
+    exclude the round-0 blocked hosts, or their outlinked children
+    re-enter and get fetched until the next sweep."""
+    from metadata_crawler_spark.functions.urls import host_expr
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt_bl_gate"))
+    cfg = CrawlConfig(
+        n_shards=8, bloom_expected_per_shard=4096, salt_parts=4,
+        blocklist_every=2, blocklist_min_docs=1,
+        blocklist_max_flag_frac=0.0,
+    )
+    c = Crawler(
+        spark=spark, pages_path=os.path.join(fixture_dir, "pages.parquet"),
+        robots=tables["robots"], hosts=tables["hosts"],
+        checkpoint_dir=ckpt, config=cfg,
+    )
+    c.run(tables["seeds"], rounds=2)
+    blocked = {
+        r.domain
+        for r in spark.read.parquet(
+            os.path.join(ckpt, "round=00000", "blocklist")
+        ).collect()
+    }
+    assert blocked  # threshold 0 flags every host with one flagged doc
+    for rnd in (0, 1):  # sweep round AND the standing-gate round
+        nxt = (
+            spark.read.parquet(
+                os.path.join(ckpt, f"round={rnd:05d}", "frontier_next")
+            )
+            .select(host_expr(F.col("url")).alias("h"))
+            .distinct()
+        )
+        assert not (blocked & {r.h for r in nxt.collect()}), f"round {rnd}"

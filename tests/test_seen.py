@@ -199,3 +199,16 @@ def test_cuckoo_empty_table_geometry(spark, keys):
     # a truly EMPTY standing frame (no geometry to honor) refuses mutation
     with pytest.raises(ValueError, match="EMPTY standing table"):
         insert(ck0.limit(0), keys)
+
+
+def test_cogrouped_probe_survives_geometry_drift(spark, keys):
+    """The no-false-negative contract under config drift: a resume that
+    changes CrawlConfig.n_shards must not shard candidates by the NEW
+    count against a filter built with the OLD one — the probe reads the
+    geometry from the table (the broadcast path's 'carried in the
+    table, never inferred' rule), so the caller's stale value is only
+    an empty-filter fallback."""
+    inserted = keys.limit(1500)
+    bloom = bloom_build(inserted, N_SHARDS, fpr=0.01).cache()
+    drifted = probe_cogrouped(inserted, bloom, N_SHARDS * 4)
+    assert drifted.filter(~F.col("maybe_seen")).count() == 0
