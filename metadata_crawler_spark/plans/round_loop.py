@@ -58,7 +58,12 @@ from ..operators.frontier import (
 )
 from ..operators.seen import bloom_build, bloom_params, bloom_union, dedup_against_seen
 from ..operators.versioning import latest_per_key
-from ..sources.tables import ManifestLog, read_rounds, write_round_table
+from ..sources.tables import (
+    ManifestLog,
+    path_exists,
+    read_rounds,
+    write_round_table,
+)
 
 
 class EmptyCrawl(RuntimeError):
@@ -389,7 +394,7 @@ class Crawler:
             cp = os.path.join(
                 self.checkpoint_dir, f"round={c:05d}", "seen_compact"
             )
-            if os.path.exists(cp):
+            if path_exists(cp):
                 paths.append(cp)
                 lo = c + 1
         paths += round_table_paths(self.checkpoint_dir, "scheduled", upto, lo)
@@ -451,7 +456,7 @@ class Crawler:
         bloom_path = os.path.join(self.checkpoint_dir, f"round={upto:05d}", "bloom")
         bloom = (
             self.spark.read.parquet(bloom_path)
-            if os.path.exists(bloom_path)
+            if path_exists(bloom_path)
             else None
         )
         frontier_path = os.path.join(
@@ -459,7 +464,7 @@ class Crawler:
         )
         frontier = (
             self.spark.read.parquet(frontier_path)
-            if os.path.exists(frontier_path)
+            if path_exists(frontier_path)
             else None
         )
         return seen, bloom, frontier
@@ -474,7 +479,7 @@ class Crawler:
         path = os.path.join(
             self.checkpoint_dir, f"round={round_no - 1:05d}", "hosts"
         )
-        return self.spark.read.parquet(path) if os.path.exists(path) else self.hosts
+        return self.spark.read.parquet(path) if path_exists(path) else self.hosts
 
     def host_cardinalities(self, upto: int) -> DataFrame:
         """(host, n_distinct) estimated distinct URLs scheduled per host

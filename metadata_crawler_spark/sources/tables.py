@@ -59,6 +59,26 @@ def write_round_table(df: DataFrame, root: str, round_no: int, name: str) -> str
     return path
 
 
+def path_exists(p: str) -> bool:
+    """Existence check that works wherever the WRITES work: driver-local
+    os.path for plain paths, the Hadoop FileSystem API for any
+    scheme-qualified root (hdfs://, s3a://, file://...) — os.path.exists
+    on an object-store URI is silently always-False, which would make
+    every committed round read back as 'no data' (the micro_batch
+    _list_epoch_dirs lesson, ADVICE r2)."""
+    if "://" not in p:
+        return os.path.exists(p)
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError(
+            f"existence check on {p!r} needs an active SparkSession "
+            "(Hadoop FileSystem API)"
+        )
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(p)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def round_table_paths(
     root: str, name: str, upto_round: int, from_round: int = 0
 ) -> list[str]:
@@ -66,7 +86,7 @@ def round_table_paths(
     return [
         os.path.join(root, f"round={r:05d}", name)
         for r in range(from_round, upto_round + 1)
-        if os.path.exists(os.path.join(root, f"round={r:05d}", name))
+        if path_exists(os.path.join(root, f"round={r:05d}", name))
     ]
 
 

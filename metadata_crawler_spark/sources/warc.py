@@ -50,6 +50,12 @@ _HDR_END = b"\r\n\r\n"
 READ_SIZE = 4 * 1024 * 1024
 #: rows per yielded Arrow batch from the segment splitter
 CHUNK_ROWS = 10_000
+
+#: byte-accumulation flush bound for segment readers: CHUNK_ROWS alone
+#: caps nothing when records are large (the parser itself accepts up to
+#: MAX_RECORD_SIZE each) — flush whichever bound trips first so the
+#: documented O(read_size + chunk_bytes) task memory holds.
+CHUNK_BYTES = 64 * 1024 * 1024
 #: corrupt-input bounds (ADVICE r3): a record header block larger than this,
 #: or a Content-Length implying a record larger than MAX_RECORD_SIZE, is
 #: treated as corruption and the parser resyncs at the next 'WARC/' marker
@@ -57,6 +63,14 @@ CHUNK_ROWS = 10_000
 #: Crawl truncates payloads at 1 MB, so 64 KB / 64 MB are generous.
 MAX_HEADER_SIZE = 64 * 1024
 MAX_RECORD_SIZE = 64 * 1024 * 1024
+
+
+def _hdr_safe(v: str) -> str:
+    """Header-value sanitation: CR/LF inside a value (valid_urls' Java
+    '$' admits a trailing line terminator) would terminate the CRLF-
+    delimited header block early — Content-Length never parses and the
+    record's payload is lost to resync."""
+    return v.replace("\r", "").replace("\n", "") if ("\r" in v or "\n" in v) else v
 
 
 def render_warc(records: Iterable[tuple[str, datetime, bytes]]) -> bytes:
@@ -69,6 +83,7 @@ def render_warc(records: Iterable[tuple[str, datetime, bytes]]) -> bytes:
             + f"Content-Length: {len(html)}\r\n\r\n".encode()
             + html
         )
+        url = _hdr_safe(url)
         hdr = (
             "WARC/1.0\r\n"
             "WARC-Type: response\r\n"
@@ -99,6 +114,8 @@ def render_warc_revisit(
     duplicate body — the WARC-spec twin of skipping the store rewrite.
     ``digest`` is stored verbatim (callers pass e.g. ``sha1:<b32>`` or
     this engine's ``md5:<hex>`` validator)."""
+    url = _hdr_safe(url)
+    digest = _hdr_safe(digest)
     hdr = (
         "WARC/1.0\r\n"
         "WARC-Type: revisit\r\n"
@@ -313,7 +330,7 @@ def read_warc_records(
     file_col: str = "warc_filename",
     offset_col: str = "warc_offset",
     length_col: str = "warc_length",
-    url_col: str = "url",
+    accept_types: tuple[str, ...] = ("response",),
 ) -> DataFrame:
     """Range-read EXACTLY the records a CDX index names (the Common
     Crawl access pattern, sources/cdx.py): each capture row carries
@@ -325,7 +342,10 @@ def read_warc_records(
     Returns the pages shape (url, warc_ts, html, segment). Input rows
     whose record fails to parse are dropped (bad index entries are
     data); url mismatches keep the RECORD's header url (the index is a
-    pointer, the record is the truth).
+    pointer, the record is the truth). ``accept_types=("revisit",)``
+    resolves the kind-aware index's zero-payload recrawl pointers (the
+    records ``write_warc_segments(revisit_flag_col=...)`` emits) — the
+    default would silently drop them.
 
     Scale shape: captures is repartitioned by filename so each task
     opens each segment once and reads its offsets in ascending order
@@ -357,7 +377,9 @@ def read_warc_records(
 
                                 blob = gzip.decompress(blob)
                             rows.extend(
-                                parse_warc_bytes(blob, path)
+                                parse_warc_bytes(
+                                    blob, path, accept_types=accept_types
+                                )
                             )
                         except Exception:
                             continue  # bad pointer/record: data, not fail
@@ -396,6 +418,7 @@ def read_warc_segments(
     spark: SparkSession, path: str, chunk_rows: int = CHUNK_ROWS,
     glob: str = "*.warc*",
     accept_types: tuple[str, ...] = ("response",),
+    chunk_bytes: int = CHUNK_BYTES,
 ) -> DataFrame:
     """Directory/glob of ``*.warc`` / ``*.warc.gz`` files -> pages-shaped
     DataFrame (gzip segments stream-decompress per task).
@@ -413,6 +436,7 @@ def read_warc_segments(
 
     def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows: list[tuple] = []
+        nbytes = 0
 
         def flush() -> pd.DataFrame:
             out = pd.DataFrame(
@@ -429,8 +453,10 @@ def read_warc_segments(
                         fh, seg_path, accept_types=accept_types
                     ):
                         rows.append(rec)
-                        if len(rows) >= chunk_rows:
+                        nbytes += len(rec[2]) if rec[2] is not None else 0
+                        if len(rows) >= chunk_rows or nbytes >= chunk_bytes:
                             yield flush()
+                            nbytes = 0
                 finally:
                     fh.close()
         if rows:
@@ -503,7 +529,14 @@ def _open_out(uri: str):
                     pass
 
             return stream, stream.close, abort_remote
-    tmp = local + ".tmp"
+    # attempt-scoped tmp name (the Hadoop-committer trick): under
+    # speculation or a zombie original attempt, two attempts writing the
+    # SAME deterministic tmp would interleave gzip members or remove the
+    # tmp out from under each other; per-attempt names make os.replace
+    # the only contention point (last finalize wins, both complete).
+    # Orphan tmps from killed attempts are garbage, never published.
+    ctx = _task_attempt_suffix()
+    tmp = f"{local}.{ctx}.tmp"
     os.makedirs(os.path.dirname(local) or ".", exist_ok=True)
     fh = open(tmp, "wb")
 
@@ -524,6 +557,15 @@ def _open_out(uri: str):
             pass
 
     return fh, finalize, abort
+
+
+def _task_attempt_suffix() -> str:
+    """A string unique per task attempt (falls back to the pid for
+    driver-side/test use)."""
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    return str(ctx.taskAttemptId()) if ctx is not None else f"pid{os.getpid()}"
 
 
 def write_warc_segments(
@@ -593,6 +635,9 @@ def write_warc_segments(
         seg_name = ""
         written = 0
         out: list[tuple] = []
+        cols = ["url", "warc_ts", "segment", "offset", "length"]
+        if revisit_flag_col is not None:
+            cols.append("kind")
 
         def roll() -> None:
             nonlocal fh, finalize, abort, seg_name, written, seq
@@ -619,6 +664,9 @@ def write_warc_segments(
                 ):
                     if fh is None or written >= target_segment_bytes:
                         roll()
+                    # index and archive must agree on the url — sanitize
+                    # ONCE here (render would do it again, idempotent)
+                    url = _hdr_safe(url)
                     pyts = _pyts(ts)
                     if is_rev:
                         record = render_warc_revisit(
@@ -635,6 +683,14 @@ def write_warc_segments(
                         row += ("revisit" if is_rev else "response",)
                     out.append(row)
                     written += len(member)
+                # index rows flush per input batch — an end-of-partition
+                # list would hold every (url, ts, seg, off, len) tuple
+                # of a million-record partition in task memory at once.
+                # A failed task's already-yielded rows die with the task
+                # (mapInPandas output is task-scoped), so no torn index.
+                if out:
+                    yield pd.DataFrame(out, columns=cols)
+                    out = []
         except BaseException:
             # never publish the partial segment under its final name —
             # unwind the open tmp/object and let the task retry rewrite
@@ -645,10 +701,8 @@ def write_warc_segments(
             raise
         if fh is not None:
             finalize()
-        cols = ["url", "warc_ts", "segment", "offset", "length"]
-        if revisit_flag_col is not None:
-            cols.append("kind")
-        yield pd.DataFrame(out, columns=cols)
+        if out:
+            yield pd.DataFrame(out, columns=cols)
 
     if revisit_flag_col is None:
         sel = [url_col, ts_col, html_col]

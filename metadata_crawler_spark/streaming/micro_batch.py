@@ -53,6 +53,15 @@ def _list_epoch_dirs(spark: SparkSession, out_dir: str, before: int) -> list[str
     return [p for _, p in sorted(out)]
 
 
+def _max_epoch(spark: SparkSession, out_dir: str) -> int:
+    """Highest epoch=NNNNN under ``out_dir`` (-1 when none) — the
+    stale-output probe for a reused out_dir."""
+    dirs = _list_epoch_dirs(spark, out_dir, before=1 << 62)
+    if not dirs:
+        return -1
+    return max(int(d.rsplit("epoch=", 1)[1]) for d in dirs)
+
+
 def stream_frontier_rounds(
     spark: SparkSession,
     input_dir: str,
@@ -61,10 +70,15 @@ def stream_frontier_rounds(
     out_dir: str,
     checkpoint_dir: str,
     query_name: str = "frontier_rounds",
+    score_decimals: int = 9,
+    salt_parts: int = 4,
 ):
     """Each parquet file landing in ``input_dir`` is a frontier delta; each
     micro-batch runs one scheduling round and appends the scheduled set.
-    foreachBatch + (batch-scoped output paths) = exactly-once."""
+    foreachBatch + (batch-scoped output paths) = exactly-once.
+    ``score_decimals``/``salt_parts`` should come from the SAME
+    CrawlConfig the batch loop uses so the two paths schedule
+    identically (defaults preserve this module's historical values)."""
     from ..functions.urls import with_canonical, with_url_hash
     from ..operators.frontier import (
         schedule_round,
@@ -84,9 +98,11 @@ def stream_frontier_rounds(
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         f = with_canonical(batch_df, "url").select("url", "depth", "score")
-        f = _combine_frontier(with_url_hash(valid_urls(f)), 9)
+        f = _combine_frontier(
+            with_url_hash(valid_urls(f)), score_decimals
+        )
         sched = schedule_round(
-            f, hosts, robots, salt_parts=4,
+            f, hosts, robots, salt_parts=salt_parts,
             robots_broadcast=rb, hosts_broadcast=hb,
         )
         (
@@ -111,6 +127,8 @@ def stream_crawl_rounds(
     out_dir: str,
     checkpoint_dir: str,
     query_name: str = "crawl_rounds",
+    score_decimals: int = 9,
+    salt_parts: int = 4,
 ):
     """stream_frontier_rounds + a CROSS-BATCH seen set: each micro-batch
     anti-joins the union of every PRIOR epoch's scheduled set before
@@ -135,7 +153,20 @@ def stream_crawl_rounds(
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         f = with_canonical(batch_df, "url").select("url", "depth", "score")
-        f = _combine_frontier(with_url_hash(valid_urls(f)), 9)
+        f = _combine_frontier(
+            with_url_hash(valid_urls(f)), score_decimals
+        )
+        # a REUSED out_dir with a fresh checkpoint restarts epoch_id at
+        # 0 while stale epoch dirs from the previous run still exist —
+        # those would silently poison the seen set (URLs never scheduled
+        # THIS run anti-join away). Epochs == current are fine (replay
+        # overwrites); anything ahead is not ours.
+        if _max_epoch(spark, out_dir) > epoch_id:
+            raise ValueError(
+                f"out_dir {out_dir} holds epoch dirs beyond the current "
+                f"epoch {epoch_id}: reused output of a previous run — "
+                "clear it or keep the original checkpoint"
+            )
         # prior epochs listed through the Hadoop FileSystem API, NOT
         # os.listdir — the seen-set read must work on every filesystem the
         # writes do (HDFS/S3), not only file:// (ADVICE r2)
@@ -226,8 +257,12 @@ def _politeness_fn(key, pdfs, state: GroupState):
     pdf = pd.concat(chunks, ignore_index=True).sort_values(
         "url", kind="mergesort", ignore_index=True
     )
-    arrival = pdf["arrival_ms"].to_numpy(np.int64)
-    delay = pdf["crawl_delay_ms"].to_numpy(np.int64)
+    # NULL-proof: a single NULL arrival/delay row must not kill the
+    # whole stateful query (pandas delivers nullable longs as float64
+    # with NaN; int64 conversion raises). NULL delay = no politeness
+    # gap; NULL arrival = immediately available.
+    arrival = pdf["arrival_ms"].fillna(0).to_numpy(np.int64)
+    delay = pdf["crawl_delay_ms"].fillna(0).to_numpy(np.int64)
     c = np.cumsum(delay)
     cprev = c - delay
     b = arrival - cprev

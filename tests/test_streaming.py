@@ -241,3 +241,39 @@ def test_stream_document_scores_parity_and_dedup(spark, tmp_path):
         assert got[i]["gopher_flagged"] == batch_rows[i]["gopher"]["flagged"]
         assert abs(got[i]["clf_score"] - batch_rows[i]["clf_score"]) < 1e-12
     assert got[1]["clf_score"] > 0.5 > got[2]["clf_score"]
+
+
+def test_stateful_politeness_survives_null_delay(spark, tmp_path):
+    """One NULL crawl_delay_ms/arrival_ms row must not terminate the
+    stateful query (pandas hands the long column over as float64+NaN;
+    raw int64 conversion raises): NULLs degrade to 0-delay/0-arrival
+    and every row still gets a planned start."""
+    src = str(tmp_path / "purls_null")
+    os.makedirs(src)
+    rows = [
+        ("h1", "https://h1/a", 1000, 500),
+        ("h1", "https://h1/b", None, None),
+        ("h2", "https://h2/a", None, 250),
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, url string, arrival_ms long, crawl_delay_ms long"
+    )
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "host string, url string, arrival_ms long, crawl_delay_ms long"
+    ).parquet(src)
+    out = politeness_gate_stateful(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("polite_null")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.url: r.planned_start_ms
+               for r in spark.sql("SELECT * FROM polite_null").collect()}
+    finally:
+        q.stop()
+    assert set(got) == {"https://h1/a", "https://h1/b", "https://h2/a"}
+    assert all(v is not None and v >= 0 for v in got.values())

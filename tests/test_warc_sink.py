@@ -188,3 +188,71 @@ def test_revisit_records(spark, tmp_path):
 def test_revisit_off_schema_unchanged(spark, tmp_path):
     out, idx = _write(spark, tmp_path, n=10, parts=1)
     assert list(idx.columns) == ["url", "warc_ts", "segment", "offset", "length"]
+
+
+def test_read_warc_records_resolves_revisit_pointers(spark, tmp_path):
+    """Range reads of the kind-aware index's revisit rows: the indexed
+    coordinates must come back through read_warc_records with
+    accept_types=('revisit',) — the default ('response',) would
+    silently drop the records the index explicitly names."""
+    import pyspark.sql.functions as F
+
+    from metadata_crawler_spark.sources.warc import read_warc_records
+
+    t0 = datetime(2026, 5, 1, 8, 0, 0)
+    prior = datetime(2026, 4, 1, 12, 0, 0)
+    rows = [
+        ("https://a/1", t0, b"<html>one</html>", False, None, None),
+        ("https://a/2", t0, None, True, "md5:aabbcc", prior),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, not_mod boolean,"
+        " digest string, refers_ts timestamp",
+    ).coalesce(1)
+    out = str(tmp_path / "arch_rr")
+    os.makedirs(out, exist_ok=True)
+    idx = write_warc_segments(df, out, revisit_flag_col="not_mod")
+    cap = idx.filter("kind = 'revisit'").select(
+        F.col("segment").alias("warc_filename"),
+        F.col("offset").alias("warc_offset"),
+        F.col("length").alias("warc_length"),
+    )
+    got = read_warc_records(
+        spark, cap, accept_types=("revisit",)
+    ).collect()
+    assert {r.url: bytes(r.html) for r in got} == {"https://a/2": b""}
+    # and the default reader drops them (pointers are not bodies)
+    assert read_warc_records(spark, cap).count() == 0
+
+
+def test_crlf_url_cannot_break_record_framing(spark, tmp_path):
+    """A url with an embedded/trailing CR/LF (valid_urls' Java '$'
+    admits a trailing terminator) must not terminate the WARC header
+    block early: the record's body survives and the index url equals
+    the archived header url."""
+    from metadata_crawler_spark.sources.warc import (
+        parse_warc_bytes,
+        render_warc,
+    )
+
+    t0 = datetime(2026, 5, 1, 8, 0, 0)
+    evil = "https://x/a\r\n"
+    blob = render_warc([(evil, t0, b"<html>alive</html>")])
+    recs = list(parse_warc_bytes(blob))
+    assert len(recs) == 1
+    assert recs[0][0] == "https://x/a"
+    assert recs[0][2] == b"<html>alive</html>"
+
+    df = spark.createDataFrame(
+        [(evil, t0, b"<html>alive</html>")],
+        "url string, warc_ts timestamp, html binary",
+    ).coalesce(1)
+    out = str(tmp_path / "arch_crlf")
+    os.makedirs(out, exist_ok=True)
+    idx = write_warc_segments(df, out).collect()
+    assert idx[0]["url"] == "https://x/a"  # index == archive header
+    back = read_warc_segments(spark, out).collect()
+    assert {r.url: bytes(r.html) for r in back} == {
+        "https://x/a": b"<html>alive</html>"
+    }
