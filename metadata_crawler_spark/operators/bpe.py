@@ -37,6 +37,8 @@ from typing import Iterable, Sequence
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
+import re
+
 from pyspark.sql import functions as F
 
 EOW = "</w>"  # end-of-word marker (Sennrich-style), its own terminal symbol
@@ -185,6 +187,12 @@ def bpe_encode(
         {tuple(p): i for i, p in enumerate(merges)}
     )
 
+    # SAME tokenization as word_counts' Java \s+ (ASCII whitespace):
+    # Python str.split() is Unicode-aware, so 'foo\u00a0bar' would be
+    # ONE training word but TWO encode-time words — merges learned
+    # across an NBSP would silently never apply
+    _ws = re.compile(r"\s+", re.ASCII)
+
     @pandas_udf("array<array<string>>")
     def _encode(texts: pd.Series) -> pd.Series:
         ranks = ranks_bc.value
@@ -194,7 +202,9 @@ def bpe_encode(
             if text is None:
                 return []
             out = []
-            for w in text.split():
+            for w in _ws.split(text):
+                if not w:
+                    continue
                 got = memo.get(w)
                 if got is None:
                     got = memo[w] = _encode_word(w, ranks)

@@ -133,9 +133,10 @@ def _rerank_topk(cand: DataFrame, k: int) -> DataFrame:
 
 
 def _probe_queries(
-    queries: DataFrame, n_planes: int, multiprobe: bool, id_col: str, vec_col: str
+    queries: DataFrame, n_planes: int, multiprobe: bool, id_col: str,
+    vec_col: str, seed: int = 7,
 ) -> DataFrame:
-    qb = lsh_buckets(queries, n_planes, id_col=id_col, vec_col=vec_col)
+    qb = lsh_buckets(queries, n_planes, seed, id_col=id_col, vec_col=vec_col)
     if not multiprobe:
         return qb.select(
             F.col("id").alias("query_id"), F.col("vec").alias("w"), "bucket"
@@ -163,16 +164,22 @@ def ann_topk_bucketed(
     multiprobe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: int = 7,
 ) -> DataFrame:
     """ANN top-k against a write_bucketed_corpus() table: the probe-bucket
     set (small — queries x (n_planes+1)) becomes an IN-list partition
     filter, so the scan reads ONLY those bucket directories. Identical
-    results to ann_topk on the same corpus/planes (tested)."""
+    results to ann_topk on the same corpus/planes (tested).
+    ``seed`` MUST match the write_bucketed_corpus seed: query buckets
+    from different planes than the corpus partitions would candidate
+    essentially at random (recall silently collapses)."""
     # collect the probe set ONCE (small by construction: queries x
     # (n_planes+1) rows) and rebuild it as a local DataFrame — both the
     # IN-list partition filter and the broadcast side come from the same
     # collected rows, with no persist to leak executor cache (ADVICE r2)
-    probe_df = _probe_queries(queries, n_planes, multiprobe, id_col, vec_col)
+    probe_df = _probe_queries(
+        queries, n_planes, multiprobe, id_col, vec_col, seed=seed
+    )
     rows = probe_df.collect()
     probe_buckets = sorted({int(r["bucket"]) for r in rows})
     qb = spark.createDataFrame(rows, probe_df.schema)
@@ -193,14 +200,17 @@ def ann_topk(
     multiprobe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: int = 7,
 ) -> DataFrame:
     """Approximate top-k: equi-join on LSH bucket (queries multiprobe their
     bucket plus every 1-bit flip), exact cosine re-rank inside candidates.
     Recall is tested against cosine_topk in tests/test_similarity.py.
     Buckets are recomputed per call — for a standing corpus use
     write_bucketed_corpus + ann_topk_bucketed (partition-pruned reads)."""
-    cb = lsh_buckets(corpus, n_planes, id_col=id_col, vec_col=vec_col)
-    qb = _probe_queries(queries, n_planes, multiprobe, id_col, vec_col)
+    cb = lsh_buckets(corpus, n_planes, seed, id_col=id_col, vec_col=vec_col)
+    qb = _probe_queries(
+        queries, n_planes, multiprobe, id_col, vec_col, seed=seed
+    )
     cand = cb.select(
         F.col("id").alias("nbr_id"), F.col("vec").alias("v"), "bucket"
     ).join(F.broadcast(qb), "bucket").filter(F.col("nbr_id") != F.col("query_id"))
@@ -419,11 +429,14 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple = (),
 ) -> DataFrame:
-    """(id, codes array<int>): per subspace, the nearest codeword's index
-    — one numpy matmul per (subspace, Arrow batch) against the broadcast
-    codebooks; deterministic (first-min ties). The codes table IS the
-    compressed index a standing corpus persists."""
+    """(id, [keep_cols...,] codes array<int>): per subspace, the nearest
+    codeword's index — one numpy matmul per (subspace, Arrow batch)
+    against the broadcast codebooks; deterministic (first-min ties). The
+    codes table IS the compressed index a standing corpus persists.
+    ``keep_cols`` carries extra columns (e.g. the IVF cell) through the
+    projection so callers don't need a second pass + join."""
     cb = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, _k, dsub = cb.shape
     norms = (cb**2).sum(axis=2)  # (m, k)
@@ -440,6 +453,7 @@ def pq_encode(
 
     return df.select(
         F.col(id_col).alias("id"),
+        *keep_cols,
         encode(F.col(vec_col).cast("array<double>")).alias("codes"),
     )
 
@@ -465,7 +479,7 @@ def pq_topk(
     qrows = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>")
     ).collect()
-    qids = np.array([int(r[0]) for r in qrows])
+    qids = np.array([r[0] for r in qrows])
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     luts = np.stack(
         [
@@ -478,7 +492,10 @@ def pq_topk(
     )  # (n_queries, m, k_codes)
     spark = codes.sparkSession
     bc = spark.sparkContext.broadcast((qids, luts))
-    out_schema = "query_id long, nbr_id long, adc double"
+    # id-generic: string/long ids both pass through numpy object arrays;
+    # the output columns take the QUERIES' id type
+    id_type = dict(queries.dtypes)[id_col]
+    out_schema = f"query_id {id_type}, nbr_id {id_type}, adc double"
 
     def score(it):
         qids_, luts_ = bc.value
@@ -490,7 +507,11 @@ def pq_topk(
             adc = np.zeros((C.shape[0], nq))
             for j in range(m):
                 adc += luts_[:, j, :][:, C[:, j]].T  # (b, nq)
-            kk = min(k, C.shape[0])
+            # k+1 local slots: when the query vector itself lives in
+            # this batch its ~0-ADC self row takes one slot, and the
+            # post-filter would otherwise permanently lose the batch's
+            # true k-th candidate before the global rank
+            kk = min(k + 1, C.shape[0])
             part = np.argpartition(adc, kk - 1, axis=0)[:kk]  # (kk, nq)
             rows = {
                 "query_id": np.repeat(qids_, kk),
@@ -524,14 +545,15 @@ def write_ivfpq_corpus(
     queries read only their nprobe cell directories AND score from
     codes — the original embedding column appears nowhere in the
     standing index."""
+    # ONE assignment pass: 'cell' rides through the encode projection
+    # instead of a second corpus-wide matmul + an id-keyed self-join
     assigned = ivf_assign(corpus, centroids, 1, id_col=id_col, vec_col=vec_col)
     codes = pq_encode(
         assigned.select(F.col("id").alias("vec_id"), "vec", "cell"),
         codebooks,
         id_col="vec_id",
         vec_col="vec",
-    ).join(
-        assigned.select(F.col("id").alias("id"), "cell"), "id"
+        keep_cols=("cell",),
     )
     codes.write.mode("overwrite").partitionBy("cell").parquet(path)
 

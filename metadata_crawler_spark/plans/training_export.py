@@ -23,6 +23,8 @@ persisted, consumable artifact" contract.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -180,11 +182,14 @@ def export_training_set(
             "id", "text", F.col("bpe_tokens_n").cast("long").alias("n_tokens")
         )
     else:
-        toks = F.when(
-            F.trim("text") == "", F.array().cast("array<string>")
-        ).otherwise(F.split(F.trim("text"), r"\s+"))
+        # filter-after-split, the word_counts guard: Spark trim strips
+        # only ASCII spaces, so tab/newline-padded text would count a
+        # phantom '' token and corrupt every downstream packing offset;
+        # coalesce keeps NULL text at 0 like the BPE branch
+        toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
         counted = docs.select(
-            "id", "text", F.size(toks).cast("long").alias("n_tokens")
+            "id", "text",
+            F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("n_tokens"),
         )
 
     packed = pack_concat_chunk(counted, "id", "n_tokens", seq_len)
@@ -193,14 +198,30 @@ def export_training_set(
         if out_format == "jsonl":
             # interchange layout (HuggingFace/Dolma): *.jsonl.gz shards +
             # manifest; materializing the manifest IS the write action
+            import glob as _glob
+
             from ..sources.jsonl_sink import write_jsonl_shards
 
+            # deterministic shard names do NOT truncate the directory
+            # like parquet overwrite does: a re-export with fewer
+            # partitions would leave the old run's higher-numbered
+            # shards on disk and the glob read-back would mix them in
+            if "://" not in out_dir:
+                for old in _glob.glob(
+                    os.path.join(out_dir, "*.jsonl*")
+                ):
+                    os.remove(old)
             manifest = write_jsonl_shards(packed, out_dir)
+            n_shards = manifest.count()
             manifest.write.mode("overwrite").parquet(
                 out_dir.rstrip("/") + "_manifest"
             )
-            packed = packed.sparkSession.read.json(
-                out_dir.rstrip("/") + "/*.jsonl.gz"
+            packed = (
+                packed.sparkSession.read.json(
+                    out_dir.rstrip("/") + "/*.jsonl.gz"
+                )
+                if n_shards
+                else packed.limit(0)
             )
         elif out_format == "parquet":
             packed.write.mode("overwrite").parquet(out_dir)

@@ -119,3 +119,20 @@ def test_word_counts_no_phantom_empty_words(spark):
     )
     rows = {r.word: r.cnt for r in word_counts(df, "text").collect()}
     assert rows == {"hello": 1, "world": 1}
+
+
+def test_encode_tokenizes_like_word_counts_on_nbsp(spark):
+    """Training (Java \\s+, ASCII) and encoding must share one word
+    inventory: 'a\\u00a0b' is ONE word on both sides, so the NBSP
+    survives as a symbol inside the encoded word instead of being a
+    silent Python-side word boundary."""
+    from metadata_crawler_spark.operators.bpe import bpe_encode, word_counts
+
+    nbsp = "\u00a0"
+    df = spark.createDataFrame(
+        [(1, "a" + nbsp + "b")], "id long, text string"
+    )
+    wc = {r.word for r in word_counts(df, "text").collect()}
+    assert wc == {"a" + nbsp + "b"}
+    toks = bpe_encode(df, "text", []).select("bpe_tokens").first()[0]
+    assert toks == ["a", nbsp, "b", "</w>"]

@@ -327,3 +327,54 @@ def test_ivfpq_pruned_reads_only_probe_cells(spark, tmp_path):
     rows = probe_plan.collect()
     assert {r.query_id for r in rows} == {0, 1, 2, 3}
     assert all(1 <= r.rank <= 5 for r in rows)
+
+
+def test_pq_topk_in_corpus_query_single_partition(spark):
+    """Self-row slot bug regression: a query IN the corpus on a
+    single-partition codes table must still return exactly k rows —
+    the local top-k keeps k+1 slots so the ~0-ADC self row cannot
+    displace the batch's true k-th candidate before the filter."""
+    from metadata_crawler_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq,
+    )
+
+    _, df = _pq_fixture(spark)
+    books = train_pq(df, m=8, k=32, n_iter=6)
+    codes = pq_encode(df, books).coalesce(1)
+    queries = df.filter("vec_id < 4")
+    out = pq_topk(codes, queries, books, k=5).collect()
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in out)
+    assert dict(per_q) == {q: 5 for q in range(4)}
+    assert all(r.query_id != r.nbr_id for r in out)
+
+
+def test_ann_bucketed_respects_seed(spark, tmp_path):
+    """A corpus bucketed with a non-default LSH seed must be queried
+    with the same planes: seed-matched bucketed results equal the
+    in-memory path with that seed."""
+    from metadata_crawler_spark.operators.similarity import (
+        ann_topk,
+        ann_topk_bucketed,
+        write_bucketed_corpus,
+    )
+
+    rng = __import__("numpy").random.default_rng(3)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(300)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    queries = corpus.filter("vec_id < 5")
+    path = str(tmp_path / "seeded_corpus")
+    write_bucketed_corpus(corpus, path, n_planes=6, seed=42)
+    got = ann_topk_bucketed(
+        spark, path, queries, k=3, n_planes=6, seed=42
+    ).collect()
+    want = ann_topk(corpus, queries, k=3, n_planes=6, seed=42).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(
+        [(r.query_id, r.nbr_id, r.rank) for r in got]
+    ) == sorted([(r.query_id, r.nbr_id, r.rank) for r in want])

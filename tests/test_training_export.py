@@ -140,3 +140,27 @@ def test_export_auto_domain_labels_drive_mixing(spark):
     # is thinned hard (expected keep ~ (p_i^alpha/Z)/p_i per domain)
     assert news_kept == 3
     assert code_kept < 20
+
+
+def test_token_count_ignores_phantom_whitespace_tokens(spark):
+    """Tab/newline-padded and NULL texts: n_tokens counts real words
+    only (Spark trim strips ASCII spaces only, so the old
+    split-after-trim emitted a phantom \'\'-token that shifted every
+    packing offset downstream)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "\tfoo bar"),
+            (2, "\n"),
+            (3, None),
+            (4, "one two  three"),
+        ],
+        "doc_id long, body string",
+    )
+    packed, _ = export_training_set(
+        docs, "body", "doc_id", seq_len=4, clean_kwargs=None
+    )
+    got = {r.id: r.n_tokens for r in packed.select("id", "n_tokens").collect()}
+    assert got[1] == 2
+    assert got[4] == 3
+    assert got.get(2, 0) in (0, None) or got[2] == 0
+    assert all(v is not None for v in got.values())
