@@ -1233,13 +1233,13 @@ SELECT doc_id,
        length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
          AS bpe_ish_tokens,
        length(text) AS n_chars_actual,
-       ROUND(
+       CASE WHEN text IS NULL THEN 0.0 ELSE ROUND(
          LEAST(length(text) / 500.0, 1.0) * 0.4
          + LEAST(({' + '.join(_marker_sql(w) for w in _ALL_MARKERS)}) / 10.0, 1.0) * 0.4
          + (CASE WHEN length(text) > 0
                  THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
                  ELSE 0.0 END) * 0.2,
-       6) AS quality,
+       6) END AS quality,
        CASE
          WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'unknown'
          WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
@@ -3151,8 +3151,12 @@ cnt AS (
   GROUP BY doc_id, b.bigram
 ),
 top2 AS (
-  SELECT doc_id, MAX(cnt * (len(bigram) - 1)) AS top2_chars
-  FROM cnt GROUP BY doc_id
+  SELECT doc_id, top2_chars FROM (
+    SELECT doc_id, cnt * (len(bigram) - 1) AS top2_chars,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY cnt DESC, cnt * (len(bigram) - 1) DESC) AS rn
+    FROM cnt WHERE cnt > 1)
+  WHERE rn = 1
 ),
 ln AS (
   SELECT b.doc_id,
@@ -3379,9 +3383,12 @@ rg AS (
 ),
 rcnt AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM rg GROUP BY 1, 2, 3),
 rtop AS (
-  SELECT doc_id, n,
-         MAX(CASE WHEN cnt > 1 THEN cnt * (len(gram) - (n - 1)) END) AS topc
-  FROM rcnt GROUP BY 1, 2
+  SELECT doc_id, n, topc FROM (
+    SELECT doc_id, n, cnt * (len(gram) - (n - 1)) AS topc,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, n
+             ORDER BY cnt DESC, cnt * (len(gram) - (n - 1)) DESC) AS rn
+    FROM rcnt WHERE cnt > 1)
+  WHERE rn = 1
 ),
 rcov AS (
   SELECT DISTINCT doc_id, n, tokidx FROM (
@@ -3983,8 +3990,11 @@ SELECT x.doc_id, x.n_tokens, x.xent, s.clf_score,
        x3.xent3,
        dbest.domain, dbest.domain_score,
        doc.lang,
-       CASE NTILE(3) OVER (PARTITION BY doc.lang ORDER BY x.xent, x.doc_id)
-         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       CASE WHEN x.xent IS NULL THEN NULL ELSE
+         CASE NTILE(3) OVER (PARTITION BY doc.lang, (x.xent IS NULL)
+                             ORDER BY x.xent, x.doc_id)
+           WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+         END
        END AS ccnet_bucket
 FROM x JOIN s USING (doc_id) JOIN ds USING (doc_id)
 LEFT JOIN x2 USING (doc_id)

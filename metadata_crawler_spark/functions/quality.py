@@ -93,9 +93,11 @@ def gopher_repetition(
     Returns (id, n_words, mean_word_len, distinct_frac, dup_chunk_frac,
     top2gram_char_frac, flagged) where top2gram_char_frac is the Gopher
     "fraction of characters contained in the most frequent word 2-gram":
-    occurrences-of-top-bigram x its non-space char length, over the
-    document's total non-space chars (overlapping repeats can push it
-    past 1.0 — still a repetition signal), and dup_chunk_frac is the
+    occurrences-of-the-most-frequent-bigram x its non-space char length
+    over the document's total non-space chars, counted only when that
+    bigram occurs MORE THAN ONCE (one occurrence is not repetition;
+    overlapping repeats can still push the fraction past 1.0 — still a
+    repetition signal), and dup_chunk_frac is the
     Gopher duplicate-line fraction over ``chunk_words``-token pseudo-
     paragraphs (fraction of within-document chunks that repeat an
     earlier chunk). dup_chunk_frac is reported, not folded into the
@@ -138,16 +140,30 @@ def gopher_repetition(
             ).otherwise(F.array().cast("array<string>")),
         ).alias("bigram"),
     )
-    # chars covered by one bigram occurrence = its two words' lengths
+    # Gopher semantics: chars of every occurrence of the MOST FREQUENT
+    # bigram, counted only when it repeats (cnt > 1) — a single
+    # occurrence is not repetition, and without the guard every short
+    # unique document flags because one bigram's chars dominate a small
+    # total. Argmax by cnt via max(struct(cnt, chars)); a cnt tie takes
+    # the larger coverage, so the VALUE is deterministic either way.
     top2 = (
         bigrams.groupBy("id", "bigram")
         .agg(F.count("*").alias("cnt"))
         .groupBy("id")
         .agg(
             F.max(
-                F.col("cnt") * (F.length("bigram") - 1)
-            ).alias("top2_chars")
+                F.when(
+                    F.col("cnt") > 1,
+                    F.struct(
+                        F.col("cnt").alias("c"),
+                        (F.col("cnt") * (F.length("bigram") - 1)).alias(
+                            "ch"
+                        ),
+                    ),
+                )
+            ).alias("_t2")
         )
+        .select("id", F.col("_t2.ch").alias("top2_chars"))
     )
 
     out = (
@@ -266,8 +282,21 @@ def repetition_ngram_fractions(
     )
     counts = pairs.groupBy("id", "n", "gram").agg(F.count("*").alias("cnt"))
     occ_chars = F.col("cnt") * (F.length("gram") - (F.col("n") - 1))
-    tops = counts.groupBy("id", "n").agg(
-        F.max(F.when(F.col("cnt") > 1, occ_chars)).alias("topc")
+    # argmax by cnt (the MOST FREQUENT repeated n-gram's coverage, as
+    # the docstring promises) — not max coverage over all repeated
+    # n-grams, which over-flags long-phrase documents vs the published
+    # caps; cnt ties take the larger coverage (deterministic value)
+    tops = (
+        counts.groupBy("id", "n")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("cnt") > 1,
+                    F.struct(F.col("cnt").alias("c"), occ_chars.alias("ch")),
+                )
+            ).alias("_top")
+        )
+        .select("id", "n", F.col("_top.ch").alias("topc"))
     )
     # duplicate coverage: positions of duplicated grams -> covered token
     # indices (union via distinct) -> sum of those tokens' lengths
@@ -480,7 +509,11 @@ def bigram_crossentropy(
         tables if tables is not None else sb_count_tables(tdf, text_col)
     )
     if vocab_broadcast is None:
-        vocab_broadcast = small_enough_to_broadcast(utab)
+        # probe what we broadcast: btab (bigrams) is the 5-10x LARGER
+        # table — gating both on utab alone could pass a unigram table
+        # that barely fits and then ship a bigram table that doesn't
+        # (the ngram_lm probe-the-largest rule)
+        vocab_broadcast = small_enough_to_broadcast(btab)
     u = F.broadcast(utab) if vocab_broadcast else utab
     b = F.broadcast(btab) if vocab_broadcast else btab
 
@@ -548,7 +581,14 @@ def perplexity_buckets(
     from pyspark.sql import Window
 
     lang = F.col(lang_col) if lang_col is not None else F.lit("")
+    null_bucket = F.lit(None).cast("string")
+    # NULL score = unscored (e.g. the <2-token docs whose bigram xent is
+    # NULL by contract) -> NULL bucket in BOTH paths; the two flavors
+    # previously disagreed (approx fell through to 'tail', exact's
+    # NULLS-FIRST ntile put them in 'head') and neither matched the
+    # module's NULL-means-unscored convention (ccnet_buckets).
     if exact:
+        scored_rows = df.filter(F.col(score_col).isNotNull())
         w = Window.partitionBy(lang).orderBy(F.col(score_col), F.col(id_col))
         tile = F.ntile(3).over(w)
         bucket = (
@@ -556,7 +596,11 @@ def perplexity_buckets(
             .when(tile == 2, labels[1])
             .otherwise(labels[2])
         )
-        return df.withColumn(out_col, bucket)
+        return scored_rows.withColumn(out_col, bucket).unionByName(
+            df.filter(F.col(score_col).isNull()).withColumn(
+                out_col, null_bucket
+            )
+        )
     cuts = (
         df.groupBy(lang.alias("_pb_lang"))
         .agg(
@@ -577,7 +621,8 @@ def perplexity_buckets(
         F.broadcast(cuts), lang.eqNullSafe(F.col("_pb_lang")), "left"
     )
     bucket = (
-        F.when(F.col(score_col) <= F.col("_pb_t1"), labels[0])
+        F.when(F.col(score_col).isNull(), null_bucket)
+        .when(F.col(score_col) <= F.col("_pb_t1"), labels[0])
         .when(F.col(score_col) <= F.col("_pb_t2"), labels[1])
         .otherwise(labels[2])
     )
@@ -691,7 +736,7 @@ def train_quality_classifier(
     counts = feats.groupBy("bucket").agg(
         F.sum("_y").alias("pos"),
         F.sum(F.lit(1.0) - F.col("_y")).alias("neg"),
-    )
+    ).persist()  # consumed twice: the totals .first() and the weights
     tp, tn = counts.agg(F.sum("pos"), F.sum("neg")).first()
     a, b = float(smoothing), float(n_buckets)
     weights = counts.select(
@@ -1290,8 +1335,18 @@ def ccnet_buckets(
         pct = F.array(F.lit(float(probs[0])), F.lit(float(probs[1])))
         sketch = F.percentile_approx(xent_col, pct, F.lit(accuracy)).alias("_cuts")
         if by_col is not None:
-            cuts = scored.groupBy(by_col).agg(sketch)
-            scored = scored.join(F.broadcast(cuts), by_col, "left")
+            # eqNullSafe like perplexity_buckets: groupBy keeps the NULL
+            # group and computes ITS cuts, but a plain == join would
+            # never match it back (NULL != NULL) and every NULL-group
+            # doc would fall through the when-chain
+            cuts = scored.groupBy(
+                F.col(by_col).alias("_cb_key")
+            ).agg(sketch)
+            scored = scored.join(
+                F.broadcast(cuts),
+                F.col(by_col).eqNullSafe(F.col("_cb_key")),
+                "left",
+            ).drop("_cb_key")
         else:
             scored = scored.crossJoin(F.broadcast(scored.agg(sketch)))
         t1, t2 = F.col("_cuts")[0], F.col("_cuts")[1]

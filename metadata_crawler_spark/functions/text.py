@@ -199,11 +199,18 @@ def quality_score_expr(text: Column) -> Column:
     )
     alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
     alpha_ratio = F.when(chars > 0, alpha / chars).otherwise(F.lit(0.0))
-    return F.round(
-        F.least(chars / F.lit(500.0), F.lit(1.0)) * 0.4
-        + F.least(stop / F.lit(10.0), F.lit(1.0)) * 0.4
-        + alpha_ratio * 0.2,
-        6,
+    # NULL text scores 0.0, not 0.8: least() SKIPS NULL arguments, so
+    # least(NULL/500, 1.0) = 1.0 would hand both capped terms their
+    # maximum to exactly the rows that have no text at all — a
+    # high-pass quality filter would keep precisely the extraction
+    # failures
+    return F.when(text.isNull(), F.lit(0.0)).otherwise(
+        F.round(
+            F.least(chars / F.lit(500.0), F.lit(1.0)) * 0.4
+            + F.least(stop / F.lit(10.0), F.lit(1.0)) * 0.4
+            + alpha_ratio * 0.2,
+            6,
+        )
     )
 
 

@@ -77,8 +77,15 @@ def canon_url_py(url: str) -> str:
     lowercase scheme/host, strip default port + fragment, resolve dot
     segments, normalize %-escapes (decode unreserved, re-encode the rest
     uppercase), sort query parameters, default empty path to "/".
+    NULL/blank input stays None — fabricating '/' would give every
+    missing url the SAME canonical string (and therefore the same
+    128-bit key: the first NULL would mark all later NULLs as seen).
     """
+    if url is None:
+        return None
     url = url.strip()
+    if not url:
+        return None
     try:
         parts = urlsplit(url)
     except ValueError:
@@ -115,21 +122,32 @@ def canon_url_py(url: str) -> str:
 # lowercase scheme + host, no userinfo/port, no %, ?, #, and no "." segments.
 _FAST_RE = (
     r"[a-z][a-z0-9+.\-]*://[a-z0-9\-]+(\.[a-z0-9\-]+)*"
-    r"(/[A-Za-z0-9/\-_~!$&'()*+,;=@]*)?"
+    r"(/[A-Za-z0-9/\-._~!$&'()*+,;=:@]*)?"
 )
+# '.' and ':' ARE in the class (both canonical per RFC 3986 pchar):
+# without '.' every real-web '/index.html' url fell to the Python slow
+# path, defeating the ~90% JVM split on the throughput-critical
+# operator; dot SEGMENTS are still excluded by the /\.\.?(/|$) guard.
 
 
 def _canon_batch(s: pd.Series) -> pd.Series:
-    """Vectorized canonicalization of one Arrow batch of URLs."""
-    s = s.fillna("")
-    fast = s.str.fullmatch(_FAST_RE) & ~s.str.contains(r"/\.\.?(?:/|$)", regex=True)
-    out = s.copy()
+    """Vectorized canonicalization of one Arrow batch of URLs.
+    NULL/blank rows stay None (see canon_url_py)."""
+    sf = s.fillna("")
+    blank = sf.str.strip() == ""
+    fast = (
+        ~blank
+        & sf.str.fullmatch(_FAST_RE)
+        & ~sf.str.contains(r"/\.\.?(?:/|$)", regex=True)
+    )
+    out = sf.copy()
     # Fast path needs at most one fix: an empty path ("scheme://host" -> ".../").
-    no_path = fast & s.str.match(r"[a-z][a-z0-9+.\-]*://[^/]+$")
-    out[no_path] = s[no_path] + "/"
-    slow = ~fast
+    no_path = fast & sf.str.match(r"[a-z][a-z0-9+.\-]*://[^/]+$")
+    out[no_path] = sf[no_path] + "/"
+    slow = ~fast & ~blank
     if slow.any():
-        out[slow] = s[slow].map(canon_url_py)
+        out[slow] = sf[slow].map(canon_url_py)
+    out = out.where(~blank, None)
     return out
 
 
@@ -216,13 +234,18 @@ def host_expr(url: Column) -> Column:
 def with_url_hash(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Append the 128-bit URL key as two longs (url_hash_hi, url_hash_lo).
 
-    Spark's ``xxhash64`` folds each argument into the running hash, so
-    ``xxhash64(url)`` and ``xxhash64(url, lit(1))`` are two independent
-    64-bit digests of the same bytes — together the 128-bit key the
-    north rule asks for. JVM-side, codegen'd, zero Python.
+    Spark's ``xxhash64`` folds each argument into the running hash —
+    which is exactly why the salt must come FIRST: ``xxhash64(url, 1)``
+    folds the url and then folds 1 into the result, making the second
+    digest a pure function of the first (a hi collision implied a lo
+    collision, so the "128-bit" key had 64-bit resistance — at 10^10
+    urls that is an expected handful of full-key collisions, each a
+    url silently never crawled). ``xxhash64(1, url)`` starts the second
+    digest from a different running seed, so the two halves are
+    independent. JVM-side, codegen'd, zero Python.
     """
     return df.withColumn("url_hash_hi", F.xxhash64(F.col(url_col))).withColumn(
-        "url_hash_lo", F.xxhash64(F.col(url_col), F.lit(1))
+        "url_hash_lo", F.xxhash64(F.lit(1), F.col(url_col))
     )
 
 

@@ -93,7 +93,13 @@ def write_jsonl_shards(
                 state["name"]
             )
             state["gz"] = (
-                gzip.GzipFile(fileobj=state["fh"], mode="wb", mtime=0)
+                # filename="" pins the gzip FNAME header empty —
+                # GzipFile would otherwise embed fileobj.name, i.e. the
+                # (attempt-scoped) tmp path, breaking byte-deterministic
+                # rewrites
+                gzip.GzipFile(
+                    filename="", fileobj=state["fh"], mode="wb", mtime=0
+                )
                 if compress
                 else None
             )

@@ -1265,3 +1265,83 @@ def test_clean_corpus_lang_plus_ccnet_reuses_labels(spark):
     assert counts["lang_gate"] == 30  # german docs gated out
     assert 0 < counts["ccnet_gate"] <= counts["quality_gate"]
     assert all(r["id"] < 100 for r in out)
+
+
+def test_gopher_top2gram_requires_repetition(spark):
+    """A short document with zero repeated bigrams must NOT flag: the
+    top-2-gram metric counts the most FREQUENT bigram only when it
+    occurs more than once — without the guard one bigram's chars
+    dominate any small total and every short unique doc flags."""
+    from metadata_crawler_spark.functions.quality import gopher_repetition
+
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog"),
+         (2, "spam ham spam ham spam ham spam ham spam ham")],
+        "doc_id long, text string",
+    )
+    got = {r.id: r for r in gopher_repetition(df, "text", "doc_id").collect()}
+    assert got[1].top2gram_char_frac == 0.0
+    assert got[1].flagged is False
+    assert got[2].top2gram_char_frac > 0.5
+    assert got[2].flagged is True
+
+
+def test_repetition_topn_is_most_frequent_not_max_coverage(spark):
+    """Gopher's top-n metric is the coverage of the MOST FREQUENT
+    n-gram: a longer but less frequent repeated trigram must not win
+    over the most frequent one."""
+    from metadata_crawler_spark.functions.quality import (
+        repetition_ngram_fractions,
+    )
+
+    # trigram 'a b c' occurs 4x (coverage 4*3=12 non-space chars);
+    # trigram 'wwwww xxxxx yyyyy' occurs 2x (coverage 2*15=30) — the
+    # old max-coverage metric reported 30/43, the most-frequent metric
+    # must report 12/43
+    text = (
+        "a b c a b c a b c a b c "
+        "wwwww xxxxx yyyyy q wwwww xxxxx yyyyy"
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = repetition_ngram_fractions(
+        df, "text", "doc_id", top_ns=(3,), dup_ns=()
+    ).collect()[0]
+    n_chars = sum(len(t) for t in text.split())
+    assert abs(row.top3gram_char_frac - round(12 / n_chars, 6)) < 1e-9
+
+
+def test_perplexity_buckets_null_score_both_paths(spark):
+    """NULL score = unscored -> NULL bucket, identically in the exact
+    (ntile) and approx (percentile) flavors; scored rows' tertiles are
+    unaffected by the NULL rows."""
+    from metadata_crawler_spark.functions.quality import perplexity_buckets
+
+    rows = [(i, float(i), "en") for i in range(9)] + [
+        (90, None, "en"), (91, None, "en")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, xent double, lang string")
+    for exact in (True, False):
+        got = {
+            r.doc_id: r.ppl_bucket
+            for r in perplexity_buckets(
+                df, "xent", "doc_id", lang_col="lang", exact=exact
+            ).collect()
+        }
+        assert got[90] is None and got[91] is None, exact
+        assert got[0] == "head" and got[8] == "tail", exact
+
+
+def test_ccnet_buckets_null_group_gets_own_cuts(spark):
+    """A NULL by_col group still joins its OWN percentile cuts (the
+    eqNullSafe fix): NULL-lang docs bucket by their group's tertiles
+    instead of all falling through to 'tail'."""
+    from metadata_crawler_spark.functions.quality import ccnet_buckets
+
+    rows = [(i, float(i), None) for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, xent double, lang string")
+    got = {
+        r.doc_id: r.ppl_bucket
+        for r in ccnet_buckets(df, "xent", by_col="lang").collect()
+    }
+    assert got[0] == "head" and got[8] == "tail"
+    assert set(got.values()) == {"head", "middle", "tail"}

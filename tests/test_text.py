@@ -221,3 +221,22 @@ def test_script_dominant_null_text_oracle_parity(spark):
         .first()
     )
     assert row["dominant_script"] == "none"
+
+
+def test_quality_score_null_text_scores_zero(spark):
+    """least() skips NULL arguments, so NULL text used to score 0.8 —
+    outranking most real prose; it must score 0.0."""
+    from metadata_crawler_spark.functions.text import quality_score_expr
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "the quick brown fox and the lazy dog " * 20)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.q
+        for r in df.select(
+            "doc_id", quality_score_expr(F.col("text")).alias("q")
+        ).collect()
+    }
+    assert got[1] == 0.0
+    assert got[2] > 0.5
