@@ -4071,7 +4071,14 @@ bcnt AS (
   SELECT id, b.bigram, COUNT(*) AS c
   FROM gbase, unnest(bg) AS b(bigram) GROUP BY id, b.bigram
 ),
-top2 AS (SELECT id, MAX(c * (len(bigram) - 1)) AS tc FROM bcnt GROUP BY id),
+top2 AS (
+  SELECT id, tc FROM (
+    SELECT id, c * (len(bigram) - 1) AS tc,
+           ROW_NUMBER() OVER (PARTITION BY id
+             ORDER BY c DESC, c * (len(bigram) - 1) DESC) AS rn
+    FROM bcnt WHERE c > 1)
+  WHERE rn = 1
+),
 s1 AS (
   SELECT c.id, c.text FROM corpus c
   JOIN gbase g ON c.id = g.id LEFT JOIN top2 t2 ON c.id = t2.id
