@@ -640,21 +640,25 @@ def _nonempty_tokens(text: Column) -> Column:
     return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
 
 
-def _gram_bucket(gram: Column, n_buckets: int, hasher: str) -> Column:
-    """Feature-hash one n-gram string to a bucket id in [0, n_buckets).
-
-    hasher='xxhash64' is the production path (JVM, codegen'd);
-    hasher='md5' is the portable path the DuckDB oracle can recompute
-    bit-for-bit: first 8 hex chars of md5 -> int -> mod (the same
-    dual-hasher convention as operators/dedup.minhash_signatures).
+def hash64_expr(s: Column, hasher: str) -> Column:
+    """THE dual-hasher dispatch, shared by every feature-hash site
+    (_gram_bucket, sampling.hash_uniform): hasher='xxhash64' is the
+    production path (JVM, codegen'd); hasher='md5' is the portable path
+    the DuckDB oracle recomputes bit-for-bit (first 8 hex chars of md5
+    -> int). One definition so an oracle-parity fix can't miss a copy.
     """
     if hasher == "xxhash64":
-        h = F.xxhash64(gram)
-    elif hasher == "md5":
-        h = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
-    else:
-        raise ValueError(f"unknown hasher {hasher!r}")
-    return F.pmod(h, F.lit(n_buckets)).cast("long")
+        return F.xxhash64(s)
+    if hasher == "md5":
+        return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    raise ValueError(f"unknown hasher {hasher!r}")
+
+
+def _gram_bucket(gram: Column, n_buckets: int, hasher: str) -> Column:
+    """Feature-hash one n-gram string to a bucket id in [0, n_buckets)
+    via :func:`hash64_expr` (the same dual-hasher convention as
+    operators/dedup.minhash_signatures)."""
+    return F.pmod(hash64_expr(gram, hasher), F.lit(n_buckets)).cast("long")
 
 
 def hashed_ngram_buckets(

@@ -41,8 +41,11 @@ from pyspark.sql import types as T
 from metadata_crawler_spark.functions.text import _decode
 from metadata_crawler_spark.functions.urls import canonicalize_expr, host_expr
 
+# the closing quote is a BACKREFERENCE to the opening one: closing on
+# either quote char truncated double-quoted hrefs at the first
+# apostrophe ("/obrien's-page" -> "/obrien")
 _A_RE = re.compile(
-    r"""<a\b[^>]*?href\s*=\s*["']([^"'#][^"']*)["'][^>]*>(.*?)</a>""",
+    r"""<a\b[^>]*?href\s*=\s*(["'])([^#].*?)\1[^>]*>(.*?)</a>""",
     re.I | re.S,
 )
 _TAG_RE = re.compile(r"<[^>]*>")
@@ -62,7 +65,7 @@ _ANCHOR_TYPE = T.ArrayType(
 def extract_anchors_udf(html: pd.Series) -> pd.Series:
     def one(doc: str) -> list[dict]:
         out = []
-        for href, inner in _A_RE.findall(doc):
+        for _q, href, inner in _A_RE.findall(doc):
             text = _WS_RE.sub(" ", _TAG_RE.sub(" ", inner)).strip()
             out.append({"href": href.strip(), "anchor": text})
         return out
@@ -129,7 +132,11 @@ def anchor_index(
     """Per-target anchor summary: (target, n_inlinks, n_src_hosts,
     top_terms) — the anchor-text index. Deterministic top-k: term count
     DESC, term ASC."""
-    anchors = page_anchors(pages, url_col, html_col)
+    # unresolvable links (NULL target) would both emit a bogus index
+    # row and funnel the corpus-wide junk group through one window task
+    anchors = page_anchors(pages, url_col, html_col).filter(
+        F.col("target").isNotNull()
+    )
     stats = anchors.groupBy("target").agg(
         F.count(F.lit(1)).alias("n_inlinks"),
         F.countDistinct("src_host").alias("n_src_hosts"),

@@ -5,7 +5,8 @@ Spark has no native as-of join (SURVEY guide: bucketize or merge_asof).
 This is the union-merge formulation — fully distributed, zero Python:
 
   union(left, right) -> window per key ordered by (ts ASC, right-first on
-  ties) -> last(value, ignorenulls) over unbounded-preceding -> keep left.
+  ties, right-row struct) -> last(right-row struct, ignorenulls) over
+  unbounded-preceding -> keep left.
 
 One shuffle on the key, one sort inside the window — the same cost as a
 sort-merge join, no per-group pandas. Ties (right.ts == left.ts) resolve
@@ -40,14 +41,31 @@ def asof_join(
     u = l.select(*lcols, *value_cols, "_side").unionByName(
         r.select(*lcols, *value_cols, "_side")
     )
+    # the carried payload is ONE struct per RIGHT row (NULL on left
+    # rows): last(_, ignorenulls) then skips only left rows — a right
+    # row whose value column is legitimately NULL still supersedes an
+    # older non-NULL value, matching pandas merge_asof (per-column
+    # last(v, ignorenulls) resurrected stale values instead). The
+    # struct is also the final window sort key, so duplicate right rows
+    # at one (key, ts) resolve deterministically.
+    u = u.withColumn(
+        "_rv",
+        F.when(
+            F.col("_side") == 0,
+            F.struct(*[F.col(v).alias(v) for v in value_cols]),
+        ),
+    )
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .orderBy(
+            F.col(ts).asc(), F.col("_side").asc(), F.col("_rv").asc()
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    last_rv = F.last("_rv", ignorenulls=True).over(w)
     filled = u.select(
         *lcols,
         "_side",
-        *[F.last(v, ignorenulls=True).over(w).alias(v) for v in value_cols],
+        *[last_rv.getField(v).alias(v) for v in value_cols],
     )
     return filled.filter(F.col("_side") == 1).drop("_side")

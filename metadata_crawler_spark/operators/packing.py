@@ -159,6 +159,13 @@ def pack_bins(
         fills: list[int] = []
         bins: list[int] = []
         oversize: list[bool] = []
+        # max_resid is an UPPER BOUND on (cap - fill) over scannable
+        # bins (placements only shrink residuals; recomputed after a
+        # failed scan). n > max_resid proves no bin fits, so the doc
+        # opens a new bin WITHOUT scanning — identical first-fit
+        # output, but the O(docs x bins) scan (hours at the docstring's
+        # 10^6-doc shards) collapses to a handful of full scans.
+        max_resid = -1
         for n in pdf["n"]:
             n = int(n)
             if n > cap:
@@ -166,14 +173,25 @@ def pack_bins(
                 fills.append(n)  # oversize bin: never receives another doc
                 oversize.append(True)
                 continue
+            if n > max_resid:
+                bins.append(len(fills))
+                fills.append(n)
+                oversize.append(False)
+                max_resid = max(max_resid, cap - n)
+                continue
             for b, f in enumerate(fills):
                 if f + n <= cap:
                     bins.append(b)
                     fills[b] = f + n
                     break
             else:
+                # the bound was stale: tighten it and open a new bin
+                max_resid = max(
+                    (cap - f for f in fills if f <= cap), default=-1
+                )
                 bins.append(len(fills))
                 fills.append(n)
+                max_resid = max(max_resid, cap - n)
             oversize.append(False)
         pdf["bin"] = pd.Series(bins, dtype="int64")
         pdf["oversize"] = pd.Series(oversize, dtype="bool")

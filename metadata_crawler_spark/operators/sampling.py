@@ -38,14 +38,12 @@ _U_M = 1 << 30  # uniform grid: (h mod M + 0.5) / M keeps u off 0 and 1
 
 def hash_uniform(key: Column, seed: int = 0, hasher: str = "xxhash64") -> Column:
     """Deterministic uniform(0,1) from a key column — reproducible across
-    cluster sizes and recomputable by the DuckDB oracle (md5 path)."""
+    cluster sizes and recomputable by the DuckDB oracle (md5 path);
+    hasher dispatch shared via functions/quality.hash64_expr."""
+    from ..functions.quality import hash64_expr
+
     s = F.concat(key.cast("string"), F.lit(f":{int(seed)}"))
-    if hasher == "xxhash64":
-        h = F.xxhash64(s)
-    elif hasher == "md5":
-        h = F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
-    else:
-        raise ValueError(f"unknown hasher {hasher!r}")
+    h = hash64_expr(s, hasher)
     return (F.pmod(h, F.lit(_U_M)) + F.lit(0.5)) / F.lit(float(_U_M))
 
 
@@ -77,8 +75,11 @@ def dsir_logratio(
             .agg(F.count("*").cast("double").alias("cnt"))
         )
 
-    t = bucket_counts(target_df).withColumnRenamed("cnt", "t_cnt")
-    r = bucket_counts(raw_df).withColumnRenamed("cnt", "r_cnt")
+    # persisted: each tiny (<= n_buckets rows) table is consumed twice
+    # (the totals action below + the returned joined plan) — without
+    # this the full-corpus explode+groupBy scans ran twice each
+    t = bucket_counts(target_df).withColumnRenamed("cnt", "t_cnt").persist()
+    r = bucket_counts(raw_df).withColumnRenamed("cnt", "r_cnt").persist()
     t_tot = float(t.agg(F.sum("t_cnt")).first()[0] or 0.0)
     r_tot = float(r.agg(F.sum("r_cnt")).first()[0] or 0.0)
     a, b = float(smoothing), float(n_buckets)
@@ -319,6 +320,12 @@ def select_by_budget(
     key = F.struct(
         (-F.coalesce(F.col(score_col), F.lit(float("-inf")))).alias("ns"),
         F.col(id_col).alias("i"),
+    )
+    # NULL token counts -> 0 BEFORE the prefix sum: a NULL would make
+    # keep NULL (not a boolean) and silently contribute nothing to
+    # later rows' cumulative usage
+    df = df.withColumn(
+        tokens_col, F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
     )
     scanned = with_prefix_sum(
         df.withColumn("_ord", key), "_ord", tokens_col,

@@ -41,12 +41,12 @@ from pyspark.sql import functions as F
 
 def tokens_expr(text: Column) -> Column:
     """Whitespace tokens of ``text`` with empties removed (NULL-safe).
-    Matches the vocabulary tokenizer used across the quality/dedup ops
-    (functions/text.py) so index terms and corpus stats agree."""
-    return F.filter(
-        F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+"),
-        lambda t: t != "",
-    )
+    Delegates to the SHARED vocabulary tokenizer (quality's
+    _nonempty_tokens) so index terms and corpus stats can't drift —
+    only the NULL-coalesce is added here."""
+    from ..functions.quality import _nonempty_tokens
+
+    return _nonempty_tokens(F.coalesce(text, F.lit("")))
 
 
 def build_postings(
