@@ -43,11 +43,19 @@ def _rfc822_ts(raw: Column) -> Column:
     'EEE' as a PARSE pattern (day names format-only), so the day-of-week
     prefix is stripped up front; GMT/UT/UTC named zones normalize to
     +0000 the same way."""
-    c = F.regexp_replace(F.trim(raw), r"^[A-Za-z]{3},\s*", "")
+    # comma after the day name is OPTIONAL in the wild ("Mon 02 Jan"),
+    # and RFC 822 proper allows two-digit years and minute-precision
+    # times — each gets its own rung so published survives instead of
+    # silently NULLing the whole feed's freshness signal
+    c = F.regexp_replace(F.trim(raw), r"^[A-Za-z]{3},?\s*", "")
     c = F.regexp_replace(c, r"\s+(GMT|UTC?|Z)$", " +0000")
     return F.coalesce(
         F.try_to_timestamp(c, F.lit("d MMM yyyy HH:mm:ss Z")),
         F.try_to_timestamp(c, F.lit("d MMM yyyy HH:mm:ss")),
+        F.try_to_timestamp(c, F.lit("d MMM yyyy HH:mm Z")),
+        F.try_to_timestamp(c, F.lit("d MMM yyyy HH:mm")),
+        F.try_to_timestamp(c, F.lit("d MMM yy HH:mm:ss Z")),
+        F.try_to_timestamp(c, F.lit("d MMM yy HH:mm Z")),
         F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
         F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
     )
@@ -81,7 +89,9 @@ def parse_feed(
     ``keep_cols``: input columns threaded through to every entry row —
     a streaming caller keeps its event-time column so the watermark
     survives the explode (streaming/feed_stream.py)."""
-    clash = set(keep_cols) & {"feed_url", "kind", "url", "title", "published"}
+    clash = set(keep_cols) & {
+        "feed_url", "kind", "url", "title", "published", "_frag",
+    }
     if clash:
         raise ValueError(f"keep_cols collide with entry columns: {clash}")
     frag = F.col("_frag")

@@ -66,6 +66,13 @@ def parse_robots_txt(
             cur["tokens"].append(val.lower())
             in_ua_run = True
             continue
+        if key not in ("disallow", "allow", "crawl-delay"):
+            # non-group lines (Sitemap:, unknown extensions) are ignored
+            # WITHOUT ending the UA run — RFC 9309 groups them outside
+            # the record, so 'UA: a / Sitemap: x / UA: b / Disallow: /p'
+            # is ONE shared group; resetting here silently left agent
+            # a's group empty (allow-all on a path the site blocks)
+            continue
         in_ua_run = False
         if cur is None:
             continue  # rules before any User-agent line are ignored
@@ -78,7 +85,10 @@ def parse_robots_txt(
         elif key == "crawl-delay":
             try:
                 cur["delay"] = int(float(val) * 1000)
-            except ValueError:
+            except (ValueError, OverflowError):
+                # robots bodies are arbitrary web bytes: '1e999' floats
+                # to inf and int(inf*1000) raises OverflowError, which
+                # must not kill the Arrow batch
                 pass
 
     agent_l = agent.lower()
@@ -242,7 +252,10 @@ def followable_links_udf_factory():
                     continue
                 rel = rel_re.search(tag)
                 if rel and _re.search(
-                    r"(^|\s)(nofollow|sponsored|ugc)(\s|$)", rel.group(1), _re.I
+                    # comma is a legal rel separator ("nofollow,noopener") — the
+                    # same boundary class page_robots_flags accepts
+                    r"(^|[\s,])(nofollow|sponsored|ugc)([\s,]|$)",
+                    rel.group(1), _re.I
                 ):
                     continue
                 out.append(h.group(1))

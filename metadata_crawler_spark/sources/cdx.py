@@ -47,10 +47,16 @@ def read_cdxj(
     range read; ``digest`` is CC's content hash (usable as an exact-dedup
     key BEFORE fetching anything)."""
     lines = spark.read.text(path)
+    # try_to_timestamp / try_cast throughout: under Spark 4's default
+    # ANSI mode a plain to_timestamp('') or a non-numeric cast THROWS —
+    # one garbage line in a billions-line cc-index scan would kill the
+    # whole read; bad index lines are data, not task failures (the
+    # sitemaps.py convention)
     parsed = lines.select(
         F.regexp_extract("value", _CDXJ_RE, 1).alias("urlkey"),
-        F.to_timestamp(
-            F.regexp_extract("value", _CDXJ_RE, 2), "yyyyMMddHHmmss"
+        F.try_to_timestamp(
+            F.regexp_extract("value", _CDXJ_RE, 2),
+            F.lit("yyyyMMddHHmmss"),
         ).alias("capture_ts"),
         F.from_json(F.regexp_extract("value", _CDXJ_RE, 3), CDXJ_JSON_SCHEMA)
         .alias("j"),
@@ -62,16 +68,18 @@ def read_cdxj(
         F.coalesce(
             F.col("j").getField("mime-detected"), F.col("j.mime")
         ).alias("mime"),
-        F.col("j.status").cast("int").alias("status"),
+        F.col("j.status").try_cast("int").alias("status"),
         F.col("j.digest").alias("digest"),
         F.col("j.filename").alias("warc_filename"),
-        F.col("j.offset").cast("long").alias("warc_offset"),
-        F.col("j.length").cast("long").alias("warc_length"),
+        F.col("j.offset").try_cast("long").alias("warc_offset"),
+        F.col("j.length").try_cast("long").alias("warc_length"),
         F.col("j.languages").alias("languages"),
         "value",
     )
     if keep_malformed:
-        return parsed.drop("value")
+        # keep the offending line text — the whole point of the flag is
+        # inspecting what the bad lines contained
+        return parsed.withColumnRenamed("value", "raw_line")
     return parsed.where(F.col("url").isNotNull()).drop("value")
 
 
@@ -86,19 +94,28 @@ def surt_key_expr(url):
     gone, path kept (lowercased, as cc-index does), query params SORTED
     alphabetically (the surt library behavior cc-index keys are built
     with — without the sort, every multi-param URL whose args are not
-    already alphabetical would silently miss the equi-join).
+    already alphabetical would silently miss the equi-join). A
+    NON-default port survives canonicalization and is kept the way SURT
+    keeps it — ``com,example:8080)/x`` — dropping it would both miss
+    the real captures and equi-join the port-less host's captures.
     This targets canonical http(s) URLs (feed it the output of the
-    canonicalize tier); exotic userinfo/port forms should be
-    canonicalized first.
+    canonicalize tier); exotic userinfo forms should be canonicalized
+    first.
     """
     url = F.col(url) if isinstance(url, str) else url
     host = F.lower(
         F.regexp_extract(url, r"^[a-z][a-z0-9+.\-]*://(?:[^@/]*@)?([^:/?#]+)", 1)
     )
+    port = F.regexp_extract(
+        url, r"^[a-z][a-z0-9+.\-]*://(?:[^@/]*@)?[^:/?#]+:(\d+)", 1
+    )
     host = F.regexp_replace(host, r"^www\.", "")
     rev_host = F.concat_ws(
         ",", F.reverse(F.split(host, r"\."))
     )
+    rev_host = F.when(
+        port != "", F.concat(rev_host, F.lit(":"), port)
+    ).otherwise(rev_host)
     rest = F.lower(
         F.regexp_replace(
             F.regexp_extract(url, r"^[a-z][a-z0-9+.\-]*://[^/?#]*([^#]*)", 1),
@@ -141,8 +158,12 @@ def cdx_frontier(
     from functools import reduce
     from operator import or_
 
+    # seed with False so mime_prefixes=() is a clear no-mime-passes
+    # instead of an opaque reduce-of-empty TypeError
     mime_ok = reduce(
-        or_, [F.col("mime").startswith(p) for p in mime_prefixes]
+        or_,
+        [F.col("mime").startswith(p) for p in mime_prefixes],
+        F.lit(False),
     )
     ok = captures.where(
         F.col("status").isin(list(statuses))

@@ -294,3 +294,30 @@ def test_detect_changes_null_content_is_presence_aware(spark):
         "u3": "unchanged",  # NULL -> NULL (eqNullSafe)
         "u4": "new",
     }
+
+
+def test_robots_nonrule_lines_do_not_split_ua_run(spark):
+    """RFC 9309: non-group lines (Sitemap:, unknown keys) between
+    consecutive User-agent lines don't end the UA run — both agents
+    share the rule block that follows."""
+    from metadata_crawler_spark.functions.robots import parse_robots_txt
+
+    body = (
+        "User-agent: mcsbot\n"
+        "Sitemap: https://x/s.xml\n"
+        "User-agent: otherbot\n"
+        "Disallow: /private\n"
+    )
+    allow, disallow, delay = parse_robots_txt(body, agent="mcsbot")
+    assert disallow == ["/private"]
+
+
+def test_robots_overflow_crawl_delay_ignored(spark):
+    """A hostile 'Crawl-delay: 1e999' floats to inf; int(inf*1000)
+    raises OverflowError, which must be swallowed like ValueError."""
+    from metadata_crawler_spark.functions.robots import parse_robots_txt
+
+    body = "User-agent: *\nDisallow: /x\nCrawl-delay: 1e999\n"
+    allow, disallow, delay = parse_robots_txt(body)
+    assert disallow == ["/x"]
+    assert delay is None or delay == 0

@@ -356,3 +356,17 @@ def test_parse_sitemap_fractional_lastmod(spark):
     got = {r.url: r.lastmod for r in leaves.collect()}
     assert all(got[u] is not None for u in got), got
     assert got["https://f.example/a"] == got["https://f.example/c"]
+
+
+def test_surt_key_keeps_nondefault_port(spark):
+    """Canonicalization strips only DEFAULT ports, so :8080 reaches the
+    SURT key and must be kept the way cc-index keys it — dropping it
+    would silently equi-join the port-less host's captures."""
+    from metadata_crawler_spark.sources.cdx import surt_key_expr
+
+    df = spark.createDataFrame(
+        [("https://example.com:8080/x",), ("https://example.com/x",)],
+        "url string",
+    )
+    got = [r.k for r in df.select(surt_key_expr("url").alias("k")).collect()]
+    assert got == ["com,example:8080)/x", "com,example)/x"]
