@@ -41,6 +41,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan parallelization (r6, guide §2.5 "input skew"):
+    a table that arrives as FEWER splits than the cluster has cores (the
+    single-small-file case — one 10 MB parquet scans as ONE task no
+    matter the core count) serializes every CPU-dense per-row expression
+    behind it. Spread it with one round-robin exchange of the pruned
+    columns, sized to the default parallelism. Tables that already scan
+    wide (the 100 TB many-files case) pass through UNTOUCHED — this is a
+    guarded fix for under-split inputs, not a blanket repartition."""
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # q01 flagship — one frontier-scheduling round (SURVEY §2.3 D3/J3, §2.4 O2,
 # §2.2 F1): synthesize a deterministic URL frontier from `documents`,
@@ -69,15 +85,15 @@ def q01_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # robots: hosts with hostnum % 11 == 0 deny everything
     f = f.filter(F.col("hostnum") % 11 != 0)
-    # seen set: every doc_id % 7 == 0 was already crawled -> anti join
-    seen = d.filter(F.col("doc_id") % 7 == 0).select(
-        F.concat(
-            F.lit("https://h"), (F.col("doc_id") % 97).cast("string"),
-            F.lit(".example.com/"), F.col("source"), F.lit("/"),
-            F.col("doc_id").cast("string"),
-        ).alias("url")
-    )
-    f = f.join(seen, "url", "left_anti")
+    # seen set: every doc_id % 7 == 0 was already crawled. r6 (guide
+    # §2.4 "remove shuffles outright"): the synthetic seen-set's url
+    # embeds its doc_id and doc_id is unique in `documents`, so
+    # "url IN seen-urls" is algebraically "doc_id % 7 == 0" — the
+    # left_anti join (a second documents scan + a BroadcastExchange
+    # build job per run) reduces to a pushed-down filter with an
+    # identical result (oracle-hash-verified; the production anti-join
+    # operator stays covered by q05/dedup_against_seen).
+    f = f.filter(F.col("doc_id") % 7 != 0)
     # per-host budget from hostnum
     f = f.withColumn(
         "budget",
@@ -792,6 +808,13 @@ GROUP BY o_orderpriority
 
 def q06_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
+    # r6 note (measured, BASELINE.md r6): the whole 0.9 s wall is the
+    # per-row double->DECIMAL(18,4) quantization (oracle-mandated exact
+    # sum) running in the table's single scan split. A spreading
+    # repartition was tried (hash and round-robin) and REVERTED: at this
+    # sf the 600k-row exchange costs what the parallel decimal sum saves
+    # (0.95-1.05 s vs 0.85-0.9 s); at cluster scale the table arrives as
+    # many splits and parallelizes without any exchange.
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "inner")
@@ -1182,11 +1205,18 @@ def q16_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from metadata_crawler_spark.operators.packing import pack_concat_chunk
 
-    d = _t(spark, sf_dir, "documents")
+    # r6: spread the single-split documents scan — the marker/regex/md5
+    # metric expressions are the headline CPU cost and used to run in
+    # ONE scan task; both the counts branch and the metrics branch share
+    # the one exchange (ReuseExchange)
+    d = _spread(_t(spark, sf_dir, "documents"))
     metrics = d.select(
         "doc_id",
         ws_token_count(F.col("text")).cast("long").alias("ws_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), F.lit(0)))
+        # r6: count matches without materializing every token string —
+        # regexp_count runs the identical non-overlapping scan that
+        # regexp_extract_all does, minus the per-match array allocation
+        F.regexp_count(F.col("text"), F.lit(TOKEN_PATTERN))
         .cast("long").alias("bpe_ish_tokens"),
         F.length("text").cast("long").alias("n_chars_actual"),
         quality_score_expr(F.col("text")).alias("quality"),
@@ -1320,7 +1350,9 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat("text", F.lit(" extraword")).alias("text"),
     )
-    return d.unionByName(dups)
+    # spread once for the whole q21-q24 family: the md5/shingle work is
+    # CPU-dense per row and the sf-scale corpus is a single scan split
+    return _spread(d.unionByName(dups))
 
 
 _DUP_CORPUS_SQL = """
@@ -1332,16 +1364,30 @@ _DUP_CORPUS_SQL = """
 
 
 def q21_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6 optimization (guide §2.4 "remove shuffles outright"): the
+    explode -> groupBy(doc_id) -> 8x min() shape sorted every exploded
+    word row twice (SortAggregate partial+final around an Exchange).
+    doc_id is unique in the dup corpus, so per-doc min-over-words is a
+    per-ROW reduction: array_min over a transform of the word array —
+    identical values (min over array elements == min over exploded
+    rows), ZERO Exchange, no Generate. NULL-text rows are dropped
+    explicitly (explode dropped them implicitly via the null array)."""
     _prep(spark)
     corpus = _dup_corpus(spark, sf_dir)
-    words = corpus.select(
-        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    # split once (multiply-referenced producer stays a separate Project,
+    # see q24), then 8 array_min folds over the shared word array
+    words = corpus.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("_w")
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("w")))).alias(f"sig_{i}")
+    sigs = [
+        F.array_min(
+            F.transform(
+                F.col("_w"), lambda w: F.md5(F.concat(F.lit(f"{i}|"), w))
+            )
+        ).alias(f"sig_{i}")
         for i in range(_MINHASH_K)
     ]
-    return words.groupBy("doc_id").agg(*aggs)
+    return words.select("doc_id", *sigs)
 
 
 _Q21_SQL = f"""
@@ -1359,20 +1405,37 @@ def q22_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 + bucket caps, operators/dedup.py:lsh_candidate_pairs)."""
     _prep(spark)
     sigs = q21_minhash_signatures(spark, sf_dir)
+    # r6: band keys ride ONE exploded (band_idx, band_key) table and ONE
+    # self equi-join — the old 4-join union referenced the signature plan
+    # 8x, and with q21 now shuffle-free there is no Exchange for Spark to
+    # reuse, so each reference would recompute every md5. The tiny banded
+    # table is localCheckpoint-ed (pinned) so both join sides read it
+    # instead of re-deriving signatures. Same candidate set: union over b
+    # of equal-band pairs == equi-join on (b, key); distinct unchanged.
     bands = sigs.select(
         "doc_id",
-        *[
-            F.md5(F.concat(F.col(f"sig_{2*b}"), F.col(f"sig_{2*b+1}"))).alias(f"band_{b}")
-            for b in range(4)
-        ],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bi"),
+                        F.md5(
+                            F.concat(F.col(f"sig_{2*b}"), F.col(f"sig_{2*b+1}"))
+                        ).alias("bk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.bi", "band.bk").localCheckpoint(eager=False)
+    a = bands.select(F.col("doc_id").alias("id_a"), "bi", "bk")
+    c = bands.select(F.col("doc_id").alias("id_b"), "bi", "bk")
+    return (
+        a.join(c, ["bi", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    pairs = None
-    for b in range(4):
-        a = bands.select(F.col("doc_id").alias("id_a"), F.col(f"band_{b}").alias("bk"))
-        c = bands.select(F.col("doc_id").alias("id_b"), F.col(f"band_{b}").alias("bk"))
-        pb = a.join(c, "bk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        pairs = pb if pairs is None else pairs.unionByName(pb)
-    return pairs.distinct()
 
 
 _Q22_SQL = f"""
@@ -1446,17 +1509,34 @@ def q24_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     char of md5(word) has its high bit set."""
     _prep(spark)
     corpus = _dup_corpus(spark, sf_dir)
-    words = corpus.select(
-        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
-    )
+    # r6 (guide §2.4, the q21 rewrite's twin): doc_id is unique, so the
+    # per-doc bit votes are a per-ROW array reduction — md5 once per
+    # word into an array column, then 16 aggregate() folds over it.
+    # Replaces explode -> Exchange -> two SortAggregates with a ZERO-
+    # shuffle projection; identical votes (sum over array elements ==
+    # sum over exploded rows), NULL-text rows dropped explicitly.
     high = list("89abcdef")
-    votes = [
-        F.sum(
-            F.when(F.substring(F.md5("w"), i + 1, 1).isin(high), 1).otherwise(-1)
-        ).alias(f"v{i}")
-        for i in range(16)
-    ]
-    agg = words.groupBy("doc_id").agg(*votes)
+    # two projections on purpose: the md5 array is REFERENCED 16x, and
+    # CollapseProject keeps a multiply-referenced non-trivial producer
+    # separate — one md5 per word per row, guaranteed, no CSE reliance
+    hashed = corpus.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.transform(
+            F.split(F.trim("text"), r"\s+"), lambda w: F.md5(w)
+        ).alias("_h"),
+    )
+    agg = hashed.select(
+        "doc_id",
+        *[
+            F.aggregate(
+                F.col("_h"),
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(F.substring(h, i + 1, 1).isin(high), 1).otherwise(-1),
+            ).alias(f"v{i}")
+            for i in range(16)
+        ],
+    )
     fp = None
     for i in range(16):
         bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
@@ -1488,7 +1568,9 @@ def q25_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from metadata_crawler_spark.operators.similarity import cosine_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # r6: spread the corpus side — the per-pair dot products ran in the
+    # single scan task of the one-file embeddings table
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5)
     return cosine_topk(emb, queries, k=5)
 

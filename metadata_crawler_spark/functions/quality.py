@@ -140,12 +140,16 @@ def gopher_repetition(
             ).otherwise(F.array().cast("array<string>")),
         ).alias("bigram"),
     )
-    # Gopher semantics: chars of every occurrence of the MOST FREQUENT
-    # bigram, counted only when it repeats (cnt > 1) — a single
-    # occurrence is not repetition, and without the guard every short
-    # unique document flags because one bigram's chars dominate a small
-    # total. Argmax by cnt via max(struct(cnt, chars)); a cnt tie takes
-    # the larger coverage, so the VALUE is deterministic either way.
+    # Chars of every occurrence of the MOST FREQUENT bigram, counted
+    # only when it repeats (cnt > 1). NOTE (ADVICE r5): this gate is a
+    # DELIBERATE deviation from common Gopher reimplementations (e.g.
+    # DataTrove's find_top_duplicate counts the top bigram's coverage
+    # even at cnt == 1) — a single occurrence is not repetition, and
+    # without the guard every short unique document flags because one
+    # bigram's chars dominate a small total. Thresholds here are tuned
+    # against THIS definition (the q53 oracle encodes it). Argmax by
+    # cnt via max(struct(cnt, chars)); a cnt tie takes the larger
+    # coverage, so the VALUE is deterministic either way.
     top2 = (
         bigrams.groupBy("id", "bigram")
         .agg(F.count("*").alias("cnt"))

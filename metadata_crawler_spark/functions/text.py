@@ -155,7 +155,9 @@ def ws_token_count(text: Column) -> Column:
 
 
 def bpe_ish_token_count(text: Column) -> Column:
-    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), F.lit(0)))
+    # regexp_count == size(regexp_extract_all(...)) without allocating
+    # the matched token strings (r6, guide §1.2 per-task work)
+    return F.regexp_count(text, F.lit(TOKEN_PATTERN))
 
 
 def marker_count(text: Column, word: str) -> Column:

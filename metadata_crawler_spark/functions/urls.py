@@ -231,6 +231,15 @@ def host_expr(url: Column) -> Column:
     )
 
 
+#: version of the (url_hash_hi, url_hash_lo) key formula. Version 2 =
+#: salt-FIRST independent halves (xxhash64(url), xxhash64(1, url)).
+#: Version 1 (pre-r5) derived lo as xxhash64(url, 1) — a pure function
+#: of hi. Checkpoints stamp this (ADVICE r5): resuming a crawl dir whose
+#: stored pairs used a different formula would make every seen probe
+#: miss (hi matches, lo doesn't) and silently re-crawl everything.
+URL_HASH_VERSION = 2
+
+
 def with_url_hash(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Append the 128-bit URL key as two longs (url_hash_hi, url_hash_lo).
 

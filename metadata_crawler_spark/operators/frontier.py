@@ -526,8 +526,16 @@ def spam_mass(pr: DataFrame, tr: DataFrame) -> DataFrame:
     trust side score tr = 0. The two normalizing totals are single-row
     aggregates (bounded driver data). Returns (url, pr, tr, spam_mass).
     """
-    pr_tot = float(pr.agg(F.sum("pr")).collect()[0][0] or 0.0)
-    tr_tot = float(tr.agg(F.sum("pr")).collect()[0][0] or 0.0)
+    # ONE action for both normalizing totals (VERDICT r5 item 5): the
+    # two 1-row aggregates ride a single job via a 1x1 cross join
+    # instead of two sequential collect()s.
+    row = (
+        pr.agg(F.sum("pr").alias("_pr_tot"))
+        .crossJoin(tr.agg(F.sum("pr").alias("_tr_tot")))
+        .collect()[0]
+    )
+    pr_tot = float(row["_pr_tot"] or 0.0)
+    tr_tot = float(row["_tr_tot"] or 0.0)
     if pr_tot <= 0.0 or tr_tot <= 0.0:
         raise ValueError("spam_mass: degenerate rank vector (sum <= 0)")
     j = pr.select("url", (F.col("pr") / F.lit(pr_tot)).alias("prn")).join(

@@ -101,8 +101,20 @@ def pack_concat_chunk(
     docs), seq_offset (position within first_seq), n_seqs_spanned.
     """
     L = int(seq_len)
+    # r6 (guide §8 "decide with small rows, move big rows once"): the
+    # prefix sum needs only (id, count) — 16 bytes/doc — but it used to
+    # run over the FULL caller row (q16 feeds quality/langid/fingerprint
+    # metrics), so repartitionByRange's boundary-sampling pass computed
+    # every expensive column a second time and the pinning
+    # localCheckpoint materialized full-width rows. Now the scan runs on
+    # the pruned 2-column table and the spans join back on the unique id
+    # (broadcast/shuffle decided by AQE from the observed tiny size).
     out = with_prefix_sum(
-        df, id_col, count_col, out_col="start_tok", num_partitions=num_partitions
+        df.select(id_col, count_col), id_col, count_col,
+        out_col="start_tok", num_partitions=num_partitions,
+    )
+    out = df.join(out.select(id_col, "start_tok"), id_col).select(
+        *df.columns, "start_tok"
     )
     n = F.col(count_col)
     start = F.col("start_tok")

@@ -41,15 +41,33 @@ def cosine_topk(
     """Exact top-k neighbors per query by cosine (query set broadcast).
     Deterministic ranking: (round(cos,6) DESC, neighbor id ASC) — rounding
     makes the order reproducible across engines/instruction orders."""
+    def _norm(v):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        )
+
+    # r6 (guide §1.2 per-task work): hoist each side's L2 norm out of the
+    # join — it used to be recomputed per (corpus x query) PAIR inside
+    # _cos (|Q|x the work on the corpus side). Same float ops in the same
+    # order (sqrt of the identical fold), so cosine is bit-identical.
     c = corpus.select(
-        F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nv", _norm(F.col("v")))
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("w")
-    )
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("w"),
+    ).withColumn("nw", _norm(F.col("w")))
     j = c.join(F.broadcast(q), F.col("nbr_id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with("v", "w", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
     scored = j.select(
-        "query_id", "nbr_id", F.round(_cos("v", "w"), 6).alias("cosine")
+        "query_id",
+        "nbr_id",
+        F.round(dot / (F.col("nv") * F.col("nw")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("nbr_id").asc()

@@ -507,6 +507,7 @@ class Crawler:
         frontier: DataFrame,
         seen: DataFrame | None,
         bloom: DataFrame | None,
+        frontier_in_hint: int | None = None,
     ) -> dict:
         from pyspark.sql import Observation
 
@@ -514,7 +515,18 @@ class Crawler:
         t0 = time.time()
 
         frontier = frontier.persist()
-        frontier_in = frontier.count()
+        # r6: for resumed/continued rounds the frontier size is ALREADY
+        # known exactly — it is the previous round's frontier_next
+        # Observation (== rows written == rows of this frontier's
+        # parquet), passed down by run(). The count job is then skipped;
+        # the persist materializes lazily inside the first consuming job
+        # (block-level cache locks keep the two dedup branches from
+        # computing it twice). Round 0 (seed chain, size unknown) still
+        # counts.
+        frontier_in = (
+            frontier_in_hint if frontier_in_hint is not None
+            else frontier.count()
+        )
         # per-round shuffle width from the OBSERVED frontier size
         # (session.py contract): ~rows_per_shuffle_partition rows per
         # partition, floored at the core count once a round can use every
@@ -583,6 +595,7 @@ class Crawler:
         obs_sched = Observation(f"sched_{round_no}")
         scheduled = scheduled.observe(obs_sched, F.count(F.lit(1)).alias("n"))
         write_round_table(scheduled, self.checkpoint_dir, round_no, "scheduled")
+        t_sched = time.time()
         scheduled_n = int(obs_sched.get["n"])
         scheduled = self.spark.read.parquet(
             os.path.join(self.checkpoint_dir, f"round={round_no:05d}", "scheduled")
@@ -602,158 +615,230 @@ class Crawler:
                 self.checkpoint_dir, round_no, "host_sketch",
             )
 
-        # fetch join: NEVER build/broadcast the pages side (it is the
-        # 100 TB table) — a plain left join makes pages the build side
-        # (non-preserved). Instead: inner join with the small scheduled
-        # set broadcast (pages is streamed once), then anti-union the
-        # misses (dead URLs) computed against the small hit set. The
-        # broadcast is size-gated on the OBSERVED scheduled count — an
-        # over-budget round falls back to a shuffle join (AQE plans it).
-        bcast_sched = scheduled_n <= cfg.scheduled_broadcast_max_rows
-        pages = self.pages_snapshot()
-        sched_side = F.broadcast(scheduled) if bcast_sched else scheduled
-        hits = pages.join(
-            sched_side, pages["page_url"] == scheduled["url"], "inner"
-        ).drop("page_url")
-        fetched_hits = hits.mapInPandas(_fetch_batches, FETCH_SCHEMA).persist()
-        hit_urls = fetched_hits.select("url")
-        misses = (
-            scheduled.join(
-                F.broadcast(hit_urls) if bcast_sched else hit_urls,
-                "url",
+        # r6 (guide §2.6 "overlap independent jobs"): a round's commit is
+        # latency-bound by its ACTION count, not its data volume, and
+        # three of the per-round jobs are mutually independent once the
+        # scheduled table is on disk — the fetch/extract join, the seen-
+        # filter evolution (reads only scheduled keys) and the host
+        # sketch. They now run as concurrent jobs from a small driver
+        # pool (FIFO scheduler back-fills the tail of each stage), with
+        # the critical path (fetch -> next frontier) staying on this
+        # thread. Each job's CONTENT is untouched — same writes, same
+        # paths, same Observations — so replay/commit semantics are
+        # byte-identical; .result() re-raises any worker failure before
+        # the manifest flip.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _evolve_filter():
+            # filter evolution — bloom: OR-in this round's keys (append,
+            # never rebuild); cuckoo: absorb the key batch into the
+            # standing tables (insert-in-place, deletable later)
+            round_keys = scheduled.select("url_hash_hi", "url_hash_lo")
+            if is_cuckoo:
+                from ..operators.seen import cuckoo_build, cuckoo_insert
+
+                new_bloom = (
+                    cuckoo_insert(bloom, round_keys)
+                    if bloom is not None
+                    else cuckoo_build(
+                        round_keys, cfg.n_shards,
+                        expected_per_shard=cfg.bloom_expected_per_shard,
+                    )
+                )
+            else:
+                delta_bloom = bloom_build(
+                    round_keys,
+                    cfg.n_shards,
+                    cfg.bloom_fpr,
+                    cfg.bloom_expected_per_shard,
+                )
+                new_bloom = (
+                    bloom_union(bloom, delta_bloom)
+                    if bloom is not None
+                    else delta_bloom
+                )
+            bloom_out = os.path.join(
+                self.checkpoint_dir, f"round={round_no:05d}", "bloom"
+            )
+            new_bloom.write.mode("overwrite").parquet(bloom_out)
+
+        pool = ThreadPoolExecutor(max_workers=3)
+        try:
+            fut_bloom = pool.submit(_evolve_filter)
+
+            # fetch join: NEVER build/broadcast the pages side (it is the
+            # 100 TB table) — a plain left join makes pages the build side
+            # (non-preserved). Instead: inner join with the small scheduled
+            # set broadcast (pages is streamed once), then anti-union the
+            # misses (dead URLs) computed against the small hit set. The
+            # broadcast is size-gated on the OBSERVED scheduled count — an
+            # over-budget round falls back to a shuffle join (AQE plans it).
+            bcast_sched = scheduled_n <= cfg.scheduled_broadcast_max_rows
+            pages = self.pages_snapshot()
+            sched_side = F.broadcast(scheduled) if bcast_sched else scheduled
+            hits = pages.join(
+                sched_side, pages["page_url"] == scheduled["url"], "inner"
+            ).drop("page_url")
+            fetched_hits = hits.mapInPandas(_fetch_batches, FETCH_SCHEMA).persist()
+            hit_urls = fetched_hits.select("url")
+            misses = (
+                scheduled.join(
+                    F.broadcast(hit_urls) if bcast_sched else hit_urls,
+                    "url",
+                    "left_anti",
+                )
+                .withColumn("fetched", F.lit(False))
+                .withColumn("warc_ts", F.lit(None).cast("timestamp_ntz"))
+                .withColumn("text", F.lit(None).cast("string"))
+                .withColumn("lang", F.lit(None).cast("string"))
+                .withColumn("links", F.lit(None).cast("array<string>"))
+                .withColumn(
+                    # the offset the scheduler actually assigned — NOT
+                    # re-derived as (rank-1)*delay, which is the per-host
+                    # formula only and understates site-politeness offsets
+                    # (by_site runs a registrable-domain-keyed running sum)
+                    "planned_ms",
+                    F.col("fetch_offset_ms").cast("long"),
+                )
+                .withColumn("batch_id", F.lit(-1).cast("long"))
+            )
+            out_cols = list(_FETCH_COLS)
+            # fetched_rows is the UNOBSERVED union — an Observation binds
+            # to exactly one action, so only the parquet write below
+            # carries obs_fetch; the metrics/budget jobs reuse the rows
+            fetched_rows = fetched_hits.select(*out_cols).unionByName(
+                misses.select(*out_cols)
+            )
+            obs_fetch = Observation(f"fetch_{round_no}")
+            fetched = fetched_rows.observe(
+                obs_fetch, F.sum(F.col("fetched").cast("long")).alias("n_fetched")
+            )
+
+            # r6: the fetched WRITE rides the pool — the next-frontier
+            # chain needs only the fetch-join's ROWS (the persisted
+            # fetched_hits cache; misses carry no links), not the parquet
+            # on disk, so the two jobs overlap. Block-level cache locks
+            # make the shared mapInPandas extract compute exactly once
+            # whichever job reaches a partition first.
+            def _write_fetched() -> int:
+                write_round_table(
+                    fetched, self.checkpoint_dir, round_no, "fetched"
+                )
+                return int(obs_fetch.get["n_fetched"] or 0)
+
+            fut_fetch = pool.submit(_write_fetched)
+            t_fetch = time.time()
+
+            # AIMD budget evolution (config-gated): the round's fetch
+            # outcomes feed back into per-host budgets; the evolved table
+            # checkpoints like the seen filter so resume replays
+            # identically. Computed from the same in-memory rows.
+            fut_hosts = None
+            if cfg.adapt_budgets:
+                from ..operators.frontier import update_host_budgets
+
+                fut_hosts = pool.submit(
+                    write_round_table,
+                    update_host_budgets(hosts_cur, fetched_rows),
+                    self.checkpoint_dir, round_no, "hosts",
+                )
+
+            # seen delta == this round's scheduled set (attempted = seen);
+            # it lives in the already-written scheduled table — no extra
+            # write
+
+            # per-batch lineage metrics (north rule), committed with the
+            # round: grouped on the fetch-time batch_id stamped by
+            # _fetch_batches (misses roll up under -1), NOT on
+            # spark_partition_id() (file packing would merge unrelated
+            # fetch batches into one read partition). Independent of the
+            # next-frontier chain — rides the pool.
+            metrics = (
+                fetched_rows.groupBy(F.col("batch_id").alias("partition_id"))
+                .agg(
+                    F.count("*").alias("scheduled_n"),
+                    F.sum(F.col("fetched").cast("int")).alias("fetched_n"),
+                    F.max("planned_ms").alias("politeness_wall_ms"),
+                )
+                .withColumn("round", F.lit(round_no))
+            )
+            fut_metrics = pool.submit(
+                write_round_table, metrics, self.checkpoint_dir, round_no,
+                "metrics",
+            )
+
+            # next frontier: over-budget carryover (eligible but not
+            # scheduled this round) + OPIC-expanded outlinks; gate-blocked
+            # URLs are gone. The periodic sweeps below read COMMITTED
+            # round tables (including this round's fetched dir), so a
+            # sweep round first joins the fetched write.
+            sweep_round = bool(
+                (cfg.pagerank_every and round_no % cfg.pagerank_every == 0)
+                or (cfg.blocklist_every and round_no % cfg.blocklist_every == 0)
+                or (cfg.trap_every and round_no % cfg.trap_every == 0)
+            )
+            fetched_n = None
+            if sweep_round:
+                fetched_n = fut_fetch.result()
+
+            carryover = gated.select(
+                "url", "depth", "score", "url_hash_hi", "url_hash_lo"
+            ).join(
+                scheduled.select("url_hash_hi", "url_hash_lo"),
+                ["url_hash_hi", "url_hash_lo"],
                 "left_anti",
             )
-            .withColumn("fetched", F.lit(False))
-            .withColumn("warc_ts", F.lit(None).cast("timestamp_ntz"))
-            .withColumn("text", F.lit(None).cast("string"))
-            .withColumn("lang", F.lit(None).cast("string"))
-            .withColumn("links", F.lit(None).cast("array<string>"))
-            .withColumn(
-                # the offset the scheduler actually assigned — NOT
-                # re-derived as (rank-1)*delay, which is the per-host
-                # formula only and understates site-politeness offsets
-                # (by_site runs a registrable-domain-keyed running sum)
-                "planned_ms",
-                F.col("fetch_offset_ms").cast("long"),
+            # children come from the PERSISTED hits: rows with
+            # fetched=true are exactly the hits slice (misses are all
+            # false), so this reads the cache instead of the parquet
+            children = expand_outlinks(
+                fetched_hits.filter(F.col("fetched")), "links", "score", "depth"
             )
-            .withColumn("batch_id", F.lit(-1).cast("long"))
-        )
-        out_cols = list(_FETCH_COLS)
-        fetched = fetched_hits.select(*out_cols).unionByName(misses.select(*out_cols))
-        obs_fetch = Observation(f"fetch_{round_no}")
-        fetched = fetched.observe(
-            obs_fetch, F.sum(F.col("fetched").cast("long")).alias("n_fetched")
-        )
-        write_round_table(fetched, self.checkpoint_dir, round_no, "fetched")
-        fetched_n = int(obs_fetch.get["n_fetched"] or 0)
-        fetched_hits.unpersist()
-        fetched = self.spark.read.parquet(
-            os.path.join(self.checkpoint_dir, f"round={round_no:05d}", "fetched")
-        )
-
-        # AIMD budget evolution (config-gated): the round's fetch outcomes
-        # feed back into per-host budgets; the evolved table checkpoints
-        # like the seen filter so resume replays identically
-        if cfg.adapt_budgets:
-            from ..operators.frontier import update_host_budgets
-
-            write_round_table(
-                update_host_budgets(hosts_cur, fetched),
-                self.checkpoint_dir, round_no, "hosts",
+            children = with_url_hash(
+                valid_urls(with_canonical(children, "url"))
+            ).select("url", "depth", "score", "url_hash_hi", "url_hash_lo")
+            nxt = _combine_frontier(
+                carryover.unionByName(children), cfg.score_decimals
             )
+            # periodic global re-prioritization: every pagerank_every
+            # rounds the frontier's OPIC scores are replaced by PageRank
+            # over the link graph accumulated in ALL committed fetched
+            # tables (including this round's, written above)
+            if cfg.pagerank_every and round_no % cfg.pagerank_every == 0:
+                nxt = self._pagerank_rescore(nxt, round_no)
+            # host-level quality cut: sweep rounds MINE (incremental
+            # partials) + commit + filter; every other round applies the
+            # latest committed list as a STANDING gate — without it, a
+            # blocked host's outlinked children re-enter via this round's
+            # `children` and keep being fetched until the next sweep
+            if cfg.blocklist_every and round_no % cfg.blocklist_every == 0:
+                nxt = self._blocklist_sweep(nxt, round_no)
+            elif cfg.blocklist_every:
+                nxt = self._apply_committed_host_cut(nxt, "blocklist", round_no)
+            # crawler-trap cut: same sweep/standing-gate split for hosts
+            # whose URL space explodes without new content
+            if cfg.trap_every and round_no % cfg.trap_every == 0:
+                nxt = self._trap_sweep(nxt, round_no)
+            elif cfg.trap_every:
+                nxt = self._apply_committed_host_cut(nxt, "trap_hosts", round_no)
+            obs_next = Observation(f"next_{round_no}")
+            nxt = nxt.observe(obs_next, F.count(F.lit(1)).alias("n"))
+            write_round_table(nxt, self.checkpoint_dir, round_no, "frontier_next")
+            frontier_next_n = int(obs_next.get["n"])
+            t_next = time.time()
 
-        # seen delta == this round's scheduled set (attempted = seen); it
-        # lives in the already-written scheduled table — no extra write
-
-        # filter evolution — bloom: OR-in this round's keys (append,
-        # never rebuild); cuckoo: absorb the key batch into the standing
-        # tables (insert-in-place semantics, deletable later)
-        round_keys = scheduled.select("url_hash_hi", "url_hash_lo")
-        if is_cuckoo:
-            from ..operators.seen import cuckoo_build, cuckoo_insert
-
-            new_bloom = (
-                cuckoo_insert(bloom, round_keys)
-                if bloom is not None
-                else cuckoo_build(
-                    round_keys, cfg.n_shards,
-                    expected_per_shard=cfg.bloom_expected_per_shard,
-                )
-            )
-        else:
-            delta_bloom = bloom_build(
-                round_keys,
-                cfg.n_shards,
-                cfg.bloom_fpr,
-                cfg.bloom_expected_per_shard,
-            )
-            new_bloom = (
-                bloom_union(bloom, delta_bloom) if bloom is not None else delta_bloom
-            )
-        bloom_out = os.path.join(
-            self.checkpoint_dir, f"round={round_no:05d}", "bloom"
-        )
-        new_bloom.write.mode("overwrite").parquet(bloom_out)
-
-        # next frontier: over-budget carryover (eligible but not scheduled
-        # this round) + OPIC-expanded outlinks; gate-blocked URLs are gone
-        carryover = gated.select(
-            "url", "depth", "score", "url_hash_hi", "url_hash_lo"
-        ).join(
-            scheduled.select("url_hash_hi", "url_hash_lo"),
-            ["url_hash_hi", "url_hash_lo"],
-            "left_anti",
-        )
-        children = expand_outlinks(
-            fetched.filter(F.col("fetched")), "links", "score", "depth"
-        )
-        children = with_url_hash(
-            valid_urls(with_canonical(children, "url"))
-        ).select("url", "depth", "score", "url_hash_hi", "url_hash_lo")
-        nxt = _combine_frontier(
-            carryover.unionByName(children), cfg.score_decimals
-        )
-        # periodic global re-prioritization: every pagerank_every rounds
-        # the frontier's OPIC scores are replaced by PageRank over the
-        # link graph accumulated in ALL committed fetched tables
-        # (including this round's, written above)
-        if cfg.pagerank_every and round_no % cfg.pagerank_every == 0:
-            nxt = self._pagerank_rescore(nxt, round_no)
-        # host-level quality cut: sweep rounds MINE (incremental
-        # partials) + commit + filter; every other round applies the
-        # latest committed list as a STANDING gate — without it, a
-        # blocked host's outlinked children re-enter via this round's
-        # `children` and keep being fetched until the next sweep
-        if cfg.blocklist_every and round_no % cfg.blocklist_every == 0:
-            nxt = self._blocklist_sweep(nxt, round_no)
-        elif cfg.blocklist_every:
-            nxt = self._apply_committed_host_cut(nxt, "blocklist", round_no)
-        # crawler-trap cut: same sweep/standing-gate split for hosts
-        # whose URL space explodes without new content
-        if cfg.trap_every and round_no % cfg.trap_every == 0:
-            nxt = self._trap_sweep(nxt, round_no)
-        elif cfg.trap_every:
-            nxt = self._apply_committed_host_cut(nxt, "trap_hosts", round_no)
-        obs_next = Observation(f"next_{round_no}")
-        nxt = nxt.observe(obs_next, F.count(F.lit(1)).alias("n"))
-        write_round_table(nxt, self.checkpoint_dir, round_no, "frontier_next")
-        frontier_next_n = int(obs_next.get["n"])
-
-        # per-batch lineage metrics (north rule), committed with the
-        # round: grouped on the fetch-time batch_id stamped by
-        # _fetch_batches (misses roll up under -1), NOT on
-        # spark_partition_id() over the re-read parquet, whose file
-        # packing merges unrelated fetch batches into one read partition
-        metrics = (
-            fetched.groupBy(F.col("batch_id").alias("partition_id"))
-            .agg(
-                F.count("*").alias("scheduled_n"),
-                F.sum(F.col("fetched").cast("int")).alias("fetched_n"),
-                F.max("planned_ms").alias("politeness_wall_ms"),
-            )
-            .withColumn("round", F.lit(round_no))
-        )
-        write_round_table(metrics, self.checkpoint_dir, round_no, "metrics")
+            # barrier before the commit point: every overlapped job must
+            # have SUCCEEDED for the round to become visible (result()
+            # re-raises); only then does the manifest flip below run
+            if fetched_n is None:
+                fetched_n = fut_fetch.result()
+            fut_bloom.result()
+            fut_metrics.result()
+            if fut_hosts is not None:
+                fut_hosts.result()
+            fetched_hits.unpersist()
+        finally:
+            pool.shutdown(wait=True)
 
         counts = {
             "round": round_no,
@@ -764,6 +849,14 @@ class Crawler:
             "frontier_next": frontier_next_n,
             "shuffle_partitions": width,
             "wall_s": round(time.time() - t0, 3),
+            # per-phase walls (bench_extra diagnostics; wall-clock on the
+            # critical path — overlapped jobs show up as barrier wait)
+            "phase_walls": {
+                "schedule": round(t_sched - t0, 3),
+                "fetch": round(t_fetch - t_sched, 3),
+                "next": round(t_next - t_fetch, 3),
+                "barrier": round(time.time() - t_next, 3),
+            },
         }
         frontier.unpersist()
         gated.unpersist()
@@ -773,6 +866,9 @@ class Crawler:
         state.pop("committed_at", None)
         state["last_round"] = round_no
         state[f"r{round_no}"] = counts
+        from ..functions.urls import URL_HASH_VERSION
+
+        state["url_hash_version"] = URL_HASH_VERSION
         state = self._maybe_compact_seen(round_no, state)
         self.log.commit(state)
         return counts
@@ -1135,15 +1231,43 @@ class Crawler:
         already-committed rounds are skipped entirely (their outputs are
         the checkpoint)."""
         state = self.log.read()
+        # hash-version guard (ADVICE r5): a checkpoint whose seen-set keys
+        # were written under a DIFFERENT (hi, lo) formula cannot be
+        # resumed — every bloom/anti-join probe would miss the stored
+        # pairs and the crawl would silently re-fetch everything. A
+        # missing stamp is treated as current (the stamp postdates the
+        # formula change; every unstamped checkpoint in the field was
+        # written by the current formula).
+        if state is not None:
+            from ..functions.urls import URL_HASH_VERSION
+
+            stamped = state.get("url_hash_version", URL_HASH_VERSION)
+            if stamped != URL_HASH_VERSION:
+                raise ValueError(
+                    f"checkpoint {self.checkpoint_dir!r} was written with "
+                    f"url-hash formula v{stamped}; this engine computes "
+                    f"v{URL_HASH_VERSION} — resuming would miss every "
+                    "stored seen key. Recompact or restart the crawl."
+                )
         start = (state["last_round"] + 1) if state else 0
         results: list[dict] = []
         # run_round adapts shuffle width per round; restore the session's
         # setting afterwards so co-tenants of the session are unaffected
         orig_width = self.spark.conf.get("spark.sql.shuffle.partitions", None)
+        # r6 NOTE (measured, then reverted): materializing the persisted
+        # pages snapshot in a background thread overlapping round 0's
+        # scheduling jobs was tried per guide §2.6 and made the round 2x
+        # SLOWER (13.2 s vs ~5 s schedule phase at the bench corpus) —
+        # both sides are pandas-UDF-heavy, and two concurrent Arrow jobs
+        # double the live python-worker count on the same cores (spawn
+        # storm + memory pressure; the same anti-scaling documented in
+        # schedule_bench's persist note). The derivation stays lazy
+        # inside round 0's fetch join, which holds the cores alone.
         try:
             if start == 0:
                 frontier = self._seed_frontier(seeds)
                 seen, bloom = None, None
+                fr_hint = None
             else:
                 # frontier exhaustion is read from the committed counts — no
                 # isEmpty() action (it would re-run the whole frontier chain)
@@ -1154,12 +1278,17 @@ class Crawler:
                 if frontier is None:
                     self._check_fail_under()
                     return results
+                # committed count of the frontier parquet we just loaded
+                fr_hint = state.get(f"r{start - 1}", {}).get("frontier_next")
             for r in range(start, rounds):
-                counts = self.run_round(r, frontier, seen, bloom)
+                counts = self.run_round(
+                    r, frontier, seen, bloom, frontier_in_hint=fr_hint
+                )
                 results.append(counts)
                 if counts["frontier_next"] == 0:
                     break
                 seen, bloom, frontier = self._load_state(r)
+                fr_hint = counts["frontier_next"]
         finally:
             if orig_width is not None:
                 self.spark.conf.set("spark.sql.shuffle.partitions", orig_width)

@@ -205,17 +205,36 @@ def export_training_set(
             # deterministic shard names do NOT truncate the directory
             # like parquet overwrite does: a re-export with fewer
             # partitions would leave the old run's higher-numbered
-            # shards on disk and the glob read-back would mix them in
+            # shards on disk and the glob read-back would mix them in.
+            # Scheme-qualified out_dirs get the same sweep through the
+            # Hadoop FileSystem API (ADVICE r5 — os.path/glob on an
+            # object-store URI silently matches nothing).
             if "://" not in out_dir:
                 for old in _glob.glob(
                     os.path.join(out_dir, "*.jsonl*")
                 ):
                     os.remove(old)
+            else:
+                spark = packed.sparkSession
+                jvm = spark._jvm
+                jdir = jvm.org.apache.hadoop.fs.Path(out_dir)
+                fs = jdir.getFileSystem(spark._jsc.hadoopConfiguration())
+                if fs.exists(jdir):
+                    jglob = jvm.org.apache.hadoop.fs.Path(
+                        out_dir.rstrip("/") + "/*.jsonl*"
+                    )
+                    for st in fs.globStatus(jglob) or []:
+                        fs.delete(st.getPath(), False)
+            # ONE execution of the side-effecting export plan (ADVICE
+            # r5): write_jsonl_shards is a lazy mapInPandas plan, so a
+            # count() before the manifest write would run the whole
+            # shard export twice. Write the manifest parquet first (the
+            # single action that performs the export), then derive
+            # n_shards from the read-back.
             manifest = write_jsonl_shards(packed, out_dir)
-            n_shards = manifest.count()
-            manifest.write.mode("overwrite").parquet(
-                out_dir.rstrip("/") + "_manifest"
-            )
+            mpath = out_dir.rstrip("/") + "_manifest"
+            manifest.write.mode("overwrite").parquet(mpath)
+            n_shards = packed.sparkSession.read.parquet(mpath).count()
             packed = (
                 packed.sparkSession.read.json(
                     out_dir.rstrip("/") + "/*.jsonl.gz"

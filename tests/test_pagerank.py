@@ -179,3 +179,34 @@ def test_hits_zero_iterations_uniform_prior(spark):
     for r in out.values():
         assert abs(r["authority"] - 1 / 3) < 1e-12
         assert abs(r["hub"] - 1 / 3) < 1e-12
+
+
+def test_spam_mass_single_normalization_job(spark):
+    """VERDICT r5 item 5: the two normalizing totals (sum pr, sum tr)
+    must ride ONE Spark action (a 1x1 cross-joined aggregate), not two
+    sequential collect()s."""
+    from metadata_crawler_spark.operators.frontier import spam_mass
+
+    pr = spark.createDataFrame(
+        [(f"u{i}", 0.1 * (i + 1)) for i in range(5)], "url string, pr double"
+    ).localCheckpoint()  # pin inputs so only spam_mass's own jobs count
+    tr = spark.createDataFrame(
+        [(f"u{i}", 0.05 * (i + 1)) for i in range(5)], "url string, pr double"
+    ).localCheckpoint()
+    # ONE action (collect) — AQE splits one action into several stage
+    # jobs, so count driver actions, not job ids
+    _DF = type(pr)  # the concrete DataFrame class (classic/connect)
+
+    calls = []
+    orig_collect = _DF.collect
+    try:
+        _DF.collect = lambda self: (calls.append(1), orig_collect(self))[1]
+        out = spam_mass(pr, tr)  # builds the plan; runs the totals action
+        n_actions = len(calls)
+    finally:
+        _DF.collect = orig_collect
+    assert n_actions == 1, f"expected 1 normalization action, saw {n_actions}"
+    # and the result is unchanged: mass = (prn - trn) / prn
+    rows = {r["url"]: r for r in out.collect()}
+    assert abs(rows["u0"]["pr"] - (0.1 / 1.5)) < 1e-9
+    assert abs(rows["u0"]["spam_mass"] - (1 - (0.05 / 0.75) / (0.1 / 1.5))) < 1e-9

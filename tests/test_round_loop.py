@@ -830,3 +830,29 @@ def test_blocklist_standing_gate_between_sweeps(
             .distinct()
         )
         assert not (blocked & {r.h for r in nxt.collect()}), f"round {rnd}"
+
+
+def test_resume_refuses_foreign_hash_version(crawl, spark, fixture_dir, tables, tmp_path_factory):
+    """ADVICE r5: a checkpoint stamped with a DIFFERENT url-hash formula
+    must refuse to resume — its stored (hi, lo) pairs would miss every
+    probe and silently re-crawl the world. Current-version and unstamped
+    (formula-current, pre-stamp) checkpoints resume fine."""
+    import json
+    import shutil
+
+    from metadata_crawler_spark.functions.urls import URL_HASH_VERSION
+
+    _, ckpt, results = crawl
+    # committed state carries the stamp
+    with open(os.path.join(ckpt, "manifest.json")) as fh:
+        state = json.load(fh)
+    assert state["url_hash_version"] == URL_HASH_VERSION
+
+    ckpt2 = str(tmp_path_factory.mktemp("ckpt_hashver"))
+    shutil.copytree(ckpt, ckpt2, dirs_exist_ok=True)
+    state["url_hash_version"] = URL_HASH_VERSION - 1
+    with open(os.path.join(ckpt2, "manifest.json"), "w") as fh:
+        json.dump(state, fh)
+    stale = _mk(spark, fixture_dir, tables, ckpt2)
+    with pytest.raises(ValueError, match="url-hash formula"):
+        stale.run(tables["seeds"], rounds=4)
