@@ -2740,7 +2740,9 @@ def q49_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from metadata_crawler_spark.operators.dedup import bloom_contamination
 
-    d = _t(spark, sf_dir, "documents")
+    # r6: shingle explode + bloom probe are CPU-dense map work — spread
+    # the single-split scan (shared by both branches via ReuseExchange)
+    d = _spread(_t(spark, sf_dir, "documents"))
     corpus = d.filter(F.col("doc_id") % 50 != 0).select("doc_id", "text")
     bench = d.filter(F.col("doc_id") % 50 == 0).select("text")
     # r5: the production 10^9-shingle path (sharded-Bloom prefilter +
@@ -3080,7 +3082,10 @@ def q53_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         line_quality_metrics,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    # r6: seven independent metric branches each explode n-grams/lines
+    # off this scan — spread the single-split table once so every
+    # branch's map side (the explode + hash work) is parallel
+    d = _spread(_t(spark, sf_dir, "documents"))
     rep = gopher_repetition(d, "text", "doc_id")
     lm = line_quality_metrics(d, "text", "doc_id")
     # r5 merge: trained Cavnar-Trenkle char-ngram language ID
@@ -3785,7 +3790,9 @@ def q55_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsir_score,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    # r6: every rung (xent, classifier train+score, DSIR, SB tables,
+    # NB domains) explodes tokens/ngrams off this scan — spread once
+    d = _spread(_t(spark, sf_dir, "documents"))
     xent = unigram_crossentropy(d, "text", "doc_id")
     labeled = d.withColumn("_y", (F.col("doc_id") % 3 == 0).cast("int"))
     weights, _bias = train_quality_classifier(

@@ -113,8 +113,6 @@ def minhash_signatures(
         strings order lexicographically in both engines, so DuckDB can
         recompute the identical signature for the q56 end-to-end oracle.
     """
-    sh = shingles_expr(F.col(text_col), ngram)
-
     def _perm(i: int):
         # NB: must be a 1-arg lambda — a second parameter would make
         # pyspark pass the ARRAY INDEX as the seed instead of i
@@ -122,8 +120,21 @@ def minhash_signatures(
             return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
         return lambda s: F.xxhash64(s, F.lit(i))
 
-    sig = F.array(*[F.array_min(F.transform(sh, _perm(i))) for i in range(k)])
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    # r6 (guide §1.2 per-task work): build the shingle array ONCE per
+    # row in its own projection — it is referenced k times by the
+    # per-permutation folds, and higher-order expressions get no CSE, so
+    # the inline form re-sliced and re-concatenated every shingle k
+    # times (measured 8x at k=8: the q56 signature stage dominated the
+    # whole pipeline). CollapseProject keeps a multiply-referenced
+    # non-trivial producer separate, so one evaluation is guaranteed.
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        shingles_expr(F.col(text_col), ngram).alias("_sh"),
+    )
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("_sh"), _perm(i))) for i in range(k)]
+    )
+    return shingled.select("id", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(

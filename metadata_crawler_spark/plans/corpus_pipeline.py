@@ -318,8 +318,18 @@ def clean_corpus(
             ),
         )
 
-    # 2. PII scrub
-    red = survivors.select("id", redact_pii(F.col("text")).alias("text"))
+    # 2. PII scrub. PINNED (r6, guide §3.3 "materialise an intermediate
+    # to truncate the plan"): everything below consumes `red` several
+    # times (exact-dedup groupBy + semi join, minhash signatures, the
+    # jaccard verifier's TWO text joins, the anti join, paragraph
+    # dedup), and without a boundary each reference re-embeds the whole
+    # union->gopher->redact chain — the q56 plan carried 736 Exchange
+    # nodes and 34 s of re-derivation. The lazy localCheckpoint turns
+    # those references into one shared materialized RDD (computed once,
+    # read N times) and cuts the plan to its real size.
+    red = survivors.select(
+        "id", redact_pii(F.col("text")).alias("text")
+    ).localCheckpoint(eager=False)
 
     # keep-best policy: the (id, quality) projection joined per stage —
     # tiny relative to the corpus (two narrow columns), id-keyed
@@ -343,6 +353,10 @@ def clean_corpus(
             "h", "id", "_score",
         )
     red = _stage("exact_dedup", red.join(keep.select("id"), "id", "left_semi"))
+    if stage_counts is None:
+        # same boundary _stage pins when counting: the exact-dedup
+        # survivors feed 4+ downstream consumers (see the `red` pin)
+        red = red.localCheckpoint(eager=False)
 
     # 4. fuzzy dedup — ONE hasher-parameterized banded-LSH builder for
     # both hashers (VERDICT r3 item 7), and the caller's minhash_k /

@@ -794,6 +794,19 @@ class Crawler:
             children = expand_outlinks(
                 fetched_hits.filter(F.col("fetched")), "links", "score", "depth"
             )
+            # r6 (guide §2.3 "aggregate before you shuffle", applied to
+            # CPU): popular pages are linked many times per round, so the
+            # exploded edge list carries far more rows than distinct
+            # targets. Pre-combine on the RAW url first (partial agg
+            # absorbs duplicates map-side) so canonicalize + the 128-bit
+            # hash run once per distinct raw url, not once per link; the
+            # hash-keyed combine below still merges raw variants that
+            # canonicalize to the same url. Score addition regroups
+            # (sum-of-sums), which stays inside the documented round-to-
+            # score_decimals float tolerance.
+            children = children.groupBy("url").agg(
+                F.min("depth").alias("depth"), F.sum("score").alias("score")
+            )
             children = with_url_hash(
                 valid_urls(with_canonical(children, "url"))
             ).select("url", "depth", "score", "url_hash_hi", "url_hash_lo")
