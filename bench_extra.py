@@ -85,7 +85,7 @@ def queries_mode(repeat: int) -> None:
     print(json.dumps({"mode": "queries", "sf": _sf(), "queries": out}))
 
 
-def _run_crawl(spark, fx_paths, config) -> dict:
+def _run_crawl(spark, fx_paths, config, rounds: int = 2) -> dict:
     from pyspark.sql import functions as F
 
     from metadata_crawler_spark.plans.round_loop import Crawler
@@ -107,7 +107,7 @@ def _run_crawl(spark, fx_paths, config) -> dict:
             config=config,
         )
         t0 = time.time()
-        results = crawler.run(seeds, rounds=2)
+        results = crawler.run(seeds, rounds=rounds)
         wall = time.time() - t0
         processed = sum(r["frontier_in"] for r in results)
         return {
@@ -133,19 +133,25 @@ def crawl_mode(trials: int, with_sweeps: bool) -> None:
     fx_paths, n_pages = _fixtures()
     spark = _spark()
     if with_sweeps:
-        # a sweep round FIRES mid-crawl (round 1): host-quality blocklist
-        # mining, trap mining and the PageRank frontier re-score all run
-        # in the measured wall — the production loop, not the plain rounds
+        # sweep rounds FIRE mid-crawl: host-quality blocklist mining,
+        # trap mining and the PageRank frontier re-score all run in the
+        # measured wall (rounds 0 and 2 of 4 at cadence 2) — the
+        # production loop with its periodic work amortized over the
+        # cadence, not the plain rounds and not the every-round stress
+        # case (that one: pass every=1 by editing here; measured 8.5k
+        # urls/s vs 23k plain at the r6 bench corpus)
         config = CrawlConfig(
             n_shards=CPUS, salt_parts=8,
-            blocklist_every=1, trap_every=1, pagerank_every=1,
+            blocklist_every=2, trap_every=2, pagerank_every=2,
         )
+        n_rounds = 4
     else:
         config = CrawlConfig(n_shards=CPUS, salt_parts=8)
+        n_rounds = 2
     best = None
     runs = []
     for _ in range(trials):
-        r = _run_crawl(spark, fx_paths, config)
+        r = _run_crawl(spark, fx_paths, config, rounds=n_rounds)
         runs.append({"urls_per_sec": r["urls_per_sec"], "wall_s": r["wall_s"]})
         if best is None or r["urls_per_sec"] > best["urls_per_sec"]:
             best = r

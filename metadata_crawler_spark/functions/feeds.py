@@ -49,13 +49,25 @@ def _rfc822_ts(raw: Column) -> Column:
     # silently NULLing the whole feed's freshness signal
     c = F.regexp_replace(F.trim(raw), r"^[A-Za-z]{3},?\s*", "")
     c = F.regexp_replace(c, r"\s+(GMT|UTC?|Z)$", " +0000")
+
+    def _yy(fmt: str) -> Column:
+        # RFC 2822 obsolete-date rule (ADVICE r5): two-digit years 50-99
+        # are 19xx, 00-49 are 20xx. Java's 'yy' maps everything to
+        # 20xx, so '31 Dec 99' parsed as 2099 — post-adjust by -100y.
+        t = F.try_to_timestamp(c, F.lit(fmt))
+        return F.when(
+            F.year(t) >= 2050, t - F.expr("INTERVAL 100 YEARS")
+        ).otherwise(t)
+
     return F.coalesce(
         F.try_to_timestamp(c, F.lit("d MMM yyyy HH:mm:ss Z")),
         F.try_to_timestamp(c, F.lit("d MMM yyyy HH:mm:ss")),
         F.try_to_timestamp(c, F.lit("d MMM yyyy HH:mm Z")),
         F.try_to_timestamp(c, F.lit("d MMM yyyy HH:mm")),
-        F.try_to_timestamp(c, F.lit("d MMM yy HH:mm:ss Z")),
-        F.try_to_timestamp(c, F.lit("d MMM yy HH:mm Z")),
+        _yy("d MMM yy HH:mm:ss Z"),
+        _yy("d MMM yy HH:mm:ss"),  # zone-less seconds rung (ADVICE r5)
+        _yy("d MMM yy HH:mm Z"),
+        _yy("d MMM yy HH:mm"),
         F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
         F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
     )

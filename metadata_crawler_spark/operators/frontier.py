@@ -469,7 +469,12 @@ def pagerank(
                     + F.lit(damping) * F.coalesce("m", F.lit(0.0))
                 ).alias("pr"),
             )
-            .localCheckpoint()
+            # r6: LAZY checkpoint — still truncates lineage at
+            # materialization, but the k iterations now run as stages of
+            # ONE consuming job instead of k blocking driver round-trips
+            # (each eager checkpoint was its own job; the sweep-round
+            # latency was job-count-bound, not data-bound)
+            .localCheckpoint(eager=False)
         )
     return pr
 

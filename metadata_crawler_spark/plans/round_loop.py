@@ -813,10 +813,21 @@ class Crawler:
             nxt = _combine_frontier(
                 carryover.unionByName(children), cfg.score_decimals
             )
-            # periodic global re-prioritization: every pagerank_every
-            # rounds the frontier's OPIC scores are replaced by PageRank
-            # over the link graph accumulated in ALL committed fetched
-            # tables (including this round's, written above)
+            # periodic global re-prioritization + host-level cuts.
+            # r6 (guide §2.6): the two sweep MININGS (blocklist span
+            # flags, trap partials) are independent scans of committed
+            # tables — they ride the pool while the main thread runs the
+            # PageRank re-score; the cheap cut APPLICATION (one
+            # suffix-aware anti join each) chains afterwards in the same
+            # order as before, so the resulting frontier is identical.
+            bl_sweep = bool(
+                cfg.blocklist_every and round_no % cfg.blocklist_every == 0
+            )
+            tr_sweep = bool(
+                cfg.trap_every and round_no % cfg.trap_every == 0
+            )
+            fut_bl = pool.submit(self._blocklist_mine, round_no) if bl_sweep else None
+            fut_tr = pool.submit(self._trap_mine, round_no) if tr_sweep else None
             if cfg.pagerank_every and round_no % cfg.pagerank_every == 0:
                 nxt = self._pagerank_rescore(nxt, round_no)
             # host-level quality cut: sweep rounds MINE (incremental
@@ -824,14 +835,14 @@ class Crawler:
             # latest committed list as a STANDING gate — without it, a
             # blocked host's outlinked children re-enter via this round's
             # `children` and keep being fetched until the next sweep
-            if cfg.blocklist_every and round_no % cfg.blocklist_every == 0:
-                nxt = self._blocklist_sweep(nxt, round_no)
+            if bl_sweep:
+                nxt = self._apply_cut(nxt, fut_bl.result())
             elif cfg.blocklist_every:
                 nxt = self._apply_committed_host_cut(nxt, "blocklist", round_no)
             # crawler-trap cut: same sweep/standing-gate split for hosts
             # whose URL space explodes without new content
-            if cfg.trap_every and round_no % cfg.trap_every == 0:
-                nxt = self._trap_sweep(nxt, round_no)
+            if tr_sweep:
+                nxt = self._apply_cut(nxt, fut_tr.result())
             elif cfg.trap_every:
                 nxt = self._apply_committed_host_cut(nxt, "trap_hosts", round_no)
             obs_next = Observation(f"next_{round_no}")
@@ -934,11 +945,21 @@ class Crawler:
             return frontier
         return filter_blocked_hosts(frontier, cut.select("domain"))
 
-    def _blocklist_sweep(self, frontier: DataFrame, upto: int) -> DataFrame:
+    def _apply_cut(self, frontier: DataFrame, cut: DataFrame | None) -> DataFrame:
+        """Apply a mined host-cut table (or pass through on None/empty)."""
+        from ..functions.urls import filter_blocked_hosts
+
+        if cut is None or not cut.take(1):
+            return frontier
+        return filter_blocked_hosts(frontier, cut.select("domain"))
+
+    def _blocklist_mine(self, upto: int) -> DataFrame | None:
         """Mine junk-dominated hosts (Gopher rule flags -> per-host flag
         rates, support-gated), commit the candidates as this round's
-        `blocklist` table, and anti-join them (parent-domain aware) out
-        of the next frontier.
+        `blocklist` table, and return the committed cut table (None when
+        there is nothing to mine). The filter application lives in
+        :meth:`_apply_cut` so the mining can ride the round's thread
+        pool (r6).
 
         INCREMENTAL: per-host (n_docs, n_flagged) counts are additive,
         so each sweep flags only its own span of rounds — exactly
@@ -949,11 +970,7 @@ class Crawler:
         per-sweep work is O(span fetched text + hosts), never a rescan
         of the whole crawl history."""
         from ..functions.quality import gopher_quality_flags
-        from ..functions.urls import (
-            blocked_hosts_from_counts,
-            filter_blocked_hosts,
-            host_expr,
-        )
+        from ..functions.urls import blocked_hosts_from_counts, host_expr
 
         cfg = self.config
         span_from = max(upto - (cfg.blocklist_every or 1) + 1, 0)
@@ -982,21 +999,19 @@ class Crawler:
             self.spark, self.checkpoint_dir, "host_quality", upto
         )
         if totals is None:
-            return frontier
+            return None
         mined = blocked_hosts_from_counts(
             totals, cfg.blocklist_min_docs, cfg.blocklist_max_flag_frac
         )
         path = write_round_table(mined, self.checkpoint_dir, upto, "blocklist")
-        committed = self.spark.read.parquet(path)
-        if not committed.take(1):
-            return frontier
-        return filter_blocked_hosts(frontier, committed.select("domain"))
+        return self.spark.read.parquet(path)
 
-    def _trap_sweep(self, frontier: DataFrame, upto: int) -> DataFrame:
+    def _trap_mine(self, upto: int) -> DataFrame | None:
         """Mine crawler-trap hosts (operators/traps: novelty collapse or
         url-template dominance over fetched bodies), commit the report as
-        this round's `trap_hosts` table, and anti-join trap domains out
-        of the next frontier.
+        this round's `trap_hosts` table, and return it (None when no
+        partials exist). Application lives in :meth:`_apply_cut` (r6 —
+        pooled mining, see _blocklist_mine).
 
         INCREMENTAL (the host_quality contract): each sweep writes its
         own span's additive (domain, template, n) counts as
@@ -1006,7 +1021,6 @@ class Crawler:
         sums/unions ALL committed partials: per-sweep work is O(span
         fetched text + hosts x templates), never a crawl-history rescan.
         """
-        from ..functions.urls import filter_blocked_hosts
         from ..operators.traps import (
             trap_hosts_from_partials,
             trap_partials,
@@ -1036,7 +1050,7 @@ class Crawler:
             self.spark, self.checkpoint_dir, "trap_content_hll", upto
         )
         if tpl is None or hll is None:
-            return frontier
+            return None
         report = trap_hosts_from_partials(
             tpl, hll, cfg.trap_min_urls, cfg.trap_max_novelty,
             cfg.trap_min_template_frac,
@@ -1044,10 +1058,7 @@ class Crawler:
         path = write_round_table(
             report.filter("trap"), self.checkpoint_dir, upto, "trap_hosts"
         )
-        committed = self.spark.read.parquet(path)
-        if not committed.take(1):
-            return frontier
-        return filter_blocked_hosts(frontier, committed.select("domain"))
+        return self.spark.read.parquet(path)
 
     def recrawl_round(
         self,

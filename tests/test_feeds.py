@@ -232,3 +232,24 @@ def test_stream_feed_seeds_cross_batch_dedup(spark, tmp_path):
         ], urls  # a/b seeded exactly once across both polls
     finally:
         q.stop()
+
+
+def test_rfc822_two_digit_years_rfc2822_window(spark):
+    """ADVICE r5: two-digit years follow the RFC 2822 obsolete-date
+    rule — 50-99 resolve to 19xx (Java 'yy' alone would say 2099),
+    00-49 to 20xx; the zone-less two-digit-year seconds rung parses."""
+    xml = """<?xml version="1.0"?><rss><channel>
+      <item><title>old</title><link>https://ex.com/y99</link>
+        <pubDate>Fri, 31 Dec 99 12:00:00 +0000</pubDate></item>
+      <item><title>new</title><link>https://ex.com/y05</link>
+        <pubDate>Mon, 03 Jan 05 08:00:00 +0000</pubDate></item>
+      <item><title>zoneless seconds</title><link>https://ex.com/y98</link>
+        <pubDate>01 Feb 98 09:30:15</pubDate></item>
+    </channel></rss>"""
+    df = spark.createDataFrame([("https://ex.com/feed", xml)],
+                               ["feed_url", "xml"])
+    rows = {r["url"]: r["published"] for r in parse_feed(df).collect()}
+    assert rows["https://ex.com/y99"].year == 1999
+    assert rows["https://ex.com/y05"].year == 2005
+    got = rows["https://ex.com/y98"]
+    assert (got.year, got.month, got.second) == (1998, 2, 15)
