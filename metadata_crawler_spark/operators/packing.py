@@ -46,10 +46,15 @@ def with_prefix_sum(
     every downstream global offset. The checkpoint makes both jobs read the
     exact same partitioning (and truncates lineage for the re-read)."""
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # lazy checkpoint (r6): the totals job right below is the first
+    # consumer and materializes the pinned RDD — an eager checkpoint
+    # added one extra blocking job for the same guarantee (both the
+    # totals job and the final plan read the SAME materialized
+    # partitioning either way)
     ranged = (
         df.repartitionByRange(n_parts, F.col(id_col))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("_pid").orderBy(id_col)
     scanned = ranged.withColumn(
