@@ -601,20 +601,6 @@ class Crawler:
             os.path.join(self.checkpoint_dir, f"round={round_no:05d}", "scheduled")
         )
 
-        # per-round host-cardinality sketch (config-gated): one HLL row
-        # per host over the round's scheduled URLs, committed beside the
-        # round. Reads the just-written scheduled parquet (no pipeline
-        # recompute); the groupBy merges partial sketches map-side.
-        if cfg.host_sketch:
-            from ..operators.sketches import hll_sketches
-
-            write_round_table(
-                hll_sketches(
-                    scheduled, ["host"], "url", cfg.host_sketch_lgk
-                ),
-                self.checkpoint_dir, round_no, "host_sketch",
-            )
-
         # r6 (guide §2.6 "overlap independent jobs"): a round's commit is
         # latency-bound by its ACTION count, not its data volume, and
         # three of the per-round jobs are mutually independent once the
@@ -662,9 +648,30 @@ class Crawler:
             )
             new_bloom.write.mode("overwrite").parquet(bloom_out)
 
+        def _write_host_sketch():
+            # per-round host-cardinality sketch (config-gated): one HLL
+            # row per host over the round's scheduled URLs, committed
+            # beside the round. Reads the just-written scheduled parquet
+            # (no pipeline recompute); the groupBy merges partial
+            # sketches map-side. Nothing in-round consumes it
+            # (host_cardinalities reads committed rounds), so it rides
+            # the pool instead of blocking the critical path (§2.6);
+            # the barrier below still gates the manifest flip on it.
+            from ..operators.sketches import hll_sketches
+
+            write_round_table(
+                hll_sketches(
+                    scheduled, ["host"], "url", cfg.host_sketch_lgk
+                ),
+                self.checkpoint_dir, round_no, "host_sketch",
+            )
+
         pool = ThreadPoolExecutor(max_workers=3)
         try:
             fut_bloom = pool.submit(_evolve_filter)
+            fut_sketch = (
+                pool.submit(_write_host_sketch) if cfg.host_sketch else None
+            )
 
             # fetch join: NEVER build/broadcast the pages side (it is the
             # 100 TB table) — a plain left join makes pages the build side
@@ -858,6 +865,8 @@ class Crawler:
                 fetched_n = fut_fetch.result()
             fut_bloom.result()
             fut_metrics.result()
+            if fut_sketch is not None:
+                fut_sketch.result()
             if fut_hosts is not None:
                 fut_hosts.result()
             fetched_hits.unpersist()
