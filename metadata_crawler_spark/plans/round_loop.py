@@ -590,29 +590,38 @@ class Crawler:
             "url", "host", "depth", "score", "rank", "crawl_delay_ms",
             "fetch_offset_ms", "url_hash_hi", "url_hash_lo",
         )
-        # counts piggyback on the write actions (Observation) — a crawl
-        # round is latency-bound by its job count, not its data volume
-        obs_sched = Observation(f"sched_{round_no}")
-        scheduled = scheduled.observe(obs_sched, F.count(F.lit(1)).alias("n"))
-        write_round_table(scheduled, self.checkpoint_dir, round_no, "scheduled")
+        # r6 (guide §2.6, measured +~0.3 s/round): the scheduled table's
+        # parquet write used to be a blocking barrier here (write, then
+        # read back) although every in-round consumer needs only the
+        # ROWS. Now the pipeline materializes into a persisted cache
+        # (the count is the materializing action — it also yields
+        # scheduled_n for the broadcast gate), and the parquet write
+        # serializes FROM that cache on the driver pool, overlapping the
+        # fetch join below. Content is identical — the write emits the
+        # exact cached rows the consumers read — and the pre-manifest
+        # barrier still gates the commit on the write succeeding, so
+        # replay/resume semantics are unchanged (the next round's
+        # _load_state still reads only committed parquet).
+        scheduled = scheduled.persist()
+        scheduled_n = scheduled.count()
         t_sched = time.time()
-        scheduled_n = int(obs_sched.get["n"])
-        scheduled = self.spark.read.parquet(
-            os.path.join(self.checkpoint_dir, f"round={round_no:05d}", "scheduled")
-        )
 
         # r6 (guide §2.6 "overlap independent jobs"): a round's commit is
         # latency-bound by its ACTION count, not its data volume, and
-        # three of the per-round jobs are mutually independent once the
-        # scheduled table is on disk — the fetch/extract join, the seen-
-        # filter evolution (reads only scheduled keys) and the host
+        # four of the per-round jobs are mutually independent once the
+        # scheduled ROWS are materialized in the cache above — the
+        # scheduled parquet write itself, the fetch/extract join, the
+        # seen-filter evolution (reads only scheduled keys) and the host
         # sketch. They now run as concurrent jobs from a small driver
         # pool (FIFO scheduler back-fills the tail of each stage), with
         # the critical path (fetch -> next frontier) staying on this
         # thread. Each job's CONTENT is untouched — same writes, same
         # paths, same Observations — so replay/commit semantics are
         # byte-identical; .result() re-raises any worker failure before
-        # the manifest flip.
+        # the manifest flip. The sweeps are the one consumer family that
+        # reads COMMITTED parquet mid-round — they read only `fetched`
+        # tables and explicitly join that write first (fut_fetch gate
+        # below); nothing in-round reads the scheduled parquet.
         from concurrent.futures import ThreadPoolExecutor
 
         def _evolve_filter():
@@ -668,6 +677,10 @@ class Crawler:
 
         pool = ThreadPoolExecutor(max_workers=3)
         try:
+            fut_sched_write = pool.submit(
+                write_round_table, scheduled, self.checkpoint_dir,
+                round_no, "scheduled",
+            )
             fut_bloom = pool.submit(_evolve_filter)
             fut_sketch = (
                 pool.submit(_write_host_sketch) if cfg.host_sketch else None
@@ -863,6 +876,7 @@ class Crawler:
             # re-raises); only then does the manifest flip below run
             if fetched_n is None:
                 fetched_n = fut_fetch.result()
+            fut_sched_write.result()
             fut_bloom.result()
             fut_metrics.result()
             if fut_sketch is not None:
@@ -870,6 +884,7 @@ class Crawler:
             if fut_hosts is not None:
                 fut_hosts.result()
             fetched_hits.unpersist()
+            scheduled.unpersist()
         finally:
             pool.shutdown(wait=True)
 
